@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Headline benchmark: single-chip 3-D complex64 C2C FFT.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "GFLOP/s", "vs_baseline": N}
+
+* value: GFLOP/s by the FFTW libbench2 convention 5*N*log2(N)/t
+  (/root/reference/fftw-3.3.8/libbench2/mflops.c:22-23).
+* vs_baseline: speedup vs XLA's built-in jnp.fft.fftn measured in the SAME
+  run on the SAME chip (the reference publishes no numbers — BASELINE.md).
+
+Usage: python bench.py [--size 256] [--iters 20] [--all]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def _timeit(fn, x, iters: int, warmup: int = 3):
+    """Steady-state seconds/call: chain y=f(y) to avoid host round trips."""
+    import jax
+    y = fn(x)
+    jax.block_until_ready(y)
+    for _ in range(warmup - 1):
+        y = fn(y)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    y = fn(x)
+    for _ in range(iters - 1):
+        y = fn(y)
+    jax.block_until_ready(y)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_3d_c2c(size: int, iters: int, precision: str = "highest"):
+    import jax
+    import jax.numpy as jnp
+    import regent_fft_tpu as rft
+    from regent_fft_tpu.plan import PlanSpec, make_plan, _build_core
+    from regent_fft_tpu.dtypes import Direction, Kind, Norm
+    from regent_fft_tpu.utils import flopcount, verify
+
+    shape = (size, size, size)
+    n = size ** 3
+    spec = PlanSpec(shape=shape, axes=(0, 1, 2), kind=Kind.C2C,
+                    direction=Direction.FORWARD, norm=Norm.NONE,
+                    precision=precision)
+    core = jax.jit(_build_core(spec))
+
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+    xi = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+
+    # correctness gate on a sub-sampled check (full f64 fftn at 512^3 is slow)
+    if size <= 256:
+        yr, yi = core(xr, xi)
+        got = np.asarray(yr).astype(np.complex128) + 1j * np.asarray(yi)
+        ref = np.fft.fftn(np.asarray(xr).astype(np.float64)
+                          + 1j * np.asarray(xi).astype(np.float64))
+        rel = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
+        assert rel < 1e-5, f"verification failed: rel={rel}"
+    else:
+        rel = float("nan")
+
+    t_ours = _timeit(lambda p: core(*p), (xr, xi), iters)
+
+    # Baseline: XLA's built-in FFT (complex created on device; the attach
+    # transport cannot move complex buffers host<->device).
+    mk = jax.jit(lambda a, b: jax.lax.complex(a, b))
+    xc = mk(xr, xi)
+    xla_fft = jax.jit(jnp.fft.fftn)
+    t_xla = _timeit(xla_fft, xc, iters)
+
+    gflops = 5.0 * n * math.log2(n) / t_ours / 1e9
+    gflops_xla = 5.0 * n * math.log2(n) / t_xla / 1e9
+    hw = flopcount.detect_hardware()
+    bytes_min = 2 * n * 8  # read + write complex64 once
+    roofline_frac = (bytes_min / (hw.hbm_gbps * 1e9)) / t_ours
+    return {
+        "metric": f"3d_c2c_fft_{size}cubed_complex64_gflops",
+        "value": round(gflops, 1),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(gflops / gflops_xla, 3),
+        "extra": {
+            "time_ms": round(t_ours * 1e3, 3),
+            "xla_fftn_ms": round(t_xla * 1e3, 3),
+            "xla_fftn_gflops": round(gflops_xla, 1),
+            "rel_err_vs_f64": rel,
+            "hbm_roofline_fraction_1pass": round(roofline_frac, 3),
+            "device": str(hw.name),
+            "precision": precision,
+        },
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--precision", default="highest")
+    args = ap.parse_args()
+    res = bench_3d_c2c(args.size, args.iters, args.precision)
+    extra = res.pop("extra")
+    print(json.dumps(res))
+    print(json.dumps({"detail": extra}), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,38 @@
+"""regent_fft_tpu — a TPU-native FFT framework (JAX / XLA / Pallas).
+
+A from-scratch rebuild of the capabilities of Regent-FFT
+(arjunkunna/regent-fft-arjun, mounted at /root/reference) designed for TPU:
+
+* plan lifecycle (make_plan / execute_plan / destroy_plan) with a wisdom
+  cache — ``src/fft.rg:262,544,625`` analog;
+* 1D/2D/3D (and arbitrary-rank) C2C, R2C, C2R; forward + inverse;
+  complex64/complex128 plus split-bf16 ``complex32``;
+* mixed-radix matmul-form (MXU) execution with Bluestein fallback,
+  fused Pallas VMEM kernels on the hot path;
+* batched transforms over arbitrary batch axes;
+* distributed transforms over a device mesh: per-shard (reference parity),
+  slab, and pencil decompositions with ``all_to_all`` over ICI;
+* FFTW-style verification (impulse/linearity/shift/golden) and
+  5N·log2(N) GFLOP/s benchmark conventions.
+"""
+
+from .dtypes import Direction, Kind, Norm, SplitComplex, as_split, from_split
+from .plan import (Plan, PlanSpec, make_plan, execute_plan, destroy_plan,
+                   clear_plan_cache, cached_plans)
+from .api import (fft, ifft, fft2, ifft2, fftn, ifftn,
+                  rfft, irfft, rfft2, irfft2, rfftn, irfftn,
+                  fftshift, ifftshift, fftfreq, rfftfreq,
+                  generate_fft_interface, FFTInterface)
+from .parallel.mesh import make_fft_mesh, make_pencil_mesh
+from .parallel.distributed import (DistributedFFTPlan, make_plan_shards,
+                                   make_plan_slab, make_plan_pencil,
+                                   destroy_plan_distrib)
+from .utils import wisdom
+from .utils.wisdom import (export_wisdom_to_string, export_wisdom_to_filename,
+                           import_wisdom_from_string, import_wisdom_from_filename,
+                           forget_wisdom)
+
+__version__ = "0.1.0"
+
+FORWARD = Direction.FORWARD
+BACKWARD = Direction.BACKWARD

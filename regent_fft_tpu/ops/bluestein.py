@@ -1,0 +1,77 @@
+"""Bluestein chirp-z transform for sizes with large prime factors.
+
+Re-derivation of ``/root/reference/fftw-3.3.8/dft/bluestein.c`` (the
+reference's non-smooth-size fallback inside FFTW) as a TPU-friendly
+convolution: using nk = (n^2 + k^2 - (k-n)^2)/2,
+
+    X[k] = c[k] * sum_n (x[n] c[n]) * conj(c[k-n]),   c[j] = e^{sign*pi*i*j^2/N}
+
+i.e. a linear convolution of a = x*c with h[j] = conj(c[j]) (even in j),
+evaluated via a circular convolution of 5-smooth length M >= 2N-1 so the
+inner FFTs are plain mixed-radix matmul stages.
+
+The kernel spectrum H = FFT_M(h) is precomputed on the host in float64
+(matching FFTW, which measures/plans the inner transforms once per plan) —
+runtime cost is 2 smooth FFTs + O(M) elementwise work.
+
+Rader's algorithm (``fftw-3.3.8/dft/rader.c``) is intentionally not
+implemented: BASELINE configs are all smooth sizes and Bluestein covers
+correctness for primes (SURVEY.md hard-parts item 5).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes import Direction
+from . import twiddle as _twiddle
+from .stockham import cmul_elem
+
+
+@functools.lru_cache(maxsize=256)
+def _bluestein_tables(n: int, m: int, sign: int, dtype=np.float32):
+    """Host-side f64 precompute: chirp c[0:n] and kernel spectrum H[0:m]."""
+    j = np.arange(n, dtype=np.int64)
+    e = np.mod(j * j, 2 * n)
+    theta = (np.pi / n) * e.astype(np.float64) * float(sign)
+    c = np.cos(theta) + 1j * np.sin(theta)  # complex128 chirp
+    h = np.zeros(m, dtype=np.complex128)
+    h[:n] = np.conj(c)
+    h[m - n + 1:] = np.conj(c)[1:][::-1]    # h[m-j] = conj(c[j]), j=1..n-1
+    hhat = np.fft.fft(h)                     # float64 reference FFT at plan time
+    return (
+        c.real.astype(dtype), c.imag.astype(dtype),
+        hhat.real.astype(dtype), hhat.imag.astype(dtype),
+    )
+
+
+def build_bluestein_1d(n: int, direction: Direction, m: int,
+                       max_radix: int, precision, use_3m: bool = False):
+    """Build fn((B, n) re, im) -> (re, im): unscaled DFT via chirp-z."""
+    from .stockham import build_c2c_1d  # circular at module load otherwise
+
+    sign = int(direction)
+    cr_np, ci_np, hr_np, hi_np = _bluestein_tables(n, m, sign)
+    # Inner transforms are always smooth-size mixed radix, never Bluestein.
+    fwd = build_c2c_1d(m, Direction.FORWARD, max_radix, precision, use_3m)
+    inv = build_c2c_1d(m, Direction.BACKWARD, max_radix, precision, use_3m)
+    inv_scale = np.float32(1.0 / m)
+
+    def fn(xr, xi):
+        b = xr.shape[0]
+        cr = jnp.asarray(cr_np)[None]
+        ci = jnp.asarray(ci_np)[None]
+        ar, ai = cmul_elem(xr, xi, cr, ci)           # a = x * c
+        pad = [(0, 0), (0, m - n)]
+        ar = jnp.pad(ar, pad)
+        ai = jnp.pad(ai, pad)
+        fr, fi = fwd(ar, ai)                          # FFT_M(a)
+        gr, gi = cmul_elem(fr, fi, jnp.asarray(hr_np)[None], jnp.asarray(hi_np)[None])
+        vr, vi = inv(gr, gi)                          # IFFT_M (unscaled)
+        vr = vr[:, :n] * inv_scale
+        vi = vi[:, :n] * inv_scale
+        return cmul_elem(vr, vi, cr, ci)              # X = c * conv
+    return fn

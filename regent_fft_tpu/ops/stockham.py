@@ -1,0 +1,157 @@
+"""Mixed-radix matmul-form FFT core (split re/im, MXU-friendly).
+
+This is the TPU re-design of the reference's entire compute path: where
+Regent-FFT hands raw pointers to FFTW codelets / cuFFT
+(``/root/reference/src/fft.rg:574-608``), we express the transform as a
+static schedule of MXU matmul stages:
+
+    N = r_1 * r_2 * ... * r_k   (each r_i <= 128)
+
+Each stage contracts a radix-r DFT matrix against one axis of the working
+array (one MXU pass) followed by an elementwise twiddle multiply that XLA
+fuses into the surrounding ops.  A direct N<=128 DFT is a single matmul —
+the matmul *is* the codelet (``fftw-3.3.8/dft/scalar/codelets`` analog).
+
+All arithmetic is on split (re, im) float planes: TPU vector/matrix units
+have no complex type, and splitting lets us pick the 4-matmul (accurate) or
+3-matmul Karatsuba (fast) complex product explicitly.
+
+Derivation (Cooley-Tukey, decimation-in-time over rows):
+  with n = n1*N2 + n2 and k = k1 + N1*k2,
+  X[k1 + N1*k2] = sum_{n2} W_{N2}^{n2 k2} [ W_N^{k1 n2}
+                     * sum_{n1} x[n1*N2 + n2] W_{N1}^{n1 k1} ]
+i.e. reshape to (N1, N2) -> DFT columns -> twiddle -> DFT rows -> transpose.
+This mirrors ``fftw-3.3.8/dft/ct.c`` re-derived in matmul form.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes import Direction
+from . import factor as _factor
+from . import twiddle as _twiddle
+
+Pair = Tuple[jax.Array, jax.Array]
+
+
+def _dot(a, b, precision):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=precision)
+
+
+def cmul_mat(ar, ai, br, bi, precision, use_3m=False):
+    """Complex matmul of split operands: (ar+i*ai) @ (br+i*bi).
+
+    4M variant: 4 real matmuls, best accuracy.
+    3M (Karatsuba) variant: 3 matmuls + extra adds, ~25% fewer MXU flops,
+    slightly worse rounding — used for the bf16/complex32 path.
+    """
+    if use_3m:
+        t1 = _dot(ar, br, precision)
+        t2 = _dot(ai, bi, precision)
+        t3 = _dot(ar + ai, br + bi, precision)
+        return t1 - t2, t3 - t1 - t2
+    yr = _dot(ar, br, precision) - _dot(ai, bi, precision)
+    yi = _dot(ar, bi, precision) + _dot(ai, br, precision)
+    return yr, yi
+
+
+def cmul_elem(ar, ai, br, bi):
+    """Elementwise complex multiply of split operands (VPU, fused by XLA)."""
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def direct_dft(xr, xi, n: int, sign: int, precision, use_3m=False) -> Pair:
+    """Direct DFT over the last axis via one dense-matrix matmul (n<=128)."""
+    dr, di = _twiddle.dft_matrix(n, sign)
+    return cmul_mat(xr, xi, jnp.asarray(dr), jnp.asarray(di), precision, use_3m)
+
+
+def mixed_radix_fft(xr, xi, n: int, factors, sign: int, precision, use_3m=False) -> Pair:
+    """DFT over the last axis of (B, n) arrays via recursive matmul stages.
+
+    ``factors`` is the radix schedule from :func:`factor.factorize`
+    (largest-first, each <= 128).  The recursion unrolls at trace time into
+    len(factors) matmul stages with twiddle multiplies between them.
+    """
+    if len(factors) == 1:
+        return direct_dft(xr, xi, n, sign, precision, use_3m)
+    n1 = factors[0]
+    n2 = n // n1
+    b = xr.shape[0]
+    xr = xr.reshape(b, n1, n2)
+    xi = xi.reshape(b, n1, n2)
+
+    # Stage 1: DFT of size n1 along axis 1 (columns).  Contract with the
+    # dense DFT matrix: A[b, k1, n2] = sum_n1 D[n1, k1] * x[b, n1, n2].
+    dr, di = _twiddle.dft_matrix(n1, sign)
+    dr = jnp.asarray(dr)
+    di = jnp.asarray(di)
+
+    def _contract(v, m):
+        return jnp.einsum("bnm,nk->bkm", v, m,
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
+
+    if use_3m:
+        t1r = _contract(xr, dr)
+        t2r = _contract(xi, di)
+        t3 = _contract(xr + xi, dr + di)
+        ar_, ai_ = t1r - t2r, t3 - t1r - t2r
+    else:
+        ar_ = _contract(xr, dr) - _contract(xi, di)
+        ai_ = _contract(xr, di) + _contract(xi, dr)
+
+    # Twiddle: W_N^{k1 * n2}, table shape (n1, n2) broadcast over batch.
+    tr, ti = _twiddle.twiddle_outer(n1, n2, n, sign)
+    ar_, ai_ = cmul_elem(ar_, ai_, jnp.asarray(tr)[None], jnp.asarray(ti)[None])
+
+    # Stage 2: recurse over the n2 axis with batch b*n1.
+    cr, ci = mixed_radix_fft(
+        ar_.reshape(b * n1, n2), ai_.reshape(b * n1, n2),
+        n2, factors[1:], sign, precision, use_3m,
+    )
+    # Output index is k1 + N1*k2: flatten as [k2, k1].
+    cr = cr.reshape(b, n1, n2).transpose(0, 2, 1).reshape(b, n)
+    ci = ci.reshape(b, n1, n2).transpose(0, 2, 1).reshape(b, n)
+    return cr, ci
+
+
+def build_c2c_1d(n: int, direction: Direction, max_radix: int = _factor.DEFAULT_MAX_RADIX,
+                 precision=jax.lax.Precision.HIGHEST, use_3m: bool = False):
+    """Build fn((B, n) re, im) -> (re, im) computing an unscaled DFT.
+
+    Dispatches direct / mixed-radix / Bluestein, the static analog of
+    FFTW's planner choosing among solvers (``fftw-3.3.8/kernel/planner.c``).
+    """
+    sign = int(direction)
+    kind, info = _factor.plan_factors(n, max_radix)
+    if kind == "direct":
+        def fn(xr, xi):
+            return direct_dft(xr, xi, n, sign, precision, use_3m)
+        return fn
+    if kind == "mixed":
+        factors = info
+
+        def fn(xr, xi):
+            return mixed_radix_fft(xr, xi, n, factors, sign, precision, use_3m)
+        return fn
+    # Bluestein fallback for sizes with prime factors > max_radix.
+    from . import bluestein as _bluestein
+    return _bluestein.build_bluestein_1d(n, direction, info, max_radix, precision, use_3m)
+
+
+@functools.lru_cache(maxsize=512)
+def schedule_description(n: int, max_radix: int = _factor.DEFAULT_MAX_RADIX) -> str:
+    """Human-readable schedule, for Plan.print_plan (fftw_print_plan analog)."""
+    kind, info = _factor.plan_factors(n, max_radix)
+    if kind == "direct":
+        return f"direct-dft-{n} (1 matmul)"
+    if kind == "mixed":
+        stages = " -> ".join(f"radix-{r}" for r in info)
+        return f"mixed({n} = {'*'.join(map(str, info))}): {stages}"
+    return f"bluestein({n}, conv={info}: {schedule_description(info, max_radix)})"

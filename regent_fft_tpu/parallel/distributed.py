@@ -1,0 +1,280 @@
+"""Distributed transforms: per-shard parity mode + true global FFTs.
+
+Three modes, in increasing capability:
+
+1. ``shards`` — reference parity.  The reference's "distributed" mode is an
+   equal partition + index launch of INDEPENDENT per-node plans
+   (``/root/reference/src/fft.rg:513-537``): each node FFTs only its own
+   slab.  Here: shard the leading batch axis over the mesh and run the
+   local plan under ``shard_map`` with no communication.
+
+2. ``slab`` — a single global N-D FFT with the first axis block-distributed.
+   Transform all local axes, one ``all_to_all`` (the distributed transpose,
+   re-deriving ``/root/reference/fftw-3.3.8/mpi/transpose-alltoall.c:61-78``
+   on ICI), transform the remaining axis.  ``transposed_out=True`` skips the
+   inverse transpose exactly like FFTW_MPI_TRANSPOSED_OUT
+   (``fftw-3.3.8/mpi/dft-rank-geq2-transposed.c``).
+
+3. ``pencil`` — 2-D process mesh for rank-3 transforms (scales past
+   slab's P <= Z limit): two all_to_alls over independent mesh axes.
+
+The reference never wired up a true distributed transform (README "Future
+Developments", ``/root/reference/README.md:117-119``); modes 2-3 are the
+north-star capability (BASELINE.md distributed 3D target).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..dtypes import Direction, Kind, Norm, SplitComplex, as_split, from_split
+from ..ops import nd as _nd
+from ..ops import real as _real
+from ..ops.stockham import build_c2c_1d
+from .mesh import make_fft_mesh
+
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _norm_scale(n: int, direction: Direction, norm: Norm) -> float:
+    if norm == Norm.NONE:
+        return 1.0
+    fwd = direction == Direction.FORWARD
+    if norm == Norm.BACKWARD:
+        return 1.0 if fwd else 1.0 / n
+    if norm == Norm.FORWARD:
+        return 1.0 / n if fwd else 1.0
+    return 1.0 / math.sqrt(n)
+
+
+def _apply_scale(xr, xi, scale):
+    if scale != 1.0:
+        s = jnp.asarray(scale, xr.dtype)
+        xr, xi = xr * s, xi * s
+    return xr, xi
+
+
+class DistributedFFTPlan:
+    """A plan whose executor runs under shard_map over a device mesh.
+
+    Callable on a global ``jax.Array`` (sharded or not — inputs are
+    constrained to the plan's input sharding).  ``in_sharding`` /
+    ``out_sharding`` expose the NamedShardings for callers building
+    pipelines around the transform.
+    """
+
+    def __init__(self, spec_desc: str, mesh: Mesh, in_spec: P, out_spec: P,
+                 fn, shape, dtype: str, flops: float):
+        self.description = spec_desc
+        self.mesh = mesh
+        self.in_sharding = NamedSharding(mesh, in_spec)
+        self.out_sharding = NamedSharding(mesh, out_spec)
+        self.global_shape = tuple(shape)
+        self.dtype = dtype
+        self.flops = flops
+        self._fn = jax.jit(fn)
+        self._destroyed = False
+
+    def __call__(self, x):
+        if self._destroyed:
+            raise RuntimeError("plan was destroyed")
+        sx = as_split(x, jnp.float32)
+        if sx.re.shape != self.global_shape:
+            raise ValueError(f"input shape {sx.re.shape} != planned {self.global_shape}")
+        xr = jax.lax.with_sharding_constraint(sx.re, self.in_sharding)
+        xi = jax.lax.with_sharding_constraint(sx.im, self.in_sharding)
+        yr, yi = self._fn(xr, xi)
+        return from_split(SplitComplex(yr, yi), jnp.complex64 if self.dtype != "complex32" else "complex32")
+
+    execute = __call__
+
+    def print_plan(self):
+        print(self.description)
+
+    def destroy(self):
+        self._destroyed = True
+        self._fn = None
+
+
+def make_plan_shards(shape, kind=Kind.C2C, direction=Direction.FORWARD,
+                     norm=Norm.NONE, dtype="complex64", mesh: Optional[Mesh] = None,
+                     axis_name: str = "fft", precision: str = "highest",
+                     use_3m: bool = False, max_radix: int = 128) -> DistributedFFTPlan:
+    """Reference-parity distributed mode: independent per-shard transforms.
+
+    Shards the LEADING axis (the batch/slab axis) across the mesh; each
+    device transforms axes 1..ndim-1 of its own block with zero
+    communication — exactly the semantics of ``make_plan_distrib`` +
+    index-launched ``execute_plan_task`` (``src/fft.rg:513-537``,
+    ``test/fft_test.rg:282-305``).
+    """
+    if kind != Kind.C2C:
+        raise NotImplementedError("shards mode currently supports C2C")
+    mesh = mesh or make_fft_mesh(axis_name=axis_name)
+    axis_name = mesh.axis_names[0]
+    p = mesh.shape[axis_name]
+    shape = tuple(shape)
+    if shape[0] % p != 0:
+        # The reference hard-asserts on mismatched partition counts
+        # (src/fft.rg:519); we require divisibility for the equal partition.
+        raise ValueError(f"leading axis {shape[0]} not divisible by mesh size {p}")
+    axes = tuple(range(1, len(shape)))
+    n_local = int(np.prod([shape[a] for a in axes]))
+    scale = _norm_scale(n_local, direction, norm)
+    prec = _PRECISIONS[precision]
+    fns = [(a, build_c2c_1d(shape[a], direction, max_radix, prec, use_3m))
+           for a in sorted(axes, reverse=True)]
+
+    def local_fn(xr, xi):
+        yr, yi = _nd.c2c_nd(fns, xr, xi)
+        return _apply_scale(yr, yi, scale)
+
+    pspec = P(axis_name, *([None] * (len(shape) - 1)))
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(pspec, pspec),
+                   out_specs=(pspec, pspec))
+    desc = (f"(plan-distrib-shards shape={shape} mesh={dict(zip(mesh.axis_names, mesh.devices.shape))} "
+            f"independent {len(shape)-1}D FFT per shard, no collectives)")
+    batch = shape[0]
+    flops = batch * 5.0 * n_local * max(1.0, math.log2(max(n_local, 2)))
+    return DistributedFFTPlan(desc, mesh, pspec, pspec, fn, shape, dtype, flops)
+
+
+def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
+                   dtype="complex64", mesh: Optional[Mesh] = None,
+                   axis_name: str = "fft", transposed_out: bool = False,
+                   precision: str = "highest", use_3m: bool = False,
+                   max_radix: int = 128) -> DistributedFFTPlan:
+    """Single global N-D C2C FFT, slab-decomposed over the first axis.
+
+    Local FFT over axes 1..nd-1, then one all_to_all that trades the first
+    axis for the last (the ICI transpose), then FFT over the former first
+    axis.  With ``transposed_out`` the result stays distributed over the
+    LAST axis with axes order unchanged (FFTW_MPI_TRANSPOSED_OUT analog);
+    otherwise a second all_to_all restores first-axis distribution.
+    """
+    mesh = mesh or make_fft_mesh(axis_name=axis_name)
+    axis_name = mesh.axis_names[0]
+    p = int(mesh.shape[axis_name])
+    shape = tuple(shape)
+    nd_ = len(shape)
+    if nd_ < 2:
+        raise ValueError("slab decomposition needs rank >= 2")
+    if shape[0] % p != 0 or shape[-1] % p != 0:
+        raise ValueError(f"axes 0 and -1 must be divisible by mesh size {p}: {shape}")
+    n_total = int(np.prod(shape))
+    scale = _norm_scale(n_total, direction, norm)
+    prec = _PRECISIONS[precision]
+    local_axes = list(range(1, nd_))
+    fns = [(a, build_c2c_1d(shape[a], direction, max_radix, prec, use_3m))
+           for a in sorted(local_axes, reverse=True)]
+    fn0 = build_c2c_1d(shape[0], direction, max_radix, prec, use_3m)
+
+    def local_fn(xr, xi):
+        # (Z/P, ..., X): all locally-complete axes first.
+        xr, xi = _nd.c2c_nd(fns, xr, xi)
+        # Distributed transpose over ICI: gather axis 0, scatter axis -1.
+        xr = lax.all_to_all(xr, axis_name, split_axis=nd_ - 1, concat_axis=0, tiled=True)
+        xi = lax.all_to_all(xi, axis_name, split_axis=nd_ - 1, concat_axis=0, tiled=True)
+        # (Z, ..., X/P): transform the former slab axis.
+        xr, xi = _nd.apply_along_axis(fn0, 0, xr, xi)
+        if not transposed_out:
+            xr = lax.all_to_all(xr, axis_name, split_axis=0, concat_axis=nd_ - 1, tiled=True)
+            xi = lax.all_to_all(xi, axis_name, split_axis=0, concat_axis=nd_ - 1, tiled=True)
+        return _apply_scale(xr, xi, scale)
+
+    in_spec = P(axis_name, *([None] * (nd_ - 1)))
+    out_spec = (P(*([None] * (nd_ - 1)), axis_name) if transposed_out else in_spec)
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(in_spec, in_spec),
+                   out_specs=(out_spec, out_spec))
+    desc = (f"(plan-distrib-slab shape={shape} P={p} axis={axis_name} "
+            f"local-{nd_-1}ax-fft -> all_to_all(ICI) -> fft(axis0)"
+            f"{' [transposed output]' if transposed_out else ' -> all_to_all back'})")
+    flops = 5.0 * n_total * math.log2(max(n_total, 2))
+    return DistributedFFTPlan(desc, mesh, in_spec, out_spec, fn, shape, dtype, flops)
+
+
+def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
+                     dtype="complex64", mesh: Optional[Mesh] = None,
+                     mesh_shape: Optional[Tuple[int, int]] = None,
+                     axis_names: Tuple[str, str] = ("fy", "fz"),
+                     transposed_out: bool = False,
+                     precision: str = "highest", use_3m: bool = False,
+                     max_radix: int = 128) -> DistributedFFTPlan:
+    """Single global 3-D C2C FFT, pencil-decomposed over a 2-D mesh.
+
+    Input (Z, Y, X) distributed as (Z/P1, Y/P2, X) — X-pencils.  Three local
+    1-D FFT phases separated by two all_to_alls, each over ONE mesh axis
+    (re-derivation of FFTW's rank>=2 MPI solvers,
+    ``fftw-3.3.8/mpi/dft-rank-geq2-transposed.c``):
+
+        (Z/P1, Y/P2, X ) --fft X--> a2a(fz): X<->Y --> (Z/P1, Y, X/P2)
+                         --fft Y--> a2a(fy): Y<->Z --> (Z, Y/P1, X/P2)
+                         --fft Z--> [optionally a2a back to input layout]
+    """
+    from .mesh import make_pencil_mesh
+    shape = tuple(shape)
+    if len(shape) != 3:
+        raise ValueError("pencil decomposition is for rank-3 transforms")
+    if mesh is None:
+        if mesh_shape is None:
+            ndev = len(jax.devices())
+            r = int(math.sqrt(ndev))
+            while ndev % r:
+                r -= 1
+            mesh_shape = (r, ndev // r)
+        mesh = make_pencil_mesh(mesh_shape, axis_names)
+    a1, a2 = mesh.axis_names
+    p1, p2 = int(mesh.shape[a1]), int(mesh.shape[a2])
+    z, y, x = shape
+    if z % p1 or y % p1 or y % p2 or x % p2:
+        raise ValueError(
+            f"shape {shape} not divisible for pencil mesh ({p1},{p2}): "
+            f"need P1|Z, P1|Y, P2|Y, P2|X")
+    n_total = z * y * x
+    scale = _norm_scale(n_total, direction, norm)
+    prec = _PRECISIONS[precision]
+    fz = build_c2c_1d(z, direction, max_radix, prec, use_3m)
+    fy = build_c2c_1d(y, direction, max_radix, prec, use_3m)
+    fx = build_c2c_1d(x, direction, max_radix, prec, use_3m)
+
+    def local_fn(xr, xi):
+        xr, xi = _nd.apply_along_axis(fx, 2, xr, xi)          # (Z/P1, Y/P2, X)
+        xr = lax.all_to_all(xr, a2, split_axis=2, concat_axis=1, tiled=True)
+        xi = lax.all_to_all(xi, a2, split_axis=2, concat_axis=1, tiled=True)
+        xr, xi = _nd.apply_along_axis(fy, 1, xr, xi)          # (Z/P1, Y, X/P2)
+        xr = lax.all_to_all(xr, a1, split_axis=1, concat_axis=0, tiled=True)
+        xi = lax.all_to_all(xi, a1, split_axis=1, concat_axis=0, tiled=True)
+        xr, xi = _nd.apply_along_axis(fz, 0, xr, xi)          # (Z, Y/P1, X/P2)
+        if not transposed_out:
+            xr = lax.all_to_all(xr, a1, split_axis=0, concat_axis=1, tiled=True)
+            xi = lax.all_to_all(xi, a1, split_axis=0, concat_axis=1, tiled=True)
+            xr = lax.all_to_all(xr, a2, split_axis=1, concat_axis=2, tiled=True)
+            xi = lax.all_to_all(xi, a2, split_axis=1, concat_axis=2, tiled=True)
+        return _apply_scale(xr, xi, scale)
+
+    in_spec = P(a1, a2, None)
+    out_spec = P(None, a1, a2) if transposed_out else in_spec
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(in_spec, in_spec),
+                   out_specs=(out_spec, out_spec))
+    desc = (f"(plan-distrib-pencil shape={shape} mesh=({p1}x{p2}) "
+            f"fftX -> a2a[{a2}] -> fftY -> a2a[{a1}] -> fftZ"
+            f"{' [transposed output]' if transposed_out else ' -> 2x a2a back'})")
+    flops = 5.0 * n_total * math.log2(max(n_total, 2))
+    return DistributedFFTPlan(desc, mesh, in_spec, out_spec, fn, shape, dtype, flops)
+
+
+def destroy_plan_distrib(plan: DistributedFFTPlan):
+    """Reference-parity destroy (``src/fft.rg:655-661``)."""
+    plan.destroy()

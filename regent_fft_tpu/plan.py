@@ -1,0 +1,384 @@
+"""Plan lifecycle: the TPU re-design of the reference's core API.
+
+Reference lifecycle (``/root/reference/src/fft.rg``):
+    make_plan (src/fft.rg:262) -> execute_plan (src/fft.rg:544)
+      -> destroy_plan (src/fft.rg:625)
+with plans stored in a Legion region and raw pointers handed to FFTW/cuFFT.
+
+TPU design: a :class:`Plan` is an immutable Python object that precomputes
+the factorization schedule and twiddle tables (host f64, rounded once) and
+owns a jitted executor.  FFTW's "new-array execute" (``src/fft.rg:605-608``)
+is natural here: ``plan(x)`` works for any array matching the planned
+shape/dtype (capability checklist item 5).  ``destroy_plan`` is cache
+eviction — device constants are freed when the executor is dropped.
+
+The module-level plan cache is the analog of FFTW wisdom
+(``fftw-3.3.8/api/*wisdom*.c``): planning twice for the same problem is free.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dtypes import Direction, Kind, Norm, SplitComplex, as_split, from_split, canonical_dtype
+from .ops import factor as _factor
+from .ops import nd as _nd
+from .ops import real as _real
+from .ops import stockham as _stockham
+
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanSpec:
+    """Hashable problem description — the plan-cache key (wisdom analog).
+
+    ``shape`` is the full operand shape including batch dims; ``axes`` are
+    the transformed axes.  For C2R, ``shape`` is the *real output* shape
+    (numpy.fft.irfft convention: n must be given since n//2+1 is lossy).
+    """
+
+    shape: Tuple[int, ...]
+    axes: Tuple[int, ...]
+    kind: Kind
+    direction: Direction
+    norm: Norm = Norm.BACKWARD
+    dtype: str = "complex64"          # canonical logical dtype of the transform
+    precision: str = "highest"        # matmul precision: highest|high|default
+    use_3m: bool = False              # Karatsuba complex products
+    max_radix: int = _factor.DEFAULT_MAX_RADIX
+    backend: str = "auto"             # auto|xla|pallas
+    donate: bool = False              # donate input buffer to the executor
+
+    def __post_init__(self):
+        shape = tuple(int(s) for s in self.shape)
+        axes = tuple(a % len(shape) for a in self.axes)
+        object.__setattr__(self, "shape", shape)
+        object.__setattr__(self, "axes", axes)
+        if len(set(axes)) != len(axes):
+            raise ValueError(f"duplicate axes: {self.axes}")
+        if not axes:
+            raise ValueError("at least one transform axis required")
+        if self.kind == Kind.R2C and self.direction != Direction.FORWARD:
+            raise ValueError("R2C transforms are forward-only (use C2R for inverse)")
+        if self.kind == Kind.C2R and self.direction != Direction.BACKWARD:
+            raise ValueError("C2R transforms are backward-only")
+        if self.precision not in _PRECISIONS:
+            raise ValueError(f"precision must be one of {list(_PRECISIONS)}")
+
+    @property
+    def transform_lengths(self) -> Tuple[int, ...]:
+        return tuple(self.shape[a] for a in self.axes)
+
+    @property
+    def logical_n(self) -> int:
+        return int(np.prod(self.transform_lengths))
+
+    @property
+    def batch(self) -> int:
+        b = 1
+        for i, s in enumerate(self.shape):
+            if i not in self.axes:
+                b *= s
+        return b
+
+
+def _compute_dtype(spec: PlanSpec):
+    if spec.dtype in ("complex128", "float64"):
+        if not jax.config.read("jax_enable_x64"):
+            raise ValueError(
+                "complex128/float64 plans require JAX_ENABLE_X64=1 "
+                "(float64 is emulated and slow on TPU; intended for the "
+                "verification path)")
+        return jnp.float64
+    return jnp.float32
+
+
+def _norm_scale(spec: PlanSpec) -> float:
+    """Scale applied to the unscaled DFT / N-times-inverse-DFT core."""
+    n = spec.logical_n
+    fwd = spec.direction == Direction.FORWARD
+    if spec.norm == Norm.NONE:
+        return 1.0
+    if spec.norm == Norm.BACKWARD:
+        return 1.0 if fwd else 1.0 / n
+    if spec.norm == Norm.FORWARD:
+        return 1.0 / n if fwd else 1.0
+    return 1.0 / math.sqrt(n)  # ortho
+
+
+def _build_core(spec: PlanSpec):
+    """Build the split-pair core function for this spec (unjitted)."""
+    precision = _PRECISIONS[spec.precision]
+    mr = spec.max_radix
+    u3 = spec.use_3m
+    scale = _norm_scale(spec)
+    backend = spec.backend
+    if backend == "auto":
+        backend = "pallas" if _pallas_supported(spec) else "xla"
+
+    def build_1d(n, direction):
+        if backend == "pallas":
+            from .ops import pallas_fft as _pf
+            fn = _pf.build_c2c_1d_pallas(n, direction, mr, precision, u3)
+            if fn is not None:
+                return fn
+        return _stockham.build_c2c_1d(n, direction, mr, precision, u3)
+
+    if spec.kind == Kind.C2C:
+        # Transform the last-listed axis first when it is the final
+        # (lane-contiguous) axis — cheapest pass runs on the natural layout.
+        axes = sorted(spec.axes, reverse=True)
+        fns = [(a, build_1d(spec.shape[a], spec.direction)) for a in axes]
+
+        def core(xr, xi):
+            yr, yi = _nd.c2c_nd(fns, xr, xi)
+            if scale != 1.0:
+                yr = yr * jnp.asarray(scale, yr.dtype)
+                yi = yi * jnp.asarray(scale, yi.dtype)
+            return yr, yi
+        return core
+
+    if spec.kind == Kind.R2C:
+        # Real transform on the LAST of the requested axes (numpy rfftn),
+        # complex transforms on the rest.
+        raxis = spec.axes[-1]
+        n_r = spec.shape[raxis]
+        rfn = _real.build_r2c_1d(n_r, mr, precision, u3)
+        other = [a for a in spec.axes if a != raxis]
+        cfns = [(a, build_1d(spec.shape[a], Direction.FORWARD))
+                for a in sorted(other, reverse=True)]
+
+        def core(x):
+            yr, yi = _nd.apply_along_axis_real_in(rfn, raxis, x)
+            yr, yi = _nd.c2c_nd(cfns, yr, yi)
+            if scale != 1.0:
+                yr = yr * jnp.asarray(scale, yr.dtype)
+                yi = yi * jnp.asarray(scale, yi.dtype)
+            return yr, yi
+        return core
+
+    # C2R: inverse complex transforms on leading axes, then packed c2r on
+    # the last axis.  spec.shape is the REAL output shape.
+    raxis = spec.axes[-1]
+    n_r = spec.shape[raxis]
+    cfn = _real.build_c2r_1d(n_r, mr, precision, u3)
+    other = [a for a in spec.axes if a != raxis]
+    cfns = [(a, build_1d(spec.shape[a], Direction.BACKWARD))
+            for a in sorted(other, reverse=True)]
+
+    def core(xr, xi):
+        xr, xi = _nd.c2c_nd(cfns, xr, xi)
+        y = _nd.apply_along_axis_real_out(cfn, raxis, xr, xi)
+        if scale != 1.0:
+            y = y * jnp.asarray(scale, y.dtype)
+        return y
+    return core
+
+
+def _pallas_supported(spec: PlanSpec) -> bool:
+    """Whether the fused Pallas path can run this spec (else XLA path)."""
+    try:
+        from .ops import pallas_fft as _pf
+        return _pf.supported(spec)
+    except Exception:
+        return False
+
+
+class Plan:
+    """An executable FFT plan.  Create via :func:`make_plan` / ``plan_fft``.
+
+    Reusable against any same-shape array — the analog of FFTW's new-array
+    execute used at ``/root/reference/src/fft.rg:605-608``.
+    """
+
+    def __init__(self, spec: PlanSpec):
+        self.spec = spec
+        self._cdtype = _compute_dtype(spec)
+        core = _build_core(spec)
+        donate = (0,) if spec.donate else ()
+        if spec.kind == Kind.R2C:
+            self._exec = jax.jit(lambda x: core(x), donate_argnums=donate)
+        else:
+            self._exec = jax.jit(lambda xr, xi: core(xr, xi), donate_argnums=donate)
+        self._destroyed = False
+
+    # -- accounting (fftw-3.3.8/api/flops.c + libbench2/mflops.c analogs) --
+    @property
+    def flops(self) -> float:
+        """Reported-flop convention: 5 N log2 N per transform (2.5 real)."""
+        real = self.spec.kind in (Kind.R2C, Kind.C2R)
+        return self.spec.batch * _factor.fft_flops_convention(self.spec.logical_n, real)
+
+    @property
+    def algorithm_flops(self) -> int:
+        """True real-FLOP count of the matmul schedule."""
+        total = 0
+        lengths = self.spec.transform_lengths
+        n_all = self.spec.logical_n
+        for n in lengths:
+            kind, info = _factor.plan_factors(n, self.spec.max_radix)
+            factors = (n,) if kind == "direct" else info if kind == "mixed" else None
+            if factors is None:  # bluestein: 2 smooth FFTs of size m + O(m)
+                m = info
+                _, mf = _factor.plan_factors(m, self.spec.max_radix)
+                per = 2 * _factor.stage_flops(m, mf) + 6 * 3 * m
+                total += (n_all // n) * (per // n if n else 0) * n
+            else:
+                total += (n_all // n) * _factor.stage_flops(n, factors)
+        scale = 0.5 if self.spec.kind in (Kind.R2C, Kind.C2R) else 1.0
+        return int(self.spec.batch * total * scale)
+
+    @property
+    def bytes_ideal(self) -> int:
+        """Minimum HBM traffic: read input once, write output once."""
+        itemsize = {"complex32": 4, "complex64": 8, "complex128": 16}[self.spec.dtype]
+        n_elems = int(np.prod(self.spec.shape))  # real-output shape for C2R
+        if self.spec.kind == Kind.C2C:
+            return 2 * n_elems * itemsize
+        # r2c/c2r: real side ~ half the bytes of the (half-spectrum) complex side
+        real_bytes = n_elems * itemsize // 2
+        cplx_bytes = int(np.prod(_half_shape(self.spec))) * itemsize
+        return real_bytes + cplx_bytes
+
+    def describe(self) -> str:
+        s = self.spec
+        lines = [
+            f"(plan-{s.kind.value}-{len(s.axes)}d shape={s.shape} axes={s.axes} "
+            f"dir={'fwd' if s.direction == Direction.FORWARD else 'bwd'} "
+            f"norm={s.norm.value} dtype={s.dtype} backend={s.backend} "
+            f"precision={s.precision}{' 3M' if s.use_3m else ''}"
+        ]
+        for a in s.axes:
+            lines.append(
+                f"  (axis {a}: n={s.shape[a]} "
+                f"{_stockham.schedule_description(s.shape[a], s.max_radix)})"
+            )
+        lines.append(
+            f"  (flops={self.flops:.3e} [5NlogN conv] "
+            f"algo_flops={self.algorithm_flops:.3e} batch={s.batch}))"
+        )
+        return "\n".join(lines)
+
+    def print_plan(self):
+        """fftw_print_plan analog."""
+        print(self.describe())
+
+    def __repr__(self):
+        s = self.spec
+        return (f"Plan({s.kind.value}, shape={s.shape}, axes={s.axes}, "
+                f"dir={int(s.direction)}, dtype={s.dtype})")
+
+    # -- execution --------------------------------------------------------
+    def __call__(self, x):
+        if self._destroyed:
+            raise RuntimeError("plan was destroyed (destroy_plan); re-plan first")
+        s = self.spec
+        if s.kind == Kind.R2C:
+            x = jnp.asarray(x) if not isinstance(x, SplitComplex) else x.re
+            if x.shape != s.shape:
+                raise ValueError(f"input shape {x.shape} != planned {s.shape}")
+            yr, yi = self._exec(x.astype(self._cdtype))
+            return from_split(SplitComplex(yr, yi), _out_dtype(s))
+        sx = as_split(x, self._cdtype)
+        expect = s.shape if s.kind == Kind.C2C else _half_shape(s)
+        if sx.re.shape != expect:
+            raise ValueError(f"input shape {sx.re.shape} != planned {expect}")
+        if s.kind == Kind.C2R:
+            y = self._exec(sx.re, sx.im)
+            out = "float64" if s.dtype == "complex128" else (
+                "bfloat16" if s.dtype == "complex32" else "float32")
+            return y.astype(jnp.dtype(out))
+        yr, yi = self._exec(sx.re, sx.im)
+        return from_split(SplitComplex(yr, yi), _out_dtype(s))
+
+    execute = __call__  # reference-parity alias (execute_plan, src/fft.rg:544)
+
+    def inverse(self) -> "Plan":
+        """Plan for the mathematical inverse of this transform."""
+        s = self.spec
+        inv_norm = {Norm.BACKWARD: Norm.BACKWARD, Norm.FORWARD: Norm.FORWARD,
+                    Norm.ORTHO: Norm.ORTHO, Norm.NONE: Norm.NONE}[s.norm]
+        if s.kind == Kind.C2C:
+            d = Direction.BACKWARD if s.direction == Direction.FORWARD else Direction.FORWARD
+            return make_plan(dataclasses.replace(s, direction=d, norm=inv_norm))
+        if s.kind == Kind.R2C:
+            return make_plan(dataclasses.replace(
+                s, kind=Kind.C2R, direction=Direction.BACKWARD, norm=inv_norm))
+        return make_plan(dataclasses.replace(
+            s, kind=Kind.R2C, direction=Direction.FORWARD, norm=inv_norm))
+
+
+def _half_shape(spec: PlanSpec) -> Tuple[int, ...]:
+    """Complex-side shape for r2c/c2r (last transform axis halved)."""
+    shape = list(spec.shape)
+    ax = spec.axes[-1]
+    shape[ax] = shape[ax] // 2 + 1
+    return tuple(shape)
+
+
+def _out_dtype(spec: PlanSpec):
+    return {"complex32": "complex32", "complex64": jnp.complex64,
+            "complex128": jnp.complex128}[spec.dtype]
+
+
+# ---------------------------------------------------------------------------
+# Plan cache (wisdom) + lifecycle API
+# ---------------------------------------------------------------------------
+_PLAN_CACHE: dict = {}
+
+
+def make_plan(spec_or_shape, **kwargs) -> Plan:
+    """Create (or fetch from wisdom cache) a plan.
+
+    ``make_plan(PlanSpec(...))`` or ``make_plan(shape, axes=..., kind=...)``.
+    Reference analog: ``iface.make_plan`` (``src/fft.rg:262``) — but here
+    planning is pure metadata + table precompute; compilation happens on
+    first execute (XLA is the "measurement" step).
+    """
+    if isinstance(spec_or_shape, PlanSpec):
+        spec = spec_or_shape
+    else:
+        shape = tuple(spec_or_shape)
+        kwargs.setdefault("axes", tuple(range(len(shape))))
+        spec = PlanSpec(shape=shape, **kwargs)
+    plan = _PLAN_CACHE.get(spec)
+    if plan is None or plan._destroyed:
+        plan = Plan(spec)
+        _PLAN_CACHE[spec] = plan
+    return plan
+
+
+def execute_plan(plan: Plan, x):
+    """Reference-parity free function (``iface.execute_plan``, src/fft.rg:544)."""
+    return plan(x)
+
+
+def destroy_plan(plan: Plan):
+    """Evict from the wisdom cache and drop device tables.
+
+    Reference analog: ``iface.destroy_plan`` (``src/fft.rg:625``).  In JAX
+    device constants are GC'd with the executor; this makes reclamation
+    eager and marks the plan unusable to match FFTW semantics.
+    """
+    _PLAN_CACHE.pop(plan.spec, None)
+    plan._destroyed = True
+    plan._exec = None
+
+
+def clear_plan_cache():
+    """Drop all cached plans (fftw_forget_wisdom analog)."""
+    _PLAN_CACHE.clear()
+
+
+def cached_plans():
+    return list(_PLAN_CACHE.values())

@@ -1,0 +1,74 @@
+"""FLOP/byte accounting and roofline reporting.
+
+Analog of FFTW's ``api/flops.c`` plus the libbench2 mflops convention
+(``/root/reference/fftw-3.3.8/libbench2/mflops.c:22-27``): benchmarks report
+5 N log2 N / time (2.5 for real transforms) regardless of the true
+algorithmic flop count, so numbers are comparable across libraries.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class HardwareModel:
+    """Per-chip peak numbers used for roofline fractions."""
+
+    name: str
+    hbm_gbps: float          # HBM bandwidth, GB/s
+    f32_tflops: float        # MXU f32 (or fp32-accumulated) peak
+    bf16_tflops: float
+    vmem_mb: float = 16.0
+    ici_gbps: float = 0.0    # per-link ICI bandwidth
+
+# TPU v5e (v5 lite) public numbers: 819 GB/s HBM, 197 TFLOP/s bf16,
+# ~49 TFLOP/s f32-ish via 6-pass; ICI 4x 400 Gbps links.
+TPU_V5E = HardwareModel("tpu-v5e", hbm_gbps=819.0, f32_tflops=49.0,
+                        bf16_tflops=197.0, vmem_mb=128.0, ici_gbps=4 * 50.0)
+
+MODELS = {"tpu-v5e": TPU_V5E, "tpu v5 lite": TPU_V5E}
+
+
+def detect_hardware() -> HardwareModel:
+    try:
+        import jax
+        kind = jax.devices()[0].device_kind.lower()
+        for key, m in MODELS.items():
+            if key in kind or kind in key:
+                return m
+    except Exception:
+        pass
+    return TPU_V5E
+
+
+def mflops_convention(n: int, t_seconds: float, real: bool = False) -> float:
+    """libbench2 mflops.c: 5 N log2(N) / t / 1e6 (half for real)."""
+    if n <= 1 or t_seconds <= 0:
+        return 0.0
+    f = 5.0 * n * math.log2(n)
+    if real:
+        f *= 0.5
+    return f / t_seconds / 1e6
+
+
+def gflops_convention(n: int, t_seconds: float, real: bool = False) -> float:
+    return mflops_convention(n, t_seconds, real) / 1e3
+
+
+def roofline_time_s(bytes_moved: int, flops: float, hw: HardwareModel,
+                    f32: bool = True) -> float:
+    """Lower-bound wall time: max(bandwidth limit, compute limit)."""
+    t_bw = bytes_moved / (hw.hbm_gbps * 1e9)
+    peak = (hw.f32_tflops if f32 else hw.bf16_tflops) * 1e12
+    t_fl = flops / peak
+    return max(t_bw, t_fl)
+
+
+def roofline_fraction(bytes_moved: int, flops: float, t_seconds: float,
+                      hw: HardwareModel | None = None, f32: bool = True) -> float:
+    """Achieved fraction of the roofline bound (1.0 == speed of light)."""
+    hw = hw or detect_hardware()
+    if t_seconds <= 0:
+        return 0.0
+    return roofline_time_s(bytes_moved, flops, hw, f32) / t_seconds

@@ -1,0 +1,88 @@
+"""Wisdom: serializable planner knowledge.
+
+Analog of FFTW's wisdom import/export (``/root/reference/fftw-3.3.8/api/
+export-wisdom*.c``, ``import-wisdom*.c``, consulted in ``api/apiplan.c:
+58-60``) — unused by the reference because it plans with FFTW_ESTIMATE only
+(``src/fft.rg:313,319``), but first-class here.
+
+On TPU "wisdom" is (a) the problem specs worth pre-planning (so a service
+can warm its plan cache + XLA compilation cache at startup) and (b) tuned
+parameters per problem (factorization override, Pallas block sizes).  The
+XLA persistent compilation cache handles compiled-binary reuse; this file
+handles the planner-level knowledge.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+from ..dtypes import Direction, Kind, Norm
+from ..plan import PlanSpec, make_plan, _PLAN_CACHE
+
+WISDOM_VERSION = 1
+
+
+def _spec_to_dict(spec: PlanSpec) -> dict:
+    d = dataclasses.asdict(spec)
+    d["kind"] = spec.kind.value
+    d["direction"] = int(spec.direction)
+    d["norm"] = spec.norm.value
+    return d
+
+
+def _spec_from_dict(d: dict) -> PlanSpec:
+    d = dict(d)
+    d["kind"] = Kind(d["kind"])
+    d["direction"] = Direction(d["direction"])
+    d["norm"] = Norm(d["norm"])
+    d["shape"] = tuple(d["shape"])
+    d["axes"] = tuple(d["axes"])
+    return PlanSpec(**d)
+
+
+def export_wisdom_to_string() -> str:
+    """Serialize every cached plan's spec (fftw_export_wisdom_to_string)."""
+    specs = [_spec_to_dict(s) for s in _PLAN_CACHE]
+    return json.dumps({"version": WISDOM_VERSION, "library": "regent_fft_tpu",
+                       "plans": specs}, indent=2)
+
+
+def export_wisdom_to_filename(path: str) -> None:
+    with open(path, "w") as f:
+        f.write(export_wisdom_to_string())
+
+
+def import_wisdom_from_string(s: str, build: bool = True) -> int:
+    """Re-plan every recorded problem; returns the number imported.
+
+    With ``build=True`` plans are constructed eagerly (twiddle tables on
+    device); execution still compiles lazily on first call — pair with
+    XLA's persistent compilation cache for full warm starts.
+    """
+    data = json.loads(s)
+    if data.get("version") != WISDOM_VERSION:
+        raise ValueError(f"unsupported wisdom version: {data.get('version')}")
+    n = 0
+    for d in data.get("plans", []):
+        spec = _spec_from_dict(d)
+        if build:
+            make_plan(spec)
+        n += 1
+    return n
+
+
+def import_wisdom_from_filename(path: str, build: bool = True) -> int:
+    with open(path) as f:
+        return import_wisdom_from_string(f.read(), build=build)
+
+
+def forget_wisdom() -> None:
+    """fftw_forget_wisdom analog."""
+    _PLAN_CACHE.clear()
+
+
+def default_wisdom_path() -> str:
+    return os.environ.get("REGENT_FFT_WISDOM",
+                          os.path.expanduser("~/.regent_fft_tpu.wisdom.json"))

@@ -1,0 +1,19 @@
+"""Test configuration: CPU backend with 8 virtual devices.
+
+The reference cannot test its distributed mode at all (CI is single-node,
+GASNet off — /root/reference/test.sh:38, SURVEY.md section 4).  We test
+multi-chip sharding on a virtual 8-device CPU mesh, per the build plan.
+
+NOTE: this environment pins JAX_PLATFORMS=axon via sitecustomize, so the
+env var alone is not enough — jax.config.update must run before first use.
+"""
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,99 @@
+"""Distributed transforms on a virtual 8-device CPU mesh.
+
+Exercises what the reference never could (its distributed test is disabled
+and CI is single-node, SURVEY.md section 4): per-shard parity mode, slab and
+pencil global FFTs, transposed-output layouts, and inverse roundtrips.
+"""
+import numpy as np
+import pytest
+import jax
+
+import regent_fft_tpu as rft
+from regent_fft_tpu.dtypes import Direction, Norm
+from regent_fft_tpu.parallel import distributed as dist
+from regent_fft_tpu.parallel.mesh import make_fft_mesh, make_pencil_mesh
+from regent_fft_tpu.utils.verify import rel_l2, tolerance
+
+RNG = np.random.default_rng(3)
+
+
+def crand(shape):
+    return (RNG.standard_normal(shape) + 1j * RNG.standard_normal(shape)).astype(np.complex64)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _need_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+
+def test_shards_reference_parity():
+    # Independent per-shard FFTs (src/fft.rg:513-537 semantics).
+    x = crand((8, 4, 16))
+    p = dist.make_plan_shards((8, 4, 16), direction=Direction.FORWARD)
+    y = p(x)
+    ref = np.fft.fftn(x, axes=(1, 2))  # each slab transformed independently
+    assert rel_l2(y, ref) < tolerance(64)
+
+
+def test_slab_2d():
+    x = crand((16, 24))
+    p = dist.make_plan_slab((16, 24))
+    assert rel_l2(p(x), np.fft.fftn(x)) < tolerance(x.size)
+
+
+def test_slab_3d_and_inverse():
+    x = crand((16, 8, 16))
+    p = dist.make_plan_slab((16, 8, 16))
+    y = p(x)
+    assert rel_l2(y, np.fft.fftn(x)) < tolerance(x.size)
+    pinv = dist.make_plan_slab((16, 8, 16), direction=Direction.BACKWARD,
+                               norm=Norm.BACKWARD)
+    back = pinv(y)
+    assert rel_l2(back, x) < tolerance(x.size)
+
+
+def test_slab_transposed_out():
+    # FFTW_MPI_TRANSPOSED_OUT analog: values identical, layout X-sharded.
+    x = crand((8, 8, 8))
+    p = dist.make_plan_transposed = dist.make_plan_slab((8, 8, 8), transposed_out=True)
+    y = p(x)
+    assert rel_l2(y, np.fft.fftn(x)) < tolerance(x.size)
+    assert p.out_sharding.spec[-1] == "fft"
+
+
+def test_pencil_3d():
+    mesh = make_pencil_mesh((2, 4))
+    x = crand((8, 8, 16))
+    p = dist.make_plan_pencil((8, 8, 16), mesh=mesh)
+    assert rel_l2(p(x), np.fft.fftn(x)) < tolerance(x.size)
+
+
+def test_pencil_transposed_out():
+    mesh = make_pencil_mesh((2, 4))
+    x = crand((4, 8, 8))
+    p = dist.make_plan_pencil((4, 8, 8), mesh=mesh, transposed_out=True)
+    assert rel_l2(p(x), np.fft.fftn(x)) < tolerance(x.size)
+
+
+def test_pencil_inverse_roundtrip():
+    mesh = make_pencil_mesh((2, 4))
+    x = crand((8, 8, 8))
+    fwd = dist.make_plan_pencil((8, 8, 8), mesh=mesh)
+    inv = dist.make_plan_pencil((8, 8, 8), mesh=mesh, direction=Direction.BACKWARD)
+    assert rel_l2(inv(fwd(x)), x) < tolerance(x.size)
+
+
+def test_slab_divisibility_error():
+    with pytest.raises(ValueError):
+        dist.make_plan_slab((9, 8, 8))  # 9 % 8 != 0, like src/fft.rg:519 assert
+
+
+def test_interface_make_plan_distrib():
+    iface = rft.generate_fft_interface(2, np.complex64, np.complex64)
+    p = iface.make_plan_distrib((8, 4, 16))
+    x = crand((8, 4, 16))
+    assert rel_l2(p(x), np.fft.fftn(x, axes=(1, 2))) < tolerance(64)
+    dist.destroy_plan_distrib(p)
+    with pytest.raises(RuntimeError):
+        p(x)

@@ -1,0 +1,181 @@
+"""Plan lifecycle + numpy-style API tests.
+
+Covers the reference capability checklist (SURVEY.md section 7): plan
+lifecycle, 1/2/3-D, C2C + R2C (+C2R), both precisions, batching, new-array
+execute, inverse transforms, norms, wisdom cache.
+"""
+import numpy as np
+import pytest
+
+import regent_fft_tpu as rft
+from regent_fft_tpu.utils.verify import rel_l2, to_numpy_complex, tolerance
+
+RNG = np.random.default_rng(7)
+
+
+def crand(shape):
+    return (RNG.standard_normal(shape) + 1j * RNG.standard_normal(shape)).astype(np.complex64)
+
+
+# ---------------- numpy-style one-shots ----------------
+def test_fft_matches_numpy():
+    x = crand((4, 256))
+    assert rel_l2(rft.fft(x), np.fft.fft(x)) < tolerance(256)
+
+
+def test_ifft_roundtrip():
+    x = crand((4, 250))
+    assert rel_l2(rft.ifft(rft.fft(x)), x) < tolerance(250)
+
+
+def test_fft_norms():
+    x = crand((128,))
+    for norm in [None, "ortho", "forward"]:
+        assert rel_l2(rft.fft(x, norm=norm), np.fft.fft(x, norm=norm or "backward")) < tolerance(128)
+        assert rel_l2(rft.ifft(x, norm=norm), np.fft.ifft(x, norm=norm or "backward")) < tolerance(128)
+
+
+def test_fft_axis_and_padding():
+    x = crand((8, 40))
+    assert rel_l2(rft.fft(x, axis=0), np.fft.fft(x, axis=0)) < tolerance(8)
+    assert rel_l2(rft.fft(x, n=64), np.fft.fft(x, n=64)) < tolerance(64)
+    assert rel_l2(rft.fft(x, n=17), np.fft.fft(x, n=17)) < tolerance(17)
+
+
+def test_fft2_fftn():
+    x = crand((12, 16, 20))
+    assert rel_l2(rft.fft2(x), np.fft.fft2(x)) < tolerance(16 * 20)
+    assert rel_l2(rft.fftn(x), np.fft.fftn(x)) < tolerance(x.size)
+    assert rel_l2(rft.ifftn(x), np.fft.ifftn(x)) < tolerance(x.size)
+    assert rel_l2(rft.fftn(x, axes=(0, 2)), np.fft.fftn(x, axes=(0, 2))) < tolerance(240)
+
+
+def test_rfft_matches_numpy():
+    for n in [16, 17, 256, 120]:
+        x = RNG.standard_normal((3, n)).astype(np.float32)
+        assert rel_l2(rft.rfft(x), np.fft.rfft(x)) < tolerance(n), n
+
+
+def test_irfft_matches_numpy():
+    for n in [16, 18, 256, 120]:
+        x = RNG.standard_normal((3, n)).astype(np.float32)
+        spec = np.fft.rfft(x).astype(np.complex64)
+        got = np.asarray(rft.irfft(spec, n=n))
+        assert np.linalg.norm(got - x) / np.linalg.norm(x) < tolerance(n), n
+
+
+def test_irfft_default_length():
+    x = RNG.standard_normal(64).astype(np.float32)
+    spec = np.fft.rfft(x).astype(np.complex64)
+    got = np.asarray(rft.irfft(spec))
+    assert got.shape == (64,)
+    assert np.linalg.norm(got - x) / np.linalg.norm(x) < tolerance(64)
+
+
+def test_rfftn_irfftn():
+    x = RNG.standard_normal((8, 12, 16)).astype(np.float32)
+    assert rel_l2(rft.rfftn(x), np.fft.rfftn(x)) < tolerance(x.size)
+    back = np.asarray(rft.irfftn(rft.rfftn(x)))
+    assert np.linalg.norm(back - x) / np.linalg.norm(x) < tolerance(x.size)
+
+
+def test_fftshift_helpers():
+    x = crand((9,))
+    np.testing.assert_allclose(np.asarray(rft.fftfreq(8)), np.fft.fftfreq(8).astype(np.float32))
+    got = to_numpy_complex(rft.fftshift(x))
+    np.testing.assert_allclose(got, np.fft.fftshift(x), rtol=1e-6)
+
+
+# ---------------- plan lifecycle ----------------
+def test_plan_new_array_execute():
+    # FFTW new-array execute semantics (src/fft.rg:605-608): one plan, many arrays.
+    p = rft.make_plan((4, 128), axes=(1,), kind=rft.Kind.C2C,
+                      direction=rft.FORWARD)
+    for _ in range(3):
+        x = crand((4, 128))
+        assert rel_l2(p(x), np.fft.fft(x)) < tolerance(128)
+
+
+def test_plan_cache_wisdom():
+    rft.clear_plan_cache()
+    p1 = rft.make_plan((64,), axes=(0,), kind=rft.Kind.C2C, direction=rft.FORWARD)
+    p2 = rft.make_plan((64,), axes=(0,), kind=rft.Kind.C2C, direction=rft.FORWARD)
+    assert p1 is p2
+    assert len(rft.cached_plans()) == 1
+
+
+def test_destroy_plan():
+    p = rft.make_plan((32,), axes=(0,), kind=rft.Kind.C2C, direction=rft.FORWARD)
+    rft.destroy_plan(p)
+    with pytest.raises(RuntimeError):
+        p(crand((32,)))
+    # re-planning after destroy works (fresh plan)
+    p2 = rft.make_plan((32,), axes=(0,), kind=rft.Kind.C2C, direction=rft.FORWARD)
+    assert p2 is not p
+
+
+def test_plan_inverse():
+    p = rft.make_plan((64,), axes=(0,), kind=rft.Kind.C2C, direction=rft.FORWARD)
+    x = crand((64,))
+    assert rel_l2(p.inverse()(p(x)), x) < tolerance(64)
+
+
+def test_plan_shape_validation():
+    p = rft.make_plan((4, 64), axes=(1,), kind=rft.Kind.C2C, direction=rft.FORWARD)
+    with pytest.raises(ValueError):
+        p(crand((4, 32)))
+
+
+def test_plan_accounting_and_print(capsys):
+    p = rft.make_plan((8, 1024), axes=(1,), kind=rft.Kind.C2C, direction=rft.FORWARD)
+    assert p.flops == pytest.approx(8 * 5 * 1024 * 10)
+    assert p.algorithm_flops > 0
+    assert p.bytes_ideal == 2 * 8 * 1024 * 8
+    p.print_plan()
+    out = capsys.readouterr().out
+    assert "radix" in out or "direct" in out
+
+
+def test_wisdom_roundtrip(tmp_path):
+    rft.clear_plan_cache()
+    rft.make_plan((4, 96), axes=(1,), kind=rft.Kind.C2C, direction=rft.FORWARD)
+    path = tmp_path / "wisdom.json"
+    rft.export_wisdom_to_filename(str(path))
+    rft.forget_wisdom()
+    assert len(rft.cached_plans()) == 0
+    n = rft.import_wisdom_from_filename(str(path))
+    assert n == 1
+    assert len(rft.cached_plans()) == 1
+
+
+# ---------------- reference-parity interface ----------------
+def test_generate_fft_interface_c2c():
+    # Mirrors src/fft.rg:31 generate_fft_interface + test1d (fft_test.rg:242)
+    iface = rft.generate_fft_interface(1, np.complex64, np.complex64)
+    p = iface.make_plan((128,))
+    x = crand((128,))
+    y = iface.execute_plan(p, x)
+    assert rel_l2(y, np.fft.fft(x)) < tolerance(128)
+    iface.destroy_plan(p)
+
+
+def test_generate_fft_interface_r2c():
+    # real_flag dispatch analog (src/fft.rg:36-39)
+    iface = rft.generate_fft_interface(1, np.float32, np.complex64)
+    assert iface.kind == rft.Kind.R2C
+    p = iface.make_plan((64,))
+    x = RNG.standard_normal(64).astype(np.float32)
+    assert rel_l2(p(x), np.fft.rfft(x)) < tolerance(64)
+
+
+def test_interface_batch_plan():
+    # make_plan_batch: last axis is batch (src/fft.rg:416-504), rank-generic here
+    iface = rft.generate_fft_interface(3, np.complex64, np.complex64)
+    p = iface.make_plan_batch((8, 12, 5))
+    x = crand((8, 12, 5))
+    assert rel_l2(p(x), np.fft.fftn(x, axes=(0, 1))) < tolerance(96)
+
+
+def test_interface_rejects_bad_rank():
+    with pytest.raises(ValueError):
+        rft.generate_fft_interface(4, np.complex64, np.complex64)
