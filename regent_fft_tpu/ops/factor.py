@@ -128,16 +128,107 @@ def fft_flops_convention(n: int, real: bool = False) -> float:
     return base / 2 if real else base
 
 
-def plan_factors(n: int, max_radix: int = DEFAULT_MAX_RADIX):
+MIN_PALLAS_RADIX = 16
+
+
+@functools.lru_cache(maxsize=4096)
+def pallas_schedule(n: int, max_radix: int = DEFAULT_MAX_RADIX,
+                    min_radix: int = MIN_PALLAS_RADIX):
+    """Factorization with every factor in [min_radix, max_radix].
+
+    The fused Pallas kernel's inter-stage digit-reversal transposes are
+    only efficient (and supported by Mosaic on all backends) when both
+    swapped dims are >= ~16, so its schedule excludes tiny radices.  A
+    single-stage direct DFT (n <= max_radix) has no transpose and is
+    always allowed.  Returns None when no such factorization exists —
+    the caller falls back to the XLA matmul path.
+
+    Search: fewest stages, then smallest sum of radices (fewest MXU flops).
+    """
+    if n < 2:
+        return None
+    if n <= max_radix:
+        return (n,)
+
+    best = None
+
+    def rec(m, partial):
+        nonlocal best
+        if best is not None and len(partial) >= len(best):
+            return
+        for f in range(min(max_radix, m), min_radix - 1, -1):
+            if m % f:
+                continue
+            rest = m // f
+            if rest == 1:
+                cand = tuple(sorted(partial + [f], reverse=True))
+                if (best is None or len(cand) < len(best)
+                        or (len(cand) == len(best) and sum(cand) < sum(best))):
+                    best = cand
+            elif rest >= min_radix:
+                rec(rest, partial + [f])
+
+    rec(n, [])
+    return best
+
+
+# Wisdom-installed schedule overrides: (n, max_radix) -> factors.
+# Populated by the measure-mode autotuner and wisdom import.
+_SCHEDULE_OVERRIDES: dict = {}
+
+
+def set_schedule_override(n: int, factors, max_radix: int = DEFAULT_MAX_RADIX):
+    """Pin the radix schedule for a size (autotune / wisdom hook)."""
+    factors = tuple(int(f) for f in factors)
+    prod = 1
+    for f in factors:
+        prod *= f
+        if f > max_radix:
+            raise ValueError(f"factor {f} > max_radix {max_radix}")
+    if prod != n:
+        raise ValueError(f"product of {factors} != {n}")
+    _SCHEDULE_OVERRIDES[(n, max_radix)] = factors
+
+
+def schedule(n: int, max_radix: int = DEFAULT_MAX_RADIX,
+             mode: str = "estimate"):
+    """Radix schedule for a smooth size (None if not smooth).
+
+    Modes (FFTW planning-rigor analog — the reference only ever uses
+    FFTW_ESTIMATE, ``src/fft.rg:313,319``):
+      * estimate — greedy largest-radix-first grouping (no search)
+      * model    — native C++ DP over the MXU cost model
+        (``native/planner.cc``), Python-greedy fallback if unbuilt
+    Wisdom overrides installed via :func:`set_schedule_override` win in
+    every mode (that is how measure-mode results are applied).
+    """
+    ov = _SCHEDULE_OVERRIDES.get((n, max_radix))
+    if ov is not None:
+        return ov
+    if mode == "model":
+        try:
+            from ..native import planner as _native
+            s = _native.best_schedule(n, max_radix)
+            if s:
+                return tuple(sorted(s, reverse=True))
+        except Exception:
+            pass
+    return factorize(n, max_radix)
+
+
+def plan_factors(n: int, max_radix: int = DEFAULT_MAX_RADIX,
+                 mode: str = "estimate"):
     """Top-level factorization decision: ('direct'|'mixed'|'bluestein', info).
 
     * ('direct', n)        — one DFT-matrix matmul (n <= max_radix)
     * ('mixed', factors)   — mixed-radix matmul stages
     * ('bluestein', m)     — chirp-z with inner smooth size m >= 2n-1
     """
-    if n <= max_radix:
+    if n <= max_radix and (n, max_radix) not in _SCHEDULE_OVERRIDES:
         return ("direct", n)
-    factors = factorize(n, max_radix)
+    factors = schedule(n, max_radix, mode)
     if factors is not None:
+        if len(factors) == 1:
+            return ("direct", n)
         return ("mixed", factors)
     return ("bluestein", next_fast_len(2 * n - 1, max_radix))

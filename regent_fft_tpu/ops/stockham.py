@@ -122,14 +122,16 @@ def mixed_radix_fft(xr, xi, n: int, factors, sign: int, precision, use_3m=False)
 
 
 def build_c2c_1d(n: int, direction: Direction, max_radix: int = _factor.DEFAULT_MAX_RADIX,
-                 precision=jax.lax.Precision.HIGHEST, use_3m: bool = False):
+                 precision=jax.lax.Precision.HIGHEST, use_3m: bool = False,
+                 planner: str = "estimate"):
     """Build fn((B, n) re, im) -> (re, im) computing an unscaled DFT.
 
     Dispatches direct / mixed-radix / Bluestein, the static analog of
-    FFTW's planner choosing among solvers (``fftw-3.3.8/kernel/planner.c``).
+    FFTW's planner choosing among solvers (``fftw-3.3.8/kernel/planner.c``);
+    ``planner`` selects the schedule search rigor (see factor.schedule).
     """
     sign = int(direction)
-    kind, info = _factor.plan_factors(n, max_radix)
+    kind, info = _factor.plan_factors(n, max_radix, planner)
     if kind == "direct":
         def fn(xr, xi):
             return direct_dft(xr, xi, n, sign, precision, use_3m)

@@ -58,6 +58,7 @@ class PlanSpec:
     max_radix: int = _factor.DEFAULT_MAX_RADIX
     backend: str = "auto"             # auto|xla|pallas
     donate: bool = False              # donate input buffer to the executor
+    planner: str = "estimate"         # estimate|model|measure (FFTW rigor analog)
 
     def __post_init__(self):
         shape = tuple(int(s) for s in self.shape)
@@ -129,10 +130,12 @@ def _build_core(spec: PlanSpec):
     def build_1d(n, direction):
         if backend == "pallas":
             from .ops import pallas_fft as _pf
-            fn = _pf.build_c2c_1d_pallas(n, direction, mr, precision, u3)
+            fn = _pf.build_c2c_1d_pallas(n, direction, mr, precision, u3,
+                                         planner=spec.planner)
             if fn is not None:
                 return fn
-        return _stockham.build_c2c_1d(n, direction, mr, precision, u3)
+        return _stockham.build_c2c_1d(n, direction, mr, precision, u3,
+                                      planner=spec.planner)
 
     if spec.kind == Kind.C2C:
         # Transform the last-listed axis first when it is the final

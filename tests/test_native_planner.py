@@ -1,0 +1,62 @@
+"""Native C++ planner: build, parity with Python fallback, DP sanity."""
+import numpy as np
+import pytest
+
+from regent_fft_tpu.native import planner
+from regent_fft_tpu.ops import factor
+
+
+requires_native = pytest.mark.skipif(not planner.available(),
+                                     reason="native planner not built")
+
+
+@requires_native
+@pytest.mark.parametrize("n", [2, 8, 97, 120, 128, 1000, 1024, 4096, 360, 131, 2310])
+def test_factorize_parity(n):
+    assert planner.factorize(n) == factor.factorize(n)
+
+
+@requires_native
+@pytest.mark.parametrize("n", [256, 1024, 4096, 360, 1000, 65536])
+def test_best_schedule_valid(n):
+    s = planner.best_schedule(n)
+    assert s is not None
+    assert int(np.prod(s)) == n
+    assert all(r <= 128 for r in s)
+
+
+@requires_native
+def test_best_schedule_rejects_nonsmooth():
+    assert planner.best_schedule(131) is None
+    assert planner.best_schedule(2 * 131) is None
+
+
+@requires_native
+@pytest.mark.parametrize("n", [1, 2, 7, 100, 1023, 2047, 4097, 123457])
+def test_next_fast_len_parity(n):
+    assert planner.next_fast_len(n) == factor.next_fast_len(n)
+
+
+def test_schedule_modes_and_override():
+    # estimate = greedy; model prefers MXU-efficient stages; override wins.
+    assert factor.schedule(1024, mode="estimate") == factor.factorize(1024)
+    s = factor.schedule(1024, mode="model")
+    assert int(np.prod(s)) == 1024
+    factor.set_schedule_override(1024, (32, 32))
+    try:
+        assert factor.schedule(1024, mode="estimate") == (32, 32)
+        assert factor.plan_factors(1024)[1] == (32, 32)
+    finally:
+        factor._SCHEDULE_OVERRIDES.clear()
+    with pytest.raises(ValueError):
+        factor.set_schedule_override(1024, (32, 16))
+
+
+def test_pallas_schedule():
+    assert factor.pallas_schedule(1024) == (32, 32)
+    assert factor.pallas_schedule(256) == (16, 16)
+    assert factor.pallas_schedule(64) == (64,)
+    assert factor.pallas_schedule(160) is None  # no all->=16 factorization
+    s = factor.pallas_schedule(65536)
+    assert s is not None and int(np.prod(s)) == 65536
+    assert all(16 <= f <= 128 for f in s)
