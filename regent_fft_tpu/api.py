@@ -174,12 +174,18 @@ def rfft2(x, s=None, axes=(-2, -1), norm=None, **opts):
 
 
 # Shift/frequency helpers (numpy parity; trivial but part of "everything a
-# user needs to switch").
+# user needs to switch").  SplitComplex shifts plane-wise.
 def fftshift(x, axes=None):
+    if isinstance(x, SplitComplex):
+        return SplitComplex(jnp.fft.fftshift(x.re, axes=axes),
+                            jnp.fft.fftshift(x.im, axes=axes))
     return jnp.fft.fftshift(jnp.asarray(x), axes=axes)
 
 
 def ifftshift(x, axes=None):
+    if isinstance(x, SplitComplex):
+        return SplitComplex(jnp.fft.ifftshift(x.re, axes=axes),
+                            jnp.fft.ifftshift(x.im, axes=axes))
     return jnp.fft.ifftshift(jnp.asarray(x), axes=axes)
 
 

@@ -46,6 +46,39 @@ from . import twiddle as _twiddle
 VMEM_BUDGET = 6 * 1024 * 1024
 _WS_FACTOR = 6 * 4  # re+im x (in, temp, out) x 4 bytes
 
+# Mosaic (this backend) crashes compiling compute kernels whose HBM operand
+# planes exceed ~32 MiB; batches beyond this are chunked through lax.map so
+# each pallas_call stays small (one compile, sequential chunk execution).
+MAX_CALL_ELEMS = 4 * 1024 * 1024  # f32 elements per plane per pallas_call
+
+
+def _chunk_size(b: int, tb: int, per_elems: int) -> int:
+    """Largest multiple of tb dividing b with chunk*per_elems <= cap."""
+    m = b // tb
+    target = max(1, MAX_CALL_ELEMS // (per_elems * tb))
+    d = min(m, target)
+    while m % d:
+        d -= 1
+    return d * tb
+
+
+def _chunked_call(run3, xr, xi, tb: int):
+    """Apply run3 over batch chunks so each pallas_call stays small.
+
+    One trace/compile (lax.map reuses the body), sequential execution per
+    chunk — the pipeline inside each call keeps the chip busy.
+    """
+    b = xr.shape[0]
+    per = int(np.prod(xr.shape[1:]))
+    if b * per <= MAX_CALL_ELEMS:
+        return run3(xr, xi)
+    chunk = _chunk_size(b, tb, per)
+    nc = b // chunk
+    xr4 = xr.reshape((nc, chunk) + xr.shape[1:])
+    xi4 = xi.reshape((nc, chunk) + xi.shape[1:])
+    yr4, yi4 = jax.lax.map(lambda ab: run3(ab[0], ab[1]), (xr4, xi4))
+    return (yr4.reshape((b,) + yr4.shape[2:]), yi4.reshape((b,) + yi4.shape[2:]))
+
 
 def _middot(v, m, precision):
     """Contract axis 1 of (b, n, t) with (n, k) -> (b, t, k)."""
@@ -78,13 +111,18 @@ def two_stage_split(n: int) -> Optional[Tuple[int, int]]:
 
 
 def pick_tile_batch(n: int, batch: int) -> int:
-    """Largest power-of-two batch tile whose working set fits VMEM."""
+    """Largest power-of-two batch tile whose working set fits VMEM.
+
+    Callers pad the batch up to a tile multiple, so tb need not divide it.
+    """
     tb = max(1, VMEM_BUDGET // max(1, n * _WS_FACTOR))
     tb = 1 << (tb.bit_length() - 1)
-    tb = min(tb, 512)
-    while batch % tb:
-        tb //= 2
-    return max(tb, 1)
+    if batch > 0:
+        ceil_pow2 = 1 << max(0, (batch - 1)).bit_length()
+        tb = min(tb, ceil_pow2)
+    # Mosaic (this backend) crashes on compute kernels with batch tiles
+    # beyond 64 rows; 64 x 128 lanes also saturates the VPU/MXU pipe.
+    return max(min(tb, 64), 1)
 
 
 @functools.lru_cache(maxsize=256)
@@ -206,7 +244,8 @@ def build_c2c_1d_pallas(n: int, direction: Direction, max_radix: int,
             if pad:
                 xr = jnp.pad(xr, ((0, pad), (0, 0)))
                 xi = jnp.pad(xi, ((0, pad), (0, 0)))
-            yr, yi = _runner_1stage(n, sign, tb, prec_name, interpret)(xr, xi)
+            run = _runner_1stage(n, sign, tb, prec_name, interpret)
+            yr, yi = _chunked_call(run, xr, xi, tb)
             return yr[:b], yi[:b]
         return fn
 
@@ -221,6 +260,7 @@ def build_c2c_1d_pallas(n: int, direction: Direction, max_radix: int,
             xi = jnp.pad(xi, ((0, pad), (0, 0)))
         bp = xr.shape[0]
         run = _runner_2stage(n1, n2, sign, tb, prec_name, interpret)
-        yr, yi = run(xr.reshape(bp, n1, n2), xi.reshape(bp, n1, n2))
+        yr, yi = _chunked_call(run, xr.reshape(bp, n1, n2),
+                               xi.reshape(bp, n1, n2), tb)
         return yr.reshape(bp, n)[:b], yi.reshape(bp, n)[:b]
     return fn

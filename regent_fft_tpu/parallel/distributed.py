@@ -205,6 +205,146 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     return DistributedFFTPlan(desc, mesh, in_spec, out_spec, fn, shape, dtype, flops)
 
 
+def make_plan_slab_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
+                       mesh: Optional[Mesh] = None, axis_name: str = "fft",
+                       transposed_out: bool = False, precision: str = "highest",
+                       use_3m: bool = False, max_radix: int = 128):
+    """Global real-input N-D FFT, slab-decomposed over the first axis.
+
+    Real packing happens on the LAST axis locally (conjugate-even, halving
+    traffic before the ICI transpose); the all_to_all then trades the slab
+    axis against AXIS 1 (not the halved axis, sidestepping the (n/2+1)
+    divisibility problem that classic slab r2c hits).  Requires rank >= 3
+    and P | shape[0], P | shape[1].  Output is the half-spectrum array,
+    distributed over axis 1 when ``transposed_out`` else over axis 0.
+    """
+    mesh = mesh or make_fft_mesh(axis_name=axis_name)
+    axis_name = mesh.axis_names[0]
+    p = int(mesh.shape[axis_name])
+    shape = tuple(shape)
+    nd_ = len(shape)
+    if nd_ < 3:
+        raise ValueError("slab r2c needs rank >= 3 (use single-chip rfftn below that)")
+    if shape[0] % p or shape[1] % p:
+        raise ValueError(f"axes 0 and 1 must be divisible by mesh size {p}: {shape}")
+    n_total = int(np.prod(shape))
+    scale = _norm_scale(n_total, Direction.FORWARD, norm)
+    prec = _PRECISIONS[precision]
+    rfn = _real.build_r2c_1d(shape[-1], max_radix, prec, use_3m)
+    mid_axes = list(range(1, nd_ - 1))
+    cfns = [(a, build_c2c_1d(shape[a], Direction.FORWARD, max_radix, prec, use_3m))
+            for a in sorted(mid_axes, reverse=True)]
+    fn0 = build_c2c_1d(shape[0], Direction.FORWARD, max_radix, prec, use_3m)
+
+    def local_fn(x):
+        xr, xi = _nd.apply_along_axis_real_in(rfn, nd_ - 1, x)   # halve X
+        xr, xi = _nd.c2c_nd(cfns, xr, xi)                        # mid axes
+        xr = lax.all_to_all(xr, axis_name, split_axis=1, concat_axis=0, tiled=True)
+        xi = lax.all_to_all(xi, axis_name, split_axis=1, concat_axis=0, tiled=True)
+        xr, xi = _nd.apply_along_axis(fn0, 0, xr, xi)            # slab axis
+        if not transposed_out:
+            xr = lax.all_to_all(xr, axis_name, split_axis=0, concat_axis=1, tiled=True)
+            xi = lax.all_to_all(xi, axis_name, split_axis=0, concat_axis=1, tiled=True)
+        return _apply_scale(xr, xi, scale)
+
+    in_spec = P(axis_name, *([None] * (nd_ - 1)))
+    out_spec = (P(None, axis_name, *([None] * (nd_ - 2)))
+                if transposed_out else in_spec)
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(in_spec,),
+                   out_specs=(out_spec, out_spec))
+    half = shape[:-1] + (shape[-1] // 2 + 1,)
+    desc = (f"(plan-distrib-slab-r2c real-shape={shape} half={half} P={p} "
+            f"r2c(X)+fft(mid) -> a2a(Y<->Z) -> fft(Z)"
+            f"{' [transposed output]' if transposed_out else ' -> a2a back'})")
+    flops = 2.5 * n_total * math.log2(max(n_total, 2))
+
+    class _R2CPlan(DistributedFFTPlan):
+        def __call__(self, x):
+            if self._destroyed:
+                raise RuntimeError("plan was destroyed")
+            x = jnp.asarray(x)
+            if x.shape != shape:
+                raise ValueError(f"input shape {x.shape} != planned {shape}")
+            x = jax.lax.with_sharding_constraint(
+                x.astype(jnp.float32), self.in_sharding)
+            yr, yi = self._fn(x)
+            return from_split(SplitComplex(yr, yi), jnp.complex64)
+        execute = __call__
+
+    return _R2CPlan(desc, mesh, in_spec, out_spec, fn, half, dtype, flops)
+
+
+def make_plan_slab_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
+                       mesh: Optional[Mesh] = None, axis_name: str = "fft",
+                       transposed_in: bool = False, precision: str = "highest",
+                       use_3m: bool = False, max_radix: int = 128):
+    """Inverse of :func:`make_plan_slab_r2c`: half-spectrum -> real field.
+
+    ``shape`` is the REAL output shape.  With ``transposed_in`` the input
+    is expected in the r2c plan's transposed-output layout (axis-1
+    distributed), skipping one all_to_all — pair
+    ``make_plan_slab_r2c(transposed_out=True)`` with
+    ``make_plan_slab_c2r(transposed_in=True)`` for a round trip with two
+    collectives total instead of four.
+    """
+    mesh = mesh or make_fft_mesh(axis_name=axis_name)
+    axis_name = mesh.axis_names[0]
+    p = int(mesh.shape[axis_name])
+    shape = tuple(shape)
+    nd_ = len(shape)
+    if nd_ < 3:
+        raise ValueError("slab c2r needs rank >= 3")
+    if shape[0] % p or shape[1] % p:
+        raise ValueError(f"axes 0 and 1 must be divisible by mesh size {p}: {shape}")
+    n_total = int(np.prod(shape))
+    scale = _norm_scale(n_total, Direction.BACKWARD, norm)
+    prec = _PRECISIONS[precision]
+    cfn = _real.build_c2r_1d(shape[-1], max_radix, prec, use_3m)
+    mid_axes = list(range(1, nd_ - 1))
+    cfns = [(a, build_c2c_1d(shape[a], Direction.BACKWARD, max_radix, prec, use_3m))
+            for a in sorted(mid_axes, reverse=True)]
+    fn0 = build_c2c_1d(shape[0], Direction.BACKWARD, max_radix, prec, use_3m)
+
+    def local_fn(xr, xi):
+        if not transposed_in:
+            # (Z/P, Y, Xh) -> gather Z, shard Y
+            xr = lax.all_to_all(xr, axis_name, split_axis=1, concat_axis=0, tiled=True)
+            xi = lax.all_to_all(xi, axis_name, split_axis=1, concat_axis=0, tiled=True)
+        xr, xi = _nd.apply_along_axis(fn0, 0, xr, xi)            # inverse Z
+        xr = lax.all_to_all(xr, axis_name, split_axis=0, concat_axis=1, tiled=True)
+        xi = lax.all_to_all(xi, axis_name, split_axis=0, concat_axis=1, tiled=True)
+        xr, xi = _nd.c2c_nd(cfns, xr, xi)                        # inverse mid
+        y = _nd.apply_along_axis_real_out(cfn, nd_ - 1, xr, xi)  # unpack X
+        if scale != 1.0:
+            y = y * jnp.asarray(scale, y.dtype)
+        return y
+
+    slab_spec = P(axis_name, *([None] * (nd_ - 1)))
+    in_spec = (P(None, axis_name, *([None] * (nd_ - 2)))
+               if transposed_in else slab_spec)
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(in_spec, in_spec),
+                   out_specs=slab_spec)
+    half = shape[:-1] + (shape[-1] // 2 + 1,)
+    desc = (f"(plan-distrib-slab-c2r real-shape={shape} P={p} "
+            f"{'[transposed input] ' if transposed_in else 'a2a -> '}"
+            f"ifft(Z) -> a2a -> ifft(mid) -> c2r(X))")
+    flops = 2.5 * n_total * math.log2(max(n_total, 2))
+
+    class _C2RPlan(DistributedFFTPlan):
+        def __call__(self, x):
+            if self._destroyed:
+                raise RuntimeError("plan was destroyed")
+            sx = as_split(x, jnp.float32)
+            if sx.re.shape != half:
+                raise ValueError(f"input shape {sx.re.shape} != planned half-spectrum {half}")
+            xr = jax.lax.with_sharding_constraint(sx.re, self.in_sharding)
+            xi = jax.lax.with_sharding_constraint(sx.im, self.in_sharding)
+            return self._fn(xr, xi)
+        execute = __call__
+
+    return _C2RPlan(desc, mesh, in_spec, slab_spec, fn, shape, dtype, flops)
+
+
 def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
                      dtype="complex64", mesh: Optional[Mesh] = None,
                      mesh_shape: Optional[Tuple[int, int]] = None,

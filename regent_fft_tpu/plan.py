@@ -207,6 +207,11 @@ class Plan:
     def __init__(self, spec: PlanSpec):
         self.spec = spec
         self._cdtype = _compute_dtype(spec)
+        if spec.planner == "measure":
+            # FFTW_MEASURE analog: time candidate schedules on the device
+            # and install the winners as wisdom before building the core.
+            from .utils import measure as _measure
+            self.measurements = _measure.measure_plan_sizes(spec)
         core = _build_core(spec)
         donate = (0,) if spec.donate else ()
         if spec.kind == Kind.R2C:
@@ -275,6 +280,44 @@ class Plan:
     def print_plan(self):
         """fftw_print_plan analog."""
         print(self.describe())
+
+    def benchmark(self, iters: int = 5, seed: int = 0) -> dict:
+        """Time this plan honestly (fresh input per dispatch, min-of-k) and
+        report GFLOP/s (5NlogN convention) + HBM-roofline fraction.
+
+        The observability counterpart of FFTW's flops/mflops reporting
+        (``fftw-3.3.8/api/flops.c``, ``libbench2/mflops.c``).
+        """
+        import time as _time
+        from .utils import flopcount as _fc
+        rng = np.random.default_rng(seed)
+        s = self.spec
+
+        def fresh():
+            if s.kind == Kind.R2C:
+                return rng.standard_normal(s.shape).astype(np.float32)
+            shape = s.shape if s.kind == Kind.C2C else _half_shape(s)
+            return (rng.standard_normal(shape)
+                    + 1j * rng.standard_normal(shape)).astype(np.complex64)
+
+        y = self(fresh())
+        jax.block_until_ready(jax.tree.leaves(y))
+        best = float("inf")
+        for _ in range(iters):
+            x = fresh()
+            jax.block_until_ready(jax.tree.leaves(jax.tree.map(jnp.asarray, x)))
+            t0 = _time.perf_counter()
+            y = self(x)
+            jax.block_until_ready(jax.tree.leaves(y))
+            best = min(best, _time.perf_counter() - t0)
+        hw = _fc.detect_hardware()
+        return {
+            "time_s": best,
+            "gflops_convention": self.flops / best / 1e9,
+            "roofline_fraction": _fc.roofline_fraction(
+                self.bytes_ideal, self.algorithm_flops, best, hw),
+            "hardware": hw.name,
+        }
 
     def __repr__(self):
         s = self.spec

@@ -43,10 +43,14 @@ def _spec_from_dict(d: dict) -> PlanSpec:
 
 
 def export_wisdom_to_string() -> str:
-    """Serialize every cached plan's spec (fftw_export_wisdom_to_string)."""
+    """Serialize cached plan specs + tuned schedule overrides
+    (fftw_export_wisdom_to_string analog)."""
+    from ..ops import factor as _factor
     specs = [_spec_to_dict(s) for s in _PLAN_CACHE]
+    overrides = [{"n": n, "max_radix": mr, "factors": list(f)}
+                 for (n, mr), f in _factor._SCHEDULE_OVERRIDES.items()]
     return json.dumps({"version": WISDOM_VERSION, "library": "regent_fft_tpu",
-                       "plans": specs}, indent=2)
+                       "plans": specs, "schedules": overrides}, indent=2)
 
 
 def export_wisdom_to_filename(path: str) -> None:
@@ -64,7 +68,12 @@ def import_wisdom_from_string(s: str, build: bool = True) -> int:
     data = json.loads(s)
     if data.get("version") != WISDOM_VERSION:
         raise ValueError(f"unsupported wisdom version: {data.get('version')}")
+    from ..ops import factor as _factor
     n = 0
+    for o in data.get("schedules", []):
+        _factor.set_schedule_override(o["n"], tuple(o["factors"]),
+                                      o.get("max_radix", 128))
+        n += 1
     for d in data.get("plans", []):
         spec = _spec_from_dict(d)
         if build:
@@ -79,8 +88,10 @@ def import_wisdom_from_filename(path: str, build: bool = True) -> int:
 
 
 def forget_wisdom() -> None:
-    """fftw_forget_wisdom analog."""
+    """fftw_forget_wisdom analog: drop plans AND tuned schedules."""
+    from ..ops import factor as _factor
     _PLAN_CACHE.clear()
+    _factor._SCHEDULE_OVERRIDES.clear()
 
 
 def default_wisdom_path() -> str:
