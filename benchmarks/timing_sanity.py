@@ -5,7 +5,12 @@ chain length, block_until_ready is not observing device completion and all
 sub-second timings from this harness are unreliable.  Run before trusting
 any benchmark numbers from a new attach.
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
