@@ -26,6 +26,7 @@ This mirrors ``fftw-3.3.8/dft/ct.c`` re-derived in matmul form.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -119,6 +120,107 @@ def mixed_radix_fft(xr, xi, n: int, factors, sign: int, precision, use_3m=False)
     cr = cr.reshape(b, n1, n2).transpose(0, 2, 1).reshape(b, n)
     ci = ci.reshape(b, n1, n2).transpose(0, 2, 1).reshape(b, n)
     return cr, ci
+
+
+_EINSUM_LETTERS = "abcdefghijklmnopqrstuvwxy"
+
+
+def direct_dft_axis(xr, xi, axis: int, n: int, sign: int, precision,
+                    use_3m: bool = False) -> Pair:
+    """Direct DFT along ``axis`` of an N-D array via ONE einsum contraction.
+
+    No moveaxis, no reshape, no twiddle: XLA fuses the layout permutation
+    into the dot, so an axis pass costs a single read+write of the array —
+    the minimum possible.  O(n^2) matmul flops are cheap on the MXU for
+    n up to ~512, where this beats the mixed-radix pipeline's extra
+    materializations (measured in docs/tpu_notes.md).
+    """
+    ndim = xr.ndim
+    axis = axis % ndim
+    dr, di = _twiddle.dft_matrix(n, sign)
+    dr = jnp.asarray(dr)
+    di = jnp.asarray(di)
+    ix = _EINSUM_LETTERS[:ndim]
+    out = ix[:axis] + "z" + ix[axis + 1:]
+    expr = f"{ix},{ix[axis]}z->{out}"
+
+    def _c(v, m):
+        return jnp.einsum(expr, v, m, preferred_element_type=jnp.float32,
+                          precision=precision)
+
+    if use_3m:
+        t1 = _c(xr, dr)
+        t2 = _c(xi, di)
+        t3 = _c(xr + xi, dr + di)
+        return t1 - t2, t3 - t1 - t2
+    return _c(xr, dr) - _c(xi, di), _c(xr, di) + _c(xi, dr)
+
+
+def mixed_radix_fft_axis(xr, xi, axis: int, n: int, n1: int, sign: int,
+                         precision, use_3m: bool = False) -> Pair:
+    """Two-stage Cooley-Tukey along ``axis`` of an N-D array, in place.
+
+    Splits the axis into (n1, n2) sub-axes by a free reshape, contracts
+    each sub-axis with its DFT matrix via einsum (XLA fuses the layout into
+    the dot — no moveaxis), multiplies the (n1, n2) twiddle broadcast in
+    between, and finishes with the single digit-reversal transpose of the
+    two sub-axes.  Three read+write passes per axis versus the flattened
+    pipeline's five-plus; n^2-direct's one pass but with O(n1+n2) flops
+    per element instead of O(n).
+    """
+    ndim = xr.ndim
+    axis = axis % ndim
+    n2 = n // n1
+    shape = xr.shape
+    split = shape[:axis] + (n1, n2) + shape[axis + 1:]
+    xr = xr.reshape(split)
+    xi = xi.reshape(split)
+    nd2 = ndim + 1
+
+    ix = _EINSUM_LETTERS[:nd2]
+    # stage 1: contract the n1 sub-axis (position `axis`)
+    e1 = f"{ix},{ix[axis]}z->{ix[:axis]}z{ix[axis + 1:]}"
+    # stage 2: contract the n2 sub-axis (position `axis+1`)
+    e2 = f"{ix},{ix[axis + 1]}z->{ix[:axis + 1]}z{ix[axis + 2:]}"
+
+    d1r, d1i = map(jnp.asarray, _twiddle.dft_matrix(n1, sign))
+    d2r, d2i = map(jnp.asarray, _twiddle.dft_matrix(n2, sign))
+    twr, twi = _twiddle.twiddle_outer(n1, n2, n, sign)      # (k1, nu2)
+    tshape = (1,) * axis + (n1, n2) + (1,) * (ndim - 1 - axis)
+    twr = jnp.asarray(twr).reshape(tshape)
+    twi = jnp.asarray(twi).reshape(tshape)
+
+    def _c(expr, v, m):
+        return jnp.einsum(expr, v, m, preferred_element_type=jnp.float32,
+                          precision=precision)
+
+    def _cplx(expr, vr, vi, mr, mi):
+        if use_3m:
+            t1 = _c(expr, vr, mr)
+            t2 = _c(expr, vi, mi)
+            t3 = _c(expr, vr + vi, mr + mi)
+            return t1 - t2, t3 - t1 - t2
+        return (_c(expr, vr, mr) - _c(expr, vi, mi),
+                _c(expr, vr, mi) + _c(expr, vi, mr))
+
+    ar, ai = _cplx(e1, xr, xi, d1r, d1i)                    # k1 in place
+    ar, ai = ar * twr - ai * twi, ar * twi + ai * twr       # W_n^{k1 nu2}
+    cr, ci = _cplx(e2, ar, ai, d2r, d2i)                    # k2 in place
+    # k = k1 + n1*k2: flatten [k2, k1] -> swap the sub-axes.
+    cr = cr.swapaxes(axis, axis + 1).reshape(shape)
+    ci = ci.swapaxes(axis, axis + 1).reshape(shape)
+    return cr, ci
+
+
+def best_two_factor(n: int, max_radix: int = _factor.DEFAULT_MAX_RADIX):
+    """Most balanced split n = n1*n2 with both <= max_radix (None if none)."""
+    best = None
+    f = int(math.isqrt(n))
+    while f >= 2:
+        if n % f == 0 and f <= max_radix and n // f <= max_radix:
+            return (max(f, n // f), min(f, n // f))
+        f -= 1
+    return best
 
 
 def build_c2c_1d(n: int, direction: Direction, max_radix: int = _factor.DEFAULT_MAX_RADIX,

@@ -86,6 +86,8 @@ class DistributedFFTPlan:
         self.flops = flops
         self._fn = jax.jit(fn)
         self._destroyed = False
+        from ..utils.plog import log_plan
+        log_plan(self)
 
     def __call__(self, x):
         if self._destroyed:

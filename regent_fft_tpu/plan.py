@@ -59,12 +59,21 @@ class PlanSpec:
     backend: str = "auto"             # auto|xla|pallas
     donate: bool = False              # donate input buffer to the executor
     planner: str = "estimate"         # estimate|model|measure (FFTW rigor analog)
+    # Largest axis length executed as a single fused einsum contraction on
+    # the XLA path (one read+write per axis — the bandwidth minimum; the
+    # O(n^2) MXU flops stay cheap up to ~512).
+    xla_direct_max: int = 512
 
     def __post_init__(self):
         shape = tuple(int(s) for s in self.shape)
         axes = tuple(a % len(shape) for a in self.axes)
         object.__setattr__(self, "shape", shape)
         object.__setattr__(self, "axes", axes)
+        if self.dtype == "complex32" and self.precision == "highest":
+            # Half-precision complex: bf16 planes make 6-pass matmuls
+            # pointless; default to the fast path with 3M products.
+            object.__setattr__(self, "precision", "default")
+            object.__setattr__(self, "use_3m", True)
         if len(set(axes)) != len(axes):
             raise ValueError(f"duplicate axes: {self.axes}")
         if not axes:
@@ -125,7 +134,10 @@ def _build_core(spec: PlanSpec):
     scale = _norm_scale(spec)
     backend = spec.backend
     if backend == "auto":
-        backend = "pallas" if _pallas_supported(spec) else "xla"
+        # The fused-einsum XLA path currently measures faster than the
+        # Pallas kernels on real hardware (docs/tpu_notes.md); explicit
+        # backend="pallas" or measure-mode wisdom can override.
+        backend = "xla"
 
     def build_1d(n, direction):
         if backend == "pallas":
@@ -137,14 +149,50 @@ def _build_core(spec: PlanSpec):
         return _stockham.build_c2c_1d(n, direction, mr, precision, u3,
                                       planner=spec.planner)
 
+    sign = int(spec.direction)
+
+    def axis_steps(axes_list, direction):
+        """Per-axis execution steps: fused direct einsum when the axis is
+        short enough (one read+write — bandwidth minimum), else the
+        general (mixed-radix / Bluestein / Pallas) 1-D pipeline."""
+        steps = []
+        for a in axes_list:
+            n = spec.shape[a]
+            if backend == "pallas":
+                steps.append(("general", a, build_1d(n, direction)))
+                continue
+            if 2 <= n <= spec.xla_direct_max:
+                steps.append(("direct", a, n))
+                continue
+            split = _stockham.best_two_factor(n, spec.max_radix)
+            if split is not None:
+                steps.append(("mixed2", a, (n, split[0])))
+            else:
+                steps.append(("general", a, build_1d(n, direction)))
+        return steps
+
+    def run_steps(steps, xr, xi, direction):
+        s = int(direction)
+        for kind_, a, arg in steps:
+            if kind_ == "direct":
+                xr, xi = _stockham.direct_dft_axis(
+                    xr, xi, a, arg, s, precision, u3)
+            elif kind_ == "mixed2":
+                n, n1 = arg
+                xr, xi = _stockham.mixed_radix_fft_axis(
+                    xr, xi, a, n, n1, s, precision, u3)
+            else:
+                xr, xi = _nd.apply_along_axis(arg, a, xr, xi)
+        return xr, xi
+
     if spec.kind == Kind.C2C:
         # Transform the last-listed axis first when it is the final
         # (lane-contiguous) axis — cheapest pass runs on the natural layout.
         axes = sorted(spec.axes, reverse=True)
-        fns = [(a, build_1d(spec.shape[a], spec.direction)) for a in axes]
+        steps = axis_steps(axes, spec.direction)
 
         def core(xr, xi):
-            yr, yi = _nd.c2c_nd(fns, xr, xi)
+            yr, yi = run_steps(steps, xr, xi, spec.direction)
             if scale != 1.0:
                 yr = yr * jnp.asarray(scale, yr.dtype)
                 yi = yi * jnp.asarray(scale, yi.dtype)
@@ -158,12 +206,11 @@ def _build_core(spec: PlanSpec):
         n_r = spec.shape[raxis]
         rfn = _real.build_r2c_1d(n_r, mr, precision, u3)
         other = [a for a in spec.axes if a != raxis]
-        cfns = [(a, build_1d(spec.shape[a], Direction.FORWARD))
-                for a in sorted(other, reverse=True)]
+        steps = axis_steps(sorted(other, reverse=True), Direction.FORWARD)
 
         def core(x):
             yr, yi = _nd.apply_along_axis_real_in(rfn, raxis, x)
-            yr, yi = _nd.c2c_nd(cfns, yr, yi)
+            yr, yi = run_steps(steps, yr, yi, Direction.FORWARD)
             if scale != 1.0:
                 yr = yr * jnp.asarray(scale, yr.dtype)
                 yi = yi * jnp.asarray(scale, yi.dtype)
@@ -176,11 +223,10 @@ def _build_core(spec: PlanSpec):
     n_r = spec.shape[raxis]
     cfn = _real.build_c2r_1d(n_r, mr, precision, u3)
     other = [a for a in spec.axes if a != raxis]
-    cfns = [(a, build_1d(spec.shape[a], Direction.BACKWARD))
-            for a in sorted(other, reverse=True)]
+    steps = axis_steps(sorted(other, reverse=True), Direction.BACKWARD)
 
     def core(xr, xi):
-        xr, xi = _nd.c2c_nd(cfns, xr, xi)
+        xr, xi = run_steps(steps, xr, xi, Direction.BACKWARD)
         y = _nd.apply_along_axis_real_out(cfn, raxis, xr, xi)
         if scale != 1.0:
             y = y * jnp.asarray(scale, y.dtype)
@@ -401,6 +447,8 @@ def make_plan(spec_or_shape, **kwargs) -> Plan:
     if plan is None or plan._destroyed:
         plan = Plan(spec)
         _PLAN_CACHE[spec] = plan
+        from .utils.plog import log_plan
+        log_plan(plan)
     return plan
 
 
