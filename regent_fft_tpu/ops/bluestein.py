@@ -54,13 +54,14 @@ def build_bluestein_1d(n: int, direction: Direction, m: int,
     from .stockham import build_c2c_1d  # circular at module load otherwise
 
     sign = int(direction)
-    cr_np, ci_np, hr_np, hi_np = _bluestein_tables(n, m, sign)
     # Inner transforms are always smooth-size mixed radix, never Bluestein.
     fwd = build_c2c_1d(m, Direction.FORWARD, max_radix, precision, use_3m)
     inv = build_c2c_1d(m, Direction.BACKWARD, max_radix, precision, use_3m)
-    inv_scale = np.float32(1.0 / m)
 
     def fn(xr, xi):
+        dt = np.float64 if xr.dtype == jnp.float64 else np.float32
+        cr_np, ci_np, hr_np, hi_np = _bluestein_tables(n, m, sign, dt)
+        inv_scale = dt(1.0 / m)
         b = xr.shape[0]
         cr = jnp.asarray(cr_np)[None]
         ci = jnp.asarray(ci_np)[None]

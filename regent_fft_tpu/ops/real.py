@@ -43,9 +43,10 @@ def build_r2c_1d(n: int, max_radix, precision, use_3m=False):
 
     m = n // 2
     cfft = build_c2c_1d(m, Direction.FORWARD, max_radix, precision, use_3m)
-    wr_np, wi_np = _twiddle.halfcomplex_untangle(n)  # w^k, k = 0..m
 
     def fn(x):
+        wr_np, wi_np = _twiddle.halfcomplex_untangle(
+            n, np.float64 if x.dtype == jnp.float64 else np.float32)
         b = x.shape[0]
         z = x.reshape(b, m, 2)
         zr_, zi_ = cfft(z[:, :, 0], z[:, :, 1])      # Z = FFT_m(even + i*odd)
@@ -90,9 +91,10 @@ def build_c2r_1d(n: int, max_radix, precision, use_3m=False):
 
     m = n // 2
     cinv = build_c2c_1d(m, Direction.BACKWARD, max_radix, precision, use_3m)
-    wr_np, wi_np = _twiddle.halfcomplex_untangle(n)  # w^k, conj gives w^{-k}
 
     def fn(xr, xi):
+        wr_np, wi_np = _twiddle.halfcomplex_untangle(
+            n, np.float64 if xr.dtype == jnp.float64 else np.float32)
         # Enforce Hermitian endpoint bins (real X[0], X[m]) like FFTW/numpy.
         xi = xi.at[:, 0].set(0.0).at[:, m].set(0.0)
         xkr, xki = xr[:, :m], xi[:, :m]                       # X[k], k=0..m-1

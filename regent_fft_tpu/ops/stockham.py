@@ -40,8 +40,17 @@ from . import twiddle as _twiddle
 Pair = Tuple[jax.Array, jax.Array]
 
 
+def _tab_dtype(v):
+    """Numpy table dtype matching the traced compute dtype (f32/f64)."""
+    return np.float64 if v.dtype == jnp.float64 else np.float32
+
+
+def _pref(v):
+    return v.dtype
+
+
 def _dot(a, b, precision):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=precision)
+    return jnp.dot(a, b, preferred_element_type=a.dtype, precision=precision)
 
 
 def cmul_mat(ar, ai, br, bi, precision, use_3m=False):
@@ -68,7 +77,7 @@ def cmul_elem(ar, ai, br, bi):
 
 def direct_dft(xr, xi, n: int, sign: int, precision, use_3m=False) -> Pair:
     """Direct DFT over the last axis via one dense-matrix matmul (n<=128)."""
-    dr, di = _twiddle.dft_matrix(n, sign)
+    dr, di = _twiddle.dft_matrix(n, sign, _tab_dtype(xr))
     return cmul_mat(xr, xi, jnp.asarray(dr), jnp.asarray(di), precision, use_3m)
 
 
@@ -89,13 +98,13 @@ def mixed_radix_fft(xr, xi, n: int, factors, sign: int, precision, use_3m=False)
 
     # Stage 1: DFT of size n1 along axis 1 (columns).  Contract with the
     # dense DFT matrix: A[b, k1, n2] = sum_n1 D[n1, k1] * x[b, n1, n2].
-    dr, di = _twiddle.dft_matrix(n1, sign)
+    dr, di = _twiddle.dft_matrix(n1, sign, _tab_dtype(xr))
     dr = jnp.asarray(dr)
     di = jnp.asarray(di)
 
     def _contract(v, m):
         return jnp.einsum("bnm,nk->bkm", v, m,
-                          preferred_element_type=jnp.float32,
+                          preferred_element_type=v.dtype,
                           precision=precision)
 
     if use_3m:
@@ -108,7 +117,7 @@ def mixed_radix_fft(xr, xi, n: int, factors, sign: int, precision, use_3m=False)
         ai_ = _contract(xr, di) + _contract(xi, dr)
 
     # Twiddle: W_N^{k1 * n2}, table shape (n1, n2) broadcast over batch.
-    tr, ti = _twiddle.twiddle_outer(n1, n2, n, sign)
+    tr, ti = _twiddle.twiddle_outer(n1, n2, n, sign, _tab_dtype(ar_))
     ar_, ai_ = cmul_elem(ar_, ai_, jnp.asarray(tr)[None], jnp.asarray(ti)[None])
 
     # Stage 2: recurse over the n2 axis with batch b*n1.
@@ -137,7 +146,7 @@ def direct_dft_axis(xr, xi, axis: int, n: int, sign: int, precision,
     """
     ndim = xr.ndim
     axis = axis % ndim
-    dr, di = _twiddle.dft_matrix(n, sign)
+    dr, di = _twiddle.dft_matrix(n, sign, _tab_dtype(xr))
     dr = jnp.asarray(dr)
     di = jnp.asarray(di)
     ix = _EINSUM_LETTERS[:ndim]
@@ -145,7 +154,7 @@ def direct_dft_axis(xr, xi, axis: int, n: int, sign: int, precision,
     expr = f"{ix},{ix[axis]}z->{out}"
 
     def _c(v, m):
-        return jnp.einsum(expr, v, m, preferred_element_type=jnp.float32,
+        return jnp.einsum(expr, v, m, preferred_element_type=v.dtype,
                           precision=precision)
 
     if use_3m:
@@ -183,15 +192,16 @@ def mixed_radix_fft_axis(xr, xi, axis: int, n: int, n1: int, sign: int,
     # stage 2: contract the n2 sub-axis (position `axis+1`)
     e2 = f"{ix},{ix[axis + 1]}z->{ix[:axis + 1]}z{ix[axis + 2:]}"
 
-    d1r, d1i = map(jnp.asarray, _twiddle.dft_matrix(n1, sign))
-    d2r, d2i = map(jnp.asarray, _twiddle.dft_matrix(n2, sign))
-    twr, twi = _twiddle.twiddle_outer(n1, n2, n, sign)      # (k1, nu2)
+    td = _tab_dtype(xr)
+    d1r, d1i = map(jnp.asarray, _twiddle.dft_matrix(n1, sign, td))
+    d2r, d2i = map(jnp.asarray, _twiddle.dft_matrix(n2, sign, td))
+    twr, twi = _twiddle.twiddle_outer(n1, n2, n, sign, td)  # (k1, nu2)
     tshape = (1,) * axis + (n1, n2) + (1,) * (ndim - 1 - axis)
     twr = jnp.asarray(twr).reshape(tshape)
     twi = jnp.asarray(twi).reshape(tshape)
 
     def _c(expr, v, m):
-        return jnp.einsum(expr, v, m, preferred_element_type=jnp.float32,
+        return jnp.einsum(expr, v, m, preferred_element_type=v.dtype,
                           precision=precision)
 
     def _cplx(expr, vr, vi, mr, mi):
