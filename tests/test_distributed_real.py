@@ -64,3 +64,29 @@ def test_slab_r2c_shape_validation():
         dist.make_plan_slab_r2c((9, 8, 8))
     with pytest.raises(ValueError):
         dist.make_plan_slab_r2c((8, 16))
+
+
+def test_pencil_r2c_matches_numpy():
+    from regent_fft_tpu.parallel.mesh import make_pencil_mesh
+    mesh = make_pencil_mesh((2, 4))
+    x = RNG.standard_normal((16, 16, 12)).astype(np.float32)
+    p = dist.make_plan_pencil_r2c((16, 16, 12), mesh=mesh, norm=Norm.NONE)
+    assert rel_l2(p(x), np.fft.rfftn(np.asarray(x, np.float64))) < tolerance(x.size)
+    assert p.out_sharding.spec[0] == ("fy", "fz")
+
+
+def test_pencil_r2c_c2r_roundtrip():
+    from regent_fft_tpu.parallel.mesh import make_pencil_mesh
+    mesh = make_pencil_mesh((2, 4))
+    x = RNG.standard_normal((8, 8, 10)).astype(np.float32)
+    fwd = dist.make_plan_pencil_r2c((8, 8, 10), mesh=mesh, norm=Norm.NONE)
+    inv = dist.make_plan_pencil_c2r((8, 8, 10), mesh=mesh, norm=Norm.BACKWARD)
+    back = np.asarray(inv(fwd(x)))
+    assert np.linalg.norm(back - x) / np.linalg.norm(x) < tolerance(x.size)
+
+
+def test_pencil_r2c_divisibility():
+    from regent_fft_tpu.parallel.mesh import make_pencil_mesh
+    mesh = make_pencil_mesh((2, 4))
+    with pytest.raises(ValueError):
+        dist.make_plan_pencil_r2c((12, 16, 8), mesh=mesh)  # 12 % 8 != 0
