@@ -158,6 +158,10 @@ def _build_core(spec: PlanSpec):
         steps = []
         for a in axes_list:
             n = spec.shape[a]
+            if backend == "stockham" and n >= 2 and (n & (n - 1)) == 0:
+                # VPU butterfly kernel: power-of-two axes, f32-native.
+                steps.append(("stockham", a, n))
+                continue
             if backend == "pallas":
                 steps.append(("general", a, build_1d(n, direction)))
                 continue
@@ -177,6 +181,11 @@ def _build_core(spec: PlanSpec):
             if kind_ == "direct":
                 xr, xi = _stockham.direct_dft_axis(
                     xr, xi, a, arg, s, precision, u3)
+            elif kind_ == "stockham":
+                from .ops import pallas_stockham as _ps
+                interp = jax.default_backend() != "tpu"
+                xr, xi = _ps.fft_axis_stockham(
+                    xr, xi, a, Direction(s), interpret=interp)
             elif kind_ == "mixed2":
                 n, n1 = arg
                 xr, xi = _stockham.mixed_radix_fft_axis(

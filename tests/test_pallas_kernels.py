@@ -1,0 +1,88 @@
+"""Pallas kernels in interpreter mode (CPU): matmul-form and butterfly.
+
+Hardware behavior is exercised by bench runs; these pin down kernel math.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from regent_fft_tpu.dtypes import Direction, Kind, Norm
+from regent_fft_tpu.ops import pallas_fft as pf
+from regent_fft_tpu.ops import pallas_stockham as ps
+from regent_fft_tpu.utils.verify import tolerance
+
+RNG = np.random.default_rng(17)
+
+
+def crand(shape):
+    return RNG.standard_normal(shape) + 1j * RNG.standard_normal(shape)
+
+
+@pytest.mark.parametrize("n", [64, 128, 256, 1024, 4096])
+def test_matmul_kernel_interpret(n):
+    fn = pf.build_c2c_1d_pallas(n, Direction.FORWARD, 128,
+                                jax.lax.Precision.HIGHEST, interpret=True)
+    assert fn is not None
+    x = crand((6, n))
+    yr, yi = fn(jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32))
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft(x)
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < tolerance(n)
+
+
+@pytest.mark.parametrize("shape,axis", [
+    ((64, 32, 128), 0), ((8, 64, 256), 1), ((4, 16, 128), 2),
+    ((512, 300), 0), ((33, 256), 1),
+])
+def test_stockham_kernel_interpret(shape, axis):
+    x = crand(shape)
+    yr, yi = ps.fft_axis_stockham(
+        jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32),
+        axis, Direction.FORWARD, interpret=True)
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft(x, axis=axis)
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < tolerance(shape[axis])
+
+
+def test_stockham_backward():
+    x = crand((256, 130))
+    yr, yi = ps.fft_axis_stockham(
+        jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32),
+        0, Direction.BACKWARD, interpret=True)
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.ifft(x, axis=0) * 256
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < tolerance(256)
+
+
+def test_stockham_chunked_paths():
+    old = ps.MAX_CALL_ELEMS
+    ps.MAX_CALL_ELEMS = 32 * 1024
+    try:
+        for shape, axis in [((16, 64, 256), 1), ((700, 128), 1), ((512, 2048), 0)]:
+            x = crand(shape)
+            yr, yi = ps.fft_axis_stockham(
+                jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32),
+                axis, Direction.FORWARD, interpret=True)
+            y = np.asarray(yr) + 1j * np.asarray(yi)
+            ref = np.fft.fft(x, axis=axis)
+            assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < tolerance(shape[axis])
+    finally:
+        ps.MAX_CALL_ELEMS = old
+
+
+def test_stockham_rejects_nonpow2():
+    x = crand((24, 128))
+    with pytest.raises(ValueError):
+        ps.fft_axis_stockham(jnp.asarray(x.real, jnp.float32),
+                             jnp.asarray(x.imag, jnp.float32),
+                             0, Direction.FORWARD, interpret=True)
+
+
+def test_plan_backend_stockham():
+    import regent_fft_tpu as rft
+    x = crand((8, 16, 32)).astype(np.complex64)
+    p = rft.make_plan((8, 16, 32), axes=(0, 1, 2), kind=Kind.C2C,
+                      direction=Direction.FORWARD, backend="stockham")
+    from regent_fft_tpu.utils.verify import rel_l2
+    assert rel_l2(p(x), np.fft.fftn(x)) < tolerance(x.size)
