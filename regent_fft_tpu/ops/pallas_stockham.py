@@ -161,10 +161,12 @@ def _runner_axis0(n: int, sign: int, vt: int, interpret: bool = False):
 
 @functools.lru_cache(maxsize=256)
 def _runner_mid(n: int, sign: int, vt: int, interpret: bool = False):
-    """Kernel over (P, n, V) arrays: FFT along the MIDDLE axis.
+    """Kernel for FFT along the MIDDLE axis of (P, n, V) data.
 
-    Grid (P, V/vt); each block (1, n, vt) squeezes to the 2-D core via a
-    leading reshape (lane dim untouched).
+    The array is viewed 2-D as (P*n, V); grid (P, V/vt) with block
+    (n, vt) whose row BLOCK index i selects rows [i*n, (i+1)*n) — the
+    i-th pre-slice.  Everything stays 2-D (3-D blocks with unit leading
+    dims crash this Mosaic build).
     """
     tabs_np = _stage_tables(n, sign)
     flat = [t for group in tabs_np for t in group]
@@ -179,25 +181,24 @@ def _runner_mid(n: int, sign: int, vt: int, interpret: bool = False):
         for c in counts:
             tabs.append(tuple(tab_vals[i:i + c]))
             i += c
-        vt_ = xr_ref.shape[-1]
-        yr, yi = _stockham_tile(xr_ref[:].reshape(n, vt_),
-                                xi_ref[:].reshape(n, vt_), n, sign, tabs)
-        yr_ref[:] = yr.reshape(1, n, vt_)
-        yi_ref[:] = yi.reshape(1, n, vt_)
+        yr, yi = _stockham_tile(xr_ref[:], xi_ref[:], n, sign, tabs)
+        yr_ref[:] = yr
+        yi_ref[:] = yi
 
     def run(xr, xi):
-        p, _, vdim = xr.shape
-        bs = pl.BlockSpec((1, n, vt), lambda i, j: (i, 0, j),
-                          memory_space=pltpu.VMEM)
+        """xr, xi: (P*n, V) 2-D views; returns same-shaped planes."""
+        rows, vdim = xr.shape
+        p = rows // n
+        bs = pl.BlockSpec((n, vt), lambda i, j: (i, j), memory_space=pltpu.VMEM)
         tspecs = [pl.BlockSpec(t.shape, lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM) for t in flat]
         return pl.pallas_call(
             kernel, grid=(p, vdim // vt),
             in_specs=[bs, bs] + tspecs, out_specs=[bs, bs],
-            out_shape=[jax.ShapeDtypeStruct((p, n, vdim), jnp.float32)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((rows, vdim), jnp.float32)] * 2,
             cost_estimate=pl.CostEstimate(
                 flops=int(10 * n * np.log2(n) * vdim * p),
-                bytes_accessed=4 * p * n * vdim * 4, transcendentals=0),
+                bytes_accessed=4 * rows * vdim * 4, transcendentals=0),
             interpret=interpret,
         )(xr, xi, *[jnp.asarray(t) for t in flat])
     return run
@@ -284,26 +285,28 @@ def fft_axis_stockham(xr, xi, axis: int, direction: Direction,
     if pad:
         xr3 = jnp.pad(xr3, ((0, 0), (0, 0), (0, pad)))
         xi3 = jnp.pad(xi3, ((0, 0), (0, 0), (0, pad)))
+    vp = xr3.shape[-1]
     run = _runner_mid(n, sign, vt, interpret)
-    yr, yi = _chunked_pre(run, xr3, xi3)
-    yr = yr[:, :, :post].reshape(shape)
-    yi = yi[:, :, :post].reshape(shape)
+    yr, yi = _chunked_pre(run, xr3.reshape(pre * n, vp),
+                          xi3.reshape(pre * n, vp), pre, n)
+    yr = yr.reshape(pre, n, vp)[:, :, :post].reshape(shape)
+    yi = yi.reshape(pre, n, vp)[:, :, :post].reshape(shape)
     return yr, yi
 
 
-def _chunked_pre(run, xr3, xi3):
-    """Chunk a (P, n, V) call over the LEADING axis (free reshapes)."""
-    p, n, v = xr3.shape
-    if p * n * v <= MAX_CALL_ELEMS:
-        return run(xr3, xi3)
-    chunk = max(1, MAX_CALL_ELEMS // (n * v))
-    while p % chunk:
+def _chunked_pre(run, xr2, xi2, pre, n):
+    """Chunk a (P*n, V) mid-axis call over groups of pre-slices."""
+    rows, v = xr2.shape
+    if rows * v <= MAX_CALL_ELEMS:
+        return run(xr2, xi2)
+    chunk = max(1, MAX_CALL_ELEMS // (n * v))  # pre-slices per call
+    while pre % chunk:
         chunk -= 1
-    nc = p // chunk
-    xr4 = xr3.reshape(nc, chunk, n, v)
-    xi4 = xi3.reshape(nc, chunk, n, v)
+    nc = pre // chunk
+    xr4 = xr2.reshape(nc, chunk * n, v)
+    xi4 = xi2.reshape(nc, chunk * n, v)
     yr4, yi4 = jax.lax.map(lambda ab: run(ab[0], ab[1]), (xr4, xi4))
-    return yr4.reshape(p, n, v), yi4.reshape(p, n, v)
+    return yr4.reshape(rows, v), yi4.reshape(rows, v)
 
 
 def _chunked_rows(run, xr, xi, tb):
