@@ -54,36 +54,58 @@ def _plan_stages(n: int):
     return stages
 
 
-def _stage_tables(n: int, sign: int):
-    """Per-stage twiddle (re, im) numpy arrays, shaped (h, 1) for sublane
-    broadcast against (L, h, V) views.  Radix-4 stages carry W^j, W^2j,
-    W^3j; radix-2 stages carry W^j.  Computed in float64."""
-    tabs = []
+def _packed_tables(n: int, sign: int):
+    """All stages' twiddles packed into TWO (T, 1) arrays + slice offsets.
+
+    Radix-4 stages pack W^j | W^2j | W^3j; radix-2 stages pack W^j.
+    Packing matters: the Mosaic grid pipeline crashes with ~18 separate
+    table operands but is fine with two (found by hardware bisection).
+    Returns (wr (T,1), wi (T,1), offsets) where offsets[stage] is a list
+    of (start, h) slices per twiddle factor of that stage.
+    """
+    re_parts, im_parts, offsets = [], [], []
+    pos = 0
     for r, m in _plan_stages(n):
         h = m // r
         j = np.arange(h, dtype=np.int64)
-        ws = []
+        offs = []
         for q in range(1, r):
             theta = (2.0 * np.pi * q / m) * j * float(sign)
-            ws.append(np.cos(theta).astype(np.float32).reshape(h, 1))
-            ws.append(np.sin(theta).astype(np.float32).reshape(h, 1))
-        tabs.append(tuple(ws))
-    return tabs
+            re_parts.append(np.cos(theta).astype(np.float32))
+            im_parts.append(np.sin(theta).astype(np.float32))
+            offs.append((pos, h))
+            pos += h
+        offsets.append(offs)
+    if pos == 0:  # n == 1
+        re_parts, im_parts = [np.zeros(1, np.float32)], [np.zeros(1, np.float32)]
+        pos = 1
+    wr = np.concatenate(re_parts).reshape(pos, 1)
+    wi = np.concatenate(im_parts).reshape(pos, 1)
+    return wr, wi, offsets
 
 
 def _cmul(br, bi, wr, wi):
     return br * wr - bi * wi, br * wi + bi * wr
 
 
-def _stockham_tile(xr, xi, n: int, sign: int, tabs):
-    """Mixed radix-4/2 Stockham over axis 0 of (n, V) VMEM values."""
+def _stockham_tile(xr, xi, n: int, sign: int, wr_all, wi_all):
+    """Mixed radix-4/2 Stockham over axis 0 of (n, V) VMEM values.
+
+    ``wr_all``/``wi_all`` are the packed (T, 1) twiddle planes; stage
+    slices are static.
+    """
     v = xr.shape[-1]
     ar = xr.reshape(1, n, v)
     ai = xi.reshape(1, n, v)
     L = 1
     s = float(sign)
-    for (r, m), ws in zip(_plan_stages(n), tabs):
+    _, _, offsets = _packed_tables(n, sign)
+    for (r, m), offs in zip(_plan_stages(n), offsets):
         h = m // r
+        ws = []
+        for (start, hh) in offs:
+            ws.append(wr_all[start:start + hh])
+            ws.append(wi_all[start:start + hh])
         if r == 2:
             w_r, w_i = ws[0][None], ws[1][None]
             tr, ti = ar[:, :h, :], ai[:, :h, :]
@@ -122,40 +144,32 @@ def _stockham_tile(xr, xi, n: int, sign: int, tabs):
 def _runner_axis0(n: int, sign: int, vt: int, interpret: bool = False):
     """Kernel over (n, V) arrays: FFT along axis 0, grid over lane tiles.
 
-    Twiddle tables are baked as jnp constants?  No — Mosaic kernels cannot
-    capture constants; they enter as operands with constant index maps.
+    Packed twiddle planes enter as two operands with constant index maps
+    (kernels cannot capture constants; many separate operands crash the
+    grid pipeline).
     """
-    tabs_np = _stage_tables(n, sign)
-    flat = [t for group in tabs_np for t in group]
-    counts = [len(g) for g in tabs_np]
-    n_tab = len(flat)
+    wr_np, wi_np, _ = _packed_tables(n, sign)
 
-    def kernel(*refs):
-        xr_ref, xi_ref = refs[0], refs[1]
-        tab_vals = [r[:] for r in refs[2:2 + n_tab]]
-        yr_ref, yi_ref = refs[2 + n_tab], refs[3 + n_tab]
-        tabs, i = [], 0
-        for c in counts:
-            tabs.append(tuple(tab_vals[i:i + c]))
-            i += c
-        yr, yi = _stockham_tile(xr_ref[:], xi_ref[:], n, sign, tabs)
+    def kernel(xr_ref, xi_ref, wr_ref, wi_ref, yr_ref, yi_ref):
+        yr, yi = _stockham_tile(xr_ref[:], xi_ref[:], n, sign,
+                                wr_ref[:], wi_ref[:])
         yr_ref[:] = yr
         yi_ref[:] = yi
 
     def run(xr, xi):
         vdim = xr.shape[1]
         bs = pl.BlockSpec((n, vt), lambda j: (0, j), memory_space=pltpu.VMEM)
-        tspecs = [pl.BlockSpec(t.shape, lambda j: (0, 0),
-                               memory_space=pltpu.VMEM) for t in flat]
+        ws = pl.BlockSpec(wr_np.shape, lambda j: (0, 0),
+                          memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel, grid=(vdim // vt,),
-            in_specs=[bs, bs] + tspecs, out_specs=[bs, bs],
+            in_specs=[bs, bs, ws, ws], out_specs=[bs, bs],
             out_shape=[jax.ShapeDtypeStruct((n, vdim), jnp.float32)] * 2,
             cost_estimate=pl.CostEstimate(
                 flops=int(10 * n * np.log2(n) * vdim),
                 bytes_accessed=4 * n * vdim * 4, transcendentals=0),
             interpret=interpret,
-        )(xr, xi, *[jnp.asarray(t) for t in flat])
+        )(xr, xi, jnp.asarray(wr_np), jnp.asarray(wi_np))
     return run
 
 
@@ -168,39 +182,35 @@ def _runner_mid(n: int, sign: int, vt: int, interpret: bool = False):
     i-th pre-slice.  Everything stays 2-D (3-D blocks with unit leading
     dims crash this Mosaic build).
     """
-    tabs_np = _stage_tables(n, sign)
-    flat = [t for group in tabs_np for t in group]
-    counts = [len(g) for g in tabs_np]
-    n_tab = len(flat)
+    wr_np, wi_np, _ = _packed_tables(n, sign)
 
-    def kernel(*refs):
-        xr_ref, xi_ref = refs[0], refs[1]
-        tab_vals = [r[:] for r in refs[2:2 + n_tab]]
-        yr_ref, yi_ref = refs[2 + n_tab], refs[3 + n_tab]
-        tabs, i = [], 0
-        for c in counts:
-            tabs.append(tuple(tab_vals[i:i + c]))
-            i += c
-        yr, yi = _stockham_tile(xr_ref[:], xi_ref[:], n, sign, tabs)
+    def kernel(xr_ref, xi_ref, wr_ref, wi_ref, yr_ref, yi_ref):
+        yr, yi = _stockham_tile(xr_ref[:], xi_ref[:], n, sign,
+                                wr_ref[:], wi_ref[:])
         yr_ref[:] = yr
         yi_ref[:] = yi
 
     def run(xr, xi):
-        """xr, xi: (P*n, V) 2-D views; returns same-shaped planes."""
+        """xr, xi: (P*n, vt) 2-D views; returns same-shaped planes.
+
+        ROW-tiled 1-D grid only: each block is one full-width pre-slice
+        (column-tiled grids crash this Mosaic build).
+        """
         rows, vdim = xr.shape
+        assert vdim == vt, (vdim, vt)
         p = rows // n
-        bs = pl.BlockSpec((n, vt), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-        tspecs = [pl.BlockSpec(t.shape, lambda i, j: (0, 0),
-                               memory_space=pltpu.VMEM) for t in flat]
+        bs = pl.BlockSpec((n, vt), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ws = pl.BlockSpec(wr_np.shape, lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            kernel, grid=(p, vdim // vt),
-            in_specs=[bs, bs] + tspecs, out_specs=[bs, bs],
+            kernel, grid=(p,),
+            in_specs=[bs, bs, ws, ws], out_specs=[bs, bs],
             out_shape=[jax.ShapeDtypeStruct((rows, vdim), jnp.float32)] * 2,
             cost_estimate=pl.CostEstimate(
                 flops=int(10 * n * np.log2(n) * vdim * p),
                 bytes_accessed=4 * rows * vdim * 4, transcendentals=0),
             interpret=interpret,
-        )(xr, xi, *[jnp.asarray(t) for t in flat])
+        )(xr, xi, jnp.asarray(wr_np), jnp.asarray(wi_np))
     return run
 
 
@@ -212,46 +222,98 @@ def _runner_last(n: int, sign: int, tb: int, interpret: bool = False):
     Mosaic-native) so the butterfly core still runs with the transform
     axis on sublanes; transposed back on write.
     """
-    tabs_np = _stage_tables(n, sign)
-    flat = [t for group in tabs_np for t in group]
-    counts = [len(g) for g in tabs_np]
-    n_tab = len(flat)
+    wr_np, wi_np, _ = _packed_tables(n, sign)
 
-    def kernel(*refs):
-        xr_ref, xi_ref = refs[0], refs[1]
-        tab_vals = [r[:] for r in refs[2:2 + n_tab]]
-        yr_ref, yi_ref = refs[2 + n_tab], refs[3 + n_tab]
-        tabs, i = [], 0
-        for c in counts:
-            tabs.append(tuple(tab_vals[i:i + c]))
-            i += c
-        yr, yi = _stockham_tile(xr_ref[:].T, xi_ref[:].T, n, sign, tabs)
+    def kernel(xr_ref, xi_ref, wr_ref, wi_ref, yr_ref, yi_ref):
+        yr, yi = _stockham_tile(xr_ref[:].T, xi_ref[:].T, n, sign,
+                                wr_ref[:], wi_ref[:])
         yr_ref[:] = yr.T
         yi_ref[:] = yi.T
 
     def run(xr, xi):
         b = xr.shape[0]
         bs = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        tspecs = [pl.BlockSpec(t.shape, lambda i: (0, 0),
-                               memory_space=pltpu.VMEM) for t in flat]
+        ws = pl.BlockSpec(wr_np.shape, lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel, grid=(b // tb,),
-            in_specs=[bs, bs] + tspecs, out_specs=[bs, bs],
+            in_specs=[bs, bs, ws, ws], out_specs=[bs, bs],
             out_shape=[jax.ShapeDtypeStruct((b, n), jnp.float32)] * 2,
             cost_estimate=pl.CostEstimate(
                 flops=int(10 * n * np.log2(n) * b),
                 bytes_accessed=4 * b * n * 4, transcendentals=0),
             interpret=interpret,
-        )(xr, xi, *[jnp.asarray(t) for t in flat])
+        )(xr, xi, jnp.asarray(wr_np), jnp.asarray(wi_np))
     return run
+
+
+def _vt_cap(n: int) -> int:
+    """Max full-width lane tile so the (n, vt) working set fits VMEM."""
+    cap = max(128, (6 * 1024 * 1024) // (24 * n) // 128 * 128)
+    return cap
+
+
+def _mid_apply(xr3, xi3, n: int, sign: int, interpret: bool):
+    """FFT over axis 1 of (pre, n, post) split planes via row-tiled blocks.
+
+    post is padded to a lane multiple.  When post exceeds the VMEM width
+    cap, the lane dim is split (free) and the chunk axis transposed out
+    (one copy each way) so every block stays full-width — column-tiled
+    grids crash this Mosaic build.
+    """
+    pre, _, post = xr3.shape
+    vt = _vt_cap(n)
+    pad = (-post) % 128
+    if pad:
+        xr3 = jnp.pad(xr3, ((0, 0), (0, 0), (0, pad)))
+        xi3 = jnp.pad(xi3, ((0, 0), (0, 0), (0, pad)))
+    postp = xr3.shape[-1]
+    if postp <= vt:
+        run = _runner_mid(n, sign, postp, interpret)
+        yr, yi = _chunk_rows_map(run, xr3.reshape(pre * n, postp),
+                                 xi3.reshape(pre * n, postp), n)
+        yr = yr.reshape(pre, n, postp)[:, :, :post]
+        yi = yi.reshape(pre, n, postp)[:, :, :post]
+        return yr, yi
+    # wide case: (pre, n, nc, vc) -> (pre, nc, n, vc) [copy] -> row blocks
+    vc = vt
+    while postp % vc:
+        vc -= 128
+    nc = postp // vc
+    xr4 = jnp.swapaxes(xr3.reshape(pre, n, nc, vc), 1, 2)
+    xi4 = jnp.swapaxes(xi3.reshape(pre, n, nc, vc), 1, 2)
+    run = _runner_mid(n, sign, vc, interpret)
+    yr, yi = _chunk_rows_map(run, xr4.reshape(pre * nc * n, vc),
+                             xi4.reshape(pre * nc * n, vc), n)
+    yr = jnp.swapaxes(yr.reshape(pre, nc, n, vc), 1, 2).reshape(pre, n, postp)
+    yi = jnp.swapaxes(yi.reshape(pre, nc, n, vc), 1, 2).reshape(pre, n, postp)
+    return yr[:, :, :post], yi[:, :, :post]
+
+
+def _chunk_rows_map(run, xr2, xi2, n: int):
+    """Split a (R, vc) row-blocked call into operand-size-safe pieces."""
+    rows, vc = xr2.shape
+    if rows * vc <= MAX_CALL_ELEMS:
+        return run(xr2, xi2)
+    pre = rows // n
+    chunk = max(1, MAX_CALL_ELEMS // (n * vc))  # pre-slices per call
+    while pre % chunk:
+        chunk -= 1
+    nc = pre // chunk
+    xr4 = xr2.reshape(nc, chunk * n, vc)
+    xi4 = xi2.reshape(nc, chunk * n, vc)
+    yr4, yi4 = jax.lax.map(lambda ab: run(ab[0], ab[1]), (xr4, xi4))
+    return yr4.reshape(rows, vc), yi4.reshape(rows, vc)
 
 
 def fft_axis_stockham(xr, xi, axis: int, direction: Direction,
                       interpret: bool = False):
     """FFT along ``axis`` of an N-D split pair via the butterfly kernels.
 
-    Host-side reshapes only split/merge leading or middle dims (free);
-    the lane dimension is never reshaped.  Power-of-two lengths only.
+    Power-of-two lengths only.  Last axis: row-tiled (tb, n) blocks with
+    in-VMEM 2-D transposes.  Other axes: row-tiled full-width (n, vc)
+    blocks (one normalization copy each way when the trailing extent
+    exceeds the VMEM width cap).
     """
     ndim = xr.ndim
     axis = axis % ndim
@@ -260,100 +322,20 @@ def fft_axis_stockham(xr, xi, axis: int, direction: Direction,
         raise ValueError(f"stockham path needs power-of-two length, got {n}")
     sign = int(direction)
     shape = xr.shape
-    if axis == ndim - 1:
-        b = int(np.prod(shape[:-1])) if ndim > 1 else 1
+    if axis == ndim - 1 and ndim > 1:
+        b = int(np.prod(shape[:-1]))
         xr2 = xr.reshape(b, n)
         xi2 = xi.reshape(b, n)
-        tb = 256 if n <= 1024 else 128
+        tb = min(256, _vt_cap(n))
         pad = (-b) % tb
         if pad:
             xr2 = jnp.pad(xr2, ((0, pad), (0, 0)))
             xi2 = jnp.pad(xi2, ((0, pad), (0, 0)))
         run = _runner_last(n, sign, tb, interpret)
-        yr, yi = _chunked_rows(run, xr2, xi2, tb)
+        yr, yi = _chunk_rows_map(run, xr2, xi2, tb)
         return yr[:b].reshape(shape), yi[:b].reshape(shape)
     pre = int(np.prod(shape[:axis])) if axis else 1
     post = int(np.prod(shape[axis + 1:]))
-    if pre == 1:
-        yr, yi = fft_axis0_pallas(xr.reshape(n, post), xi.reshape(n, post),
-                                  n, direction, interpret)
-        return yr.reshape(shape), yi.reshape(shape)
-    xr3 = xr.reshape(pre, n, post)
-    xi3 = xi.reshape(pre, n, post)
-    vt = min(LANE_TILE, max(128, post))
-    pad = (-post) % vt
-    if pad:
-        xr3 = jnp.pad(xr3, ((0, 0), (0, 0), (0, pad)))
-        xi3 = jnp.pad(xi3, ((0, 0), (0, 0), (0, pad)))
-    vp = xr3.shape[-1]
-    run = _runner_mid(n, sign, vt, interpret)
-    yr, yi = _chunked_pre(run, xr3.reshape(pre * n, vp),
-                          xi3.reshape(pre * n, vp), pre, n)
-    yr = yr.reshape(pre, n, vp)[:, :, :post].reshape(shape)
-    yi = yi.reshape(pre, n, vp)[:, :, :post].reshape(shape)
-    return yr, yi
-
-
-def _chunked_pre(run, xr2, xi2, pre, n):
-    """Chunk a (P*n, V) mid-axis call over groups of pre-slices."""
-    rows, v = xr2.shape
-    if rows * v <= MAX_CALL_ELEMS:
-        return run(xr2, xi2)
-    chunk = max(1, MAX_CALL_ELEMS // (n * v))  # pre-slices per call
-    while pre % chunk:
-        chunk -= 1
-    nc = pre // chunk
-    xr4 = xr2.reshape(nc, chunk * n, v)
-    xi4 = xi2.reshape(nc, chunk * n, v)
-    yr4, yi4 = jax.lax.map(lambda ab: run(ab[0], ab[1]), (xr4, xi4))
-    return yr4.reshape(rows, v), yi4.reshape(rows, v)
-
-
-def _chunked_rows(run, xr, xi, tb):
-    """Row-chunk a (B, n) call so operands stay under the Mosaic limit."""
-    b, n = xr.shape
-    if b * n <= MAX_CALL_ELEMS:
-        return run(xr, xi)
-    chunk = max(tb, (MAX_CALL_ELEMS // n) // tb * tb)
-    while b % chunk:
-        chunk -= tb
-    nc = b // chunk
-    xr3 = xr.reshape(nc, chunk, n)
-    xi3 = xi.reshape(nc, chunk, n)
-    yr3, yi3 = jax.lax.map(lambda ab: run(ab[0], ab[1]), (xr3, xi3))
-    return yr3.reshape(b, n), yi3.reshape(b, n)
-
-
-def fft_axis0_pallas(xr, xi, n: int, direction: Direction,
-                     interpret: bool = False):
-    """FFT along axis 0 of (n, V) split planes via the butterfly kernel.
-
-    V is padded to a lane-tile multiple; calls are chunked so operands
-    stay under the Mosaic size limit.
-    """
-    sign = int(direction)
-    v = xr.shape[1]
-    vt = min(LANE_TILE, max(128, v))
-    pad = (-v) % vt
-    if pad:
-        xr = jnp.pad(xr, ((0, 0), (0, pad)))
-        xi = jnp.pad(xi, ((0, 0), (0, pad)))
-    vp = xr.shape[1]
-    run = _runner_axis0(n, sign, vt, interpret)
-    max_cols = max(vt, (MAX_CALL_ELEMS // n) // vt * vt)
-    if vp <= max_cols:
-        yr, yi = run(xr, xi)
-        return yr[:, :v], yi[:, :v]
-    # chunk the lane dimension through lax.map (middle split is free)
-    while vp % max_cols:
-        max_cols -= vt
-    nc = vp // max_cols
-    xr3 = xr.reshape(n, nc, max_cols)
-    xi3 = xi.reshape(n, nc, max_cols)
-    # lax.map needs a leading axis; moveaxis of the chunk axis is one copy
-    xr3 = jnp.moveaxis(xr3, 1, 0)
-    xi3 = jnp.moveaxis(xi3, 1, 0)
-    yr3, yi3 = jax.lax.map(lambda ab: run(ab[0], ab[1]), (xr3, xi3))
-    yr = jnp.moveaxis(yr3, 0, 1).reshape(n, vp)
-    yi = jnp.moveaxis(yi3, 0, 1).reshape(n, vp)
-    return yr[:, :v], yi[:, :v]
+    yr, yi = _mid_apply(xr.reshape(pre, n, post), xi.reshape(pre, n, post),
+                        n, sign, interpret)
+    return yr.reshape(shape), yi.reshape(shape)

@@ -262,12 +262,19 @@ class Plan:
     def __init__(self, spec: PlanSpec):
         self.spec = spec
         self._cdtype = _compute_dtype(spec)
+        exec_spec = spec
         if spec.planner == "measure":
-            # FFTW_MEASURE analog: time candidate schedules on the device
-            # and install the winners as wisdom before building the core.
+            # FFTW_MEASURE analog: time candidate radix schedules AND
+            # whole-core backend alternatives on the device; install
+            # schedule winners as wisdom, execute with the fastest backend.
             from .utils import measure as _measure
             self.measurements = _measure.measure_plan_sizes(spec)
-        core = _build_core(spec)
+            if spec.kind == Kind.C2C and spec.backend == "auto":
+                winner, timings = _measure.measure_backends(spec, _build_core)
+                self.measurements["backend"] = {"winner": winner,
+                                                "timings": timings}
+                exec_spec = dataclasses.replace(spec, backend=winner)
+        core = _build_core(exec_spec)
         donate = (0,) if spec.donate else ()
         if spec.kind == Kind.R2C:
             self._exec = jax.jit(lambda x: core(x), donate_argnums=donate)

@@ -107,6 +107,66 @@ def measure_schedule(n: int, direction=None, precision: str = "highest",
     return winner, {" ".join(map(str, s)): t for s, t in timings.items()}
 
 
+def _time_core_honest(core, shape, iters: int = 4, reps: int = 2) -> float:
+    """Fetch-timed scan chain with device-generated inputs (tpu_notes.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def many(a, b):
+        def body(c, _):
+            return core(*c), None
+        out, _ = jax.lax.scan(body, (a, b), None, length=iters)
+        return out
+
+    @jax.jit
+    def mk(seed):
+        kr, ki = jax.random.split(jax.random.PRNGKey(seed))
+        return (jax.random.normal(kr, shape, jnp.float32),
+                jax.random.normal(ki, shape, jnp.float32))
+
+    a, b = mk(0)
+    out = many(a, b)
+    jax.block_until_ready(out)
+    _ = float(out[0].ravel()[0])
+    best = float("inf")
+    for i in range(reps):
+        a, b = mk(i + 1)
+        jax.block_until_ready((a, b))
+        _ = float(a.ravel()[0])
+        t0 = time.perf_counter()
+        out = many(a, b)
+        _ = float(out[0].ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+def measure_backends(spec, build_core, iters: int = 4, reps: int = 2):
+    """Time the full plan core per backend candidate; return (winner, times).
+
+    The cross-algorithm half of FFTW_MEASURE: the same problem is solved
+    by the fused-einsum XLA path and (for power-of-two axes on TPU) the
+    Stockham VPU butterfly path, and the faster one wins.
+    """
+    import dataclasses
+    import jax
+
+    cands = ["xla"]
+    if (jax.default_backend() == "tpu"
+            and all(n >= 2 and (n & (n - 1)) == 0
+                    for n in spec.transform_lengths)):
+        cands.append("stockham")
+    timings = {}
+    for b in cands:
+        try:
+            core = build_core(dataclasses.replace(spec, backend=b))
+            timings[b] = _time_core_honest(core, spec.shape, iters, reps)
+        except Exception:
+            timings[b] = float("inf")
+    winner = min(timings, key=timings.get)
+    return winner, timings
+
+
 def measure_plan_sizes(spec, batch: int = 1024, k: int = 3) -> dict:
     """Run measure-mode for every transform length of a PlanSpec."""
     results = {}
