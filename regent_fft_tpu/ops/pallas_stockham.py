@@ -37,9 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..dtypes import Direction
 from . import twiddle as _twiddle
 
-# Lane-tile width per kernel instance and per-call operand cap (same
-# Mosaic limits as pallas_fft.py).
-LANE_TILE = 256
+# Lane-tile width per kernel instance and per-call operand cap.  Hardware
+# bisection: the Mosaic grid pipeline compiles butterfly kernels only with
+# <=128-wide tiles and n <= 1024 (wider tiles or more rows crash the
+# compile helper).
+LANE_TILE = 128
+MAX_STOCKHAM_N = 1024
 MAX_CALL_ELEMS = 4 * 1024 * 1024
 
 
@@ -248,9 +251,8 @@ def _runner_last(n: int, sign: int, tb: int, interpret: bool = False):
 
 
 def _vt_cap(n: int) -> int:
-    """Max full-width lane tile so the (n, vt) working set fits VMEM."""
-    cap = max(128, (6 * 1024 * 1024) // (24 * n) // 128 * 128)
-    return cap
+    """Lane-tile width: fixed at 128 (see module constants)."""
+    return LANE_TILE
 
 
 def _mid_apply(xr3, xi3, n: int, sign: int, interpret: bool):
@@ -318,15 +320,16 @@ def fft_axis_stockham(xr, xi, axis: int, direction: Direction,
     ndim = xr.ndim
     axis = axis % ndim
     n = xr.shape[axis]
-    if n & (n - 1):
-        raise ValueError(f"stockham path needs power-of-two length, got {n}")
+    if n & (n - 1) or n > MAX_STOCKHAM_N:
+        raise ValueError(
+            f"stockham path needs power-of-two length <= {MAX_STOCKHAM_N}, got {n}")
     sign = int(direction)
     shape = xr.shape
     if axis == ndim - 1 and ndim > 1:
         b = int(np.prod(shape[:-1]))
         xr2 = xr.reshape(b, n)
         xi2 = xi.reshape(b, n)
-        tb = min(256, _vt_cap(n))
+        tb = LANE_TILE
         pad = (-b) % tb
         if pad:
             xr2 = jnp.pad(xr2, ((0, pad), (0, 0)))

@@ -158,7 +158,8 @@ def _build_core(spec: PlanSpec):
         steps = []
         for a in axes_list:
             n = spec.shape[a]
-            if backend == "stockham" and n >= 2 and (n & (n - 1)) == 0:
+            if (backend == "stockham" and 2 <= n <= 1024
+                    and (n & (n - 1)) == 0):
                 # VPU butterfly kernel: power-of-two axes, f32-native.
                 steps.append(("stockham", a, n))
                 continue
