@@ -134,10 +134,11 @@ def _build_core(spec: PlanSpec):
     scale = _norm_scale(spec)
     backend = spec.backend
     if backend == "auto":
-        # The fused-einsum XLA path currently measures faster than the
-        # Pallas kernels on real hardware (docs/tpu_notes.md); explicit
-        # backend="pallas" or measure-mode wisdom can override.
-        backend = "xla"
+        # Measured fastest (docs/tpu_notes.md): on TPU, the hybrid of a
+        # Stockham butterfly pass on the (copy-free, power-of-two) last
+        # axis + fused einsum contractions elsewhere; elsewhere, pure XLA.
+        # Non-pow2 last axes fall through to einsum inside axis_steps.
+        backend = "hybrid" if jax.default_backend() == "tpu" else "xla"
 
     def build_1d(n, direction):
         if backend == "pallas":
@@ -156,11 +157,17 @@ def _build_core(spec: PlanSpec):
         short enough (one read+write — bandwidth minimum), else the
         general (mixed-radix / Bluestein / Pallas) 1-D pipeline."""
         steps = []
+        ndim = len(spec.shape)
         for a in axes_list:
             n = spec.shape[a]
-            if (backend == "stockham" and 2 <= n <= 1024
-                    and (n & (n - 1)) == 0):
+            pow2_ok = 2 <= n <= 1024 and (n & (n - 1)) == 0
+            if backend == "stockham" and pow2_ok:
                 # VPU butterfly kernel: power-of-two axes, f32-native.
+                steps.append(("stockham", a, n))
+                continue
+            if backend == "hybrid" and pow2_ok and a == ndim - 1:
+                # Hybrid: butterfly kernel on the copy-free last axis
+                # (f32-native, 1 HBM pass), fused einsum elsewhere.
                 steps.append(("stockham", a, n))
                 continue
             if backend == "pallas":
