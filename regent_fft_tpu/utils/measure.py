@@ -152,10 +152,13 @@ def measure_backends(spec, build_core, iters: int = 4, reps: int = 2):
     import jax
 
     cands = ["xla"]
-    if (jax.default_backend() == "tpu"
-            and all(n >= 2 and (n & (n - 1)) == 0
-                    for n in spec.transform_lengths)):
-        cands.append("stockham")
+    if jax.default_backend() == "tpu":
+        lengths = spec.transform_lengths
+        if all(n >= 2 and (n & (n - 1)) == 0 and n <= 1024 for n in lengths):
+            cands.append("stockham")
+        last = spec.shape[spec.axes[-1]] if (len(spec.shape) - 1) in spec.axes else None
+        if last and last <= 1024 and (last & (last - 1)) == 0:
+            cands.append("hybrid")
     timings = {}
     for b in cands:
         try:
