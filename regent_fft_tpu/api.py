@@ -30,16 +30,23 @@ _NORMS = {None: Norm.BACKWARD, "backward": Norm.BACKWARD, "ortho": Norm.ORTHO,
 
 
 def _dtype_of(x) -> str:
+    # NEVER jnp.asarray numpy complex here: that would transfer a complex
+    # buffer host->device, which some attach transports cannot do (the
+    # split happens later, on host, in dtypes.as_split).
     if isinstance(x, SplitComplex):
         return "complex32"
-    d = jnp.asarray(x).dtype
-    if d == jnp.complex128 or d == jnp.float64:
+    d = x.dtype if isinstance(x, np.ndarray) else jnp.asarray(x).dtype
+    if d == np.complex128 or d == np.float64:
         return "complex128"
     return "complex64"
 
 
 def _shape_of(x) -> Tuple[int, ...]:
-    return tuple((x.re if isinstance(x, SplitComplex) else jnp.asarray(x)).shape)
+    if isinstance(x, SplitComplex):
+        return tuple(x.re.shape)
+    if isinstance(x, np.ndarray):
+        return tuple(x.shape)
+    return tuple(jnp.asarray(x).shape)
 
 
 def _axes_tuple(ndim, axis=None, axes=None) -> Tuple[int, ...]:
@@ -51,8 +58,26 @@ def _axes_tuple(ndim, axis=None, axes=None) -> Tuple[int, ...]:
 
 
 def _padded(x, axes, sizes):
-    """numpy.fft n/s semantics: crop or zero-pad each axis to the target."""
+    """numpy.fft n/s semantics: crop or zero-pad each axis to the target.
+
+    Numpy inputs are padded with numpy (complex buffers must not cross the
+    host boundary; the split happens later in dtypes.as_split).
+    """
     if sizes is None:
+        return x
+    for n in sizes:
+        if n is not None and n < 1:
+            raise ValueError(f"invalid number of FFT data points: {n}")
+    if isinstance(x, np.ndarray):
+        for ax, n in zip(axes, sizes):
+            if n is None or x.shape[ax] == n:
+                continue
+            if x.shape[ax] > n:
+                x = np.take(x, np.arange(n), axis=ax)
+            else:
+                pad = [(0, 0)] * x.ndim
+                pad[ax] = (0, n - x.shape[ax])
+                x = np.pad(x, pad)
         return x
     arrs = (x.re, x.im) if isinstance(x, SplitComplex) else (jnp.asarray(x),)
     outs = []
@@ -82,13 +107,13 @@ def _c2c(x, axes_t, direction, norm, **opts):
 # ---------------------------------------------------------------------------
 def fft(x, n: Optional[int] = None, axis: int = -1, norm=None, **opts):
     axes_t = _axes_tuple(jnp.ndim(x.re if isinstance(x, SplitComplex) else x), axis=axis)
-    x = _padded(x, axes_t, (n,) if n else None)
+    x = _padded(x, axes_t, (n,) if n is not None else None)
     return _c2c(x, axes_t, Direction.FORWARD, norm, **opts)
 
 
 def ifft(x, n: Optional[int] = None, axis: int = -1, norm=None, **opts):
     axes_t = _axes_tuple(jnp.ndim(x.re if isinstance(x, SplitComplex) else x), axis=axis)
-    x = _padded(x, axes_t, (n,) if n else None)
+    x = _padded(x, axes_t, (n,) if n is not None else None)
     return _c2c(x, axes_t, Direction.BACKWARD, norm, **opts)
 
 
@@ -119,7 +144,7 @@ def ifftn(x, s=None, axes=None, norm=None, **opts):
 
 
 def rfft(x, n: Optional[int] = None, axis: int = -1, norm=None, **opts):
-    return rfftn(x, s=(n,) if n else None, axes=(axis,), norm=norm, **opts)
+    return rfftn(x, s=(n,) if n is not None else None, axes=(axis,), norm=norm, **opts)
 
 
 def rfftn(x, s=None, axes=None, norm=None, **opts):
@@ -137,7 +162,7 @@ def rfftn(x, s=None, axes=None, norm=None, **opts):
 
 
 def irfft(x, n: Optional[int] = None, axis: int = -1, norm=None, **opts):
-    return irfftn(x, s=(n,) if n else None, axes=(axis,), norm=norm, **opts)
+    return irfftn(x, s=(n,) if n is not None else None, axes=(axis,), norm=norm, **opts)
 
 
 def irfftn(x, s=None, axes=None, norm=None, **opts):

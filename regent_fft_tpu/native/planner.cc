@@ -70,7 +70,8 @@ std::vector<uint32_t> small_divisors(uint64_t n, uint32_t max_radix) {
 }
 
 struct Memo {
-  std::map<uint64_t, std::pair<double, uint32_t>> best;  // n -> (cost, first radix)
+  // (n, max_radix) -> (cost, first radix): schedules depend on BOTH.
+  std::map<std::pair<uint64_t, uint32_t>, std::pair<double, uint32_t>> best;
   std::mutex mu;
 };
 
@@ -106,15 +107,16 @@ double best_cost_uncached(uint64_t n, uint32_t max_radix, const CostParams& p,
 }
 
 double best_cost(uint64_t n, uint32_t max_radix, const CostParams& p, Memo& memo) {
+  const auto key = std::make_pair(n, max_radix);
   {
     std::lock_guard<std::mutex> g(memo.mu);
-    auto it = memo.best.find(n);
+    auto it = memo.best.find(key);
     if (it != memo.best.end()) return it->second.first;
   }
   uint32_t first = 0;
   double c = best_cost_uncached(n, max_radix, p, memo, &first);
   std::lock_guard<std::mutex> g(memo.mu);
-  memo.best[n] = {c, first};
+  memo.best[key] = {c, first};
   return c;
 }
 
@@ -161,8 +163,17 @@ int rftp_best_schedule(uint64_t n, uint32_t max_radix, uint32_t* out, int cap) {
   int cnt = 0;
   uint64_t cur = n;
   while (cur > 1 && cnt < cap) {
-    std::lock_guard<std::mutex> g(g_memo.mu);
-    uint32_t r = g_memo.best[cur].second;
+    // Recompute on miss (the memo may have been cleared concurrently by
+    // rftp_set_cost_params); never divide by a default-constructed 0.
+    double cc = best_cost(cur, max_radix, g_params, g_memo);
+    (void)cc;
+    uint32_t r = 0;
+    {
+      std::lock_guard<std::mutex> g(g_memo.mu);
+      auto it = g_memo.best.find(std::make_pair(cur, max_radix));
+      if (it == g_memo.best.end() || it->second.second == 0) return 0;
+      r = it->second.second;
+    }
     out[cnt++] = r;
     cur /= r;
   }

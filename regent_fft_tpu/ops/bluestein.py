@@ -34,10 +34,8 @@ from .stockham import cmul_elem
 @functools.lru_cache(maxsize=256)
 def _bluestein_tables(n: int, m: int, sign: int, dtype=np.float32):
     """Host-side f64 precompute: chirp c[0:n] and kernel spectrum H[0:m]."""
-    j = np.arange(n, dtype=np.int64)
-    e = np.mod(j * j, 2 * n)
-    theta = (np.pi / n) * e.astype(np.float64) * float(sign)
-    c = np.cos(theta) + 1j * np.sin(theta)  # complex128 chirp
+    cr64, ci64 = _twiddle.chirp(n, sign, np.float64)
+    c = cr64 + 1j * ci64                    # complex128 chirp
     h = np.zeros(m, dtype=np.complex128)
     h[:n] = np.conj(c)
     h[m - n + 1:] = np.conj(c)[1:][::-1]    # h[m-j] = conj(c[j]), j=1..n-1

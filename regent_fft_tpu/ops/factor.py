@@ -78,25 +78,34 @@ def factorize(n: int, max_radix: int = DEFAULT_MAX_RADIX) -> Optional[Tuple[int,
 
 @functools.lru_cache(maxsize=4096)
 def next_fast_len(n: int, max_radix: int = DEFAULT_MAX_RADIX) -> int:
-    """Smallest 5-smooth (2^a 3^b 5^c) size >= n.
+    """Smallest smooth size >= n for Bluestein padding.
 
-    Used to pad Bluestein convolutions; 5-smooth sizes always factor into
-    radices <= 128 so the inner FFT never recurses into Bluestein.
+    5-smooth (2^a 3^b 5^c) when max_radix >= 5, 3-smooth when >= 3, else
+    powers of two — so the padded size is always smooth w.r.t. the caller's
+    radix cap and the inner FFT never recurses into Bluestein.
     """
+    if max_radix < 2:
+        raise ValueError(f"max_radix must be >= 2, got {max_radix}")
     if n <= 2:
         return max(n, 1)
     best = 1 << (n - 1).bit_length()  # next power of two is always valid
+    max_p5 = best if max_radix >= 5 else 1
+    max_p3 = best if max_radix >= 3 else 1
     p5 = 1
-    while p5 < best:
+    while p5 <= max_p5 and p5 < best:
         p35 = p5
-        while p35 < best:
+        while p35 <= max_p3 * p5 and p35 < best:
             # smallest power of two lifting p35 over n
             q = -(-n // p35)  # ceil
             p2 = 1 << max(0, (q - 1).bit_length())
             cand = p35 * p2
             if n <= cand < best:
                 best = cand
+            if max_p3 == 1:
+                break
             p35 *= 3
+        if max_p5 == 1:
+            break
         p5 *= 5
     return best
 

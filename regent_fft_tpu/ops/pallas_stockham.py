@@ -251,8 +251,12 @@ def _runner_last(n: int, sign: int, tb: int, interpret: bool = False):
 
 
 def _vt_cap(n: int) -> int:
-    """Lane-tile width: fixed at 128 (see module constants)."""
-    return LANE_TILE
+    """Lane-tile width for an n-point kernel.
+
+    Hardware envelope: blocks compile when n*vt <= 64K elements (and
+    vt <= 512); beyond that the Mosaic helper crashes.
+    """
+    return max(LANE_TILE, min(512, (65536 // max(n, 1)) // 128 * 128))
 
 
 def _mid_apply(xr3, xi3, n: int, sign: int, interpret: bool):

@@ -116,27 +116,31 @@ def make_plan_shards(shape, kind=Kind.C2C, direction=Direction.FORWARD,
                      use_3m: bool = False, max_radix: int = 128) -> DistributedFFTPlan:
     """Reference-parity distributed mode: independent per-shard transforms.
 
-    Shards the LEADING axis (the batch/slab axis) across the mesh; each
-    device transforms axes 1..ndim-1 of its own block with zero
-    communication — exactly the semantics of ``make_plan_distrib`` +
-    index-launched ``execute_plan_task`` (``src/fft.rg:513-537``,
-    ``test/fft_test.rg:282-305``).
+    Equal-partitions the LEADING axis across the mesh; each device runs a
+    FULL rank-ndim FFT of its own LOCAL block with zero communication —
+    exactly the semantics of ``make_plan_distrib`` + index-launched
+    ``execute_plan_task`` (``src/fft.rg:513-537``: ``make_plan_task``
+    plans ``fftw_plan_dft(dim, ...)`` against each node's slab, so the
+    partitioned axis is transformed at its LOCAL length).  A 1-D plan is
+    therefore P independent length-(n/P) FFTs, matching
+    ``test/fft_test.rg:282-305``.
     """
     if kind != Kind.C2C:
         raise NotImplementedError("shards mode currently supports C2C")
     mesh = mesh or make_fft_mesh(axis_name=axis_name)
     axis_name = mesh.axis_names[0]
-    p = mesh.shape[axis_name]
+    p = int(mesh.shape[axis_name])
     shape = tuple(shape)
     if shape[0] % p != 0:
         # The reference hard-asserts on mismatched partition counts
         # (src/fft.rg:519); we require divisibility for the equal partition.
         raise ValueError(f"leading axis {shape[0]} not divisible by mesh size {p}")
-    axes = tuple(range(1, len(shape)))
-    n_local = int(np.prod([shape[a] for a in axes]))
+    local_shape = (shape[0] // p,) + shape[1:]
+    axes = tuple(range(len(shape)))
+    n_local = int(np.prod(local_shape))
     scale = _norm_scale(n_local, direction, norm)
     prec = _PRECISIONS[precision]
-    fns = [(a, build_c2c_1d(shape[a], direction, max_radix, prec, use_3m))
+    fns = [(a, build_c2c_1d(local_shape[a], direction, max_radix, prec, use_3m))
            for a in sorted(axes, reverse=True)]
 
     def local_fn(xr, xi):
@@ -147,9 +151,9 @@ def make_plan_shards(shape, kind=Kind.C2C, direction=Direction.FORWARD,
     fn = shard_map(local_fn, mesh=mesh, in_specs=(pspec, pspec),
                    out_specs=(pspec, pspec))
     desc = (f"(plan-distrib-shards shape={shape} mesh={dict(zip(mesh.axis_names, mesh.devices.shape))} "
-            f"independent {len(shape)-1}D FFT per shard, no collectives)")
-    batch = shape[0]
-    flops = batch * 5.0 * n_local * max(1.0, math.log2(max(n_local, 2)))
+            f"independent {len(shape)}D FFT of each local {local_shape} slab, "
+            f"no collectives)")
+    flops = p * 5.0 * n_local * max(1.0, math.log2(max(n_local, 2)))
     return DistributedFFTPlan(desc, mesh, pspec, pspec, fn, shape, dtype, flops)
 
 

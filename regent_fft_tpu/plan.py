@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .dtypes import Direction, Kind, Norm, SplitComplex, as_split, from_split, canonical_dtype
+from .dtypes import Direction, Kind, Norm, SplitComplex, as_split, from_split
 from .ops import factor as _factor
 from .ops import nd as _nd
 from .ops import real as _real
@@ -84,6 +84,8 @@ class PlanSpec:
             raise ValueError("C2R transforms are backward-only")
         if self.precision not in _PRECISIONS:
             raise ValueError(f"precision must be one of {list(_PRECISIONS)}")
+        if self.max_radix < 2:
+            raise ValueError(f"max_radix must be >= 2, got {self.max_radix}")
 
     @property
     def transform_lengths(self) -> Tuple[int, ...]:
@@ -251,15 +253,6 @@ def _build_core(spec: PlanSpec):
     return core
 
 
-def _pallas_supported(spec: PlanSpec) -> bool:
-    """Whether the fused Pallas path can run this spec (else XLA path)."""
-    try:
-        from .ops import pallas_fft as _pf
-        return _pf.supported(spec)
-    except Exception:
-        return False
-
-
 class Plan:
     """An executable FFT plan.  Create via :func:`make_plan` / ``plan_fft``.
 
@@ -283,10 +276,12 @@ class Plan:
                                                 "timings": timings}
                 exec_spec = dataclasses.replace(spec, backend=winner)
         core = _build_core(exec_spec)
-        donate = (0,) if spec.donate else ()
         if spec.kind == Kind.R2C:
+            donate = (0,) if spec.donate else ()
             self._exec = jax.jit(lambda x: core(x), donate_argnums=donate)
         else:
+            # pair-input executors donate BOTH planes ('in-place' problems)
+            donate = (0, 1) if spec.donate else ()
             self._exec = jax.jit(lambda xr, xi: core(xr, xi), donate_argnums=donate)
         self._destroyed = False
 
@@ -420,10 +415,20 @@ class Plan:
     execute = __call__  # reference-parity alias (execute_plan, src/fft.rg:544)
 
     def inverse(self) -> "Plan":
-        """Plan for the mathematical inverse of this transform."""
+        """Plan for the mathematical inverse of this transform.
+
+        For the paired norms (backward/forward/ortho) the same norm
+        inverts; a NONE-norm (raw FFTW, unscaled both ways) plan needs the
+        1/N folded in once, so its inverse carries the scaling norm on the
+        appropriate side.
+        """
         s = self.spec
-        inv_norm = {Norm.BACKWARD: Norm.BACKWARD, Norm.FORWARD: Norm.FORWARD,
-                    Norm.ORTHO: Norm.ORTHO, Norm.NONE: Norm.NONE}[s.norm]
+        if s.norm == Norm.NONE:
+            # unscaled forward inverts with (1/N)-scaled backward & v.v.
+            inv_norm = (Norm.BACKWARD if s.direction == Direction.FORWARD
+                        else Norm.FORWARD)
+        else:
+            inv_norm = s.norm
         if s.kind == Kind.C2C:
             d = Direction.BACKWARD if s.direction == Direction.FORWARD else Direction.FORWARD
             return make_plan(dataclasses.replace(s, direction=d, norm=inv_norm))

@@ -156,9 +156,12 @@ def measure_backends(spec, build_core, iters: int = 4, reps: int = 2):
         lengths = spec.transform_lengths
         if all(n >= 2 and (n & (n - 1)) == 0 and n <= 1024 for n in lengths):
             cands.append("stockham")
-        last = spec.shape[spec.axes[-1]] if (len(spec.shape) - 1) in spec.axes else None
-        if last and last <= 1024 and (last & (last - 1)) == 0:
-            cands.append("hybrid")
+        # hybrid helps iff the array's LAST axis is a transformed pow2 axis
+        last_axis = len(spec.shape) - 1
+        if last_axis in spec.axes:
+            last = spec.shape[last_axis]
+            if 2 <= last <= 1024 and (last & (last - 1)) == 0:
+                cands.append("hybrid")
     timings = {}
     for b in cands:
         try:

@@ -50,3 +50,12 @@ def test_batch_1():
 
 def test_large_batch():
     assert run_1d(64, Direction.FORWARD, batch=257) < tolerance(64)
+
+
+def test_bluestein_small_max_radix_terminates():
+    # max_radix < 5 must not recurse: padding stays smooth w.r.t. the cap.
+    x = RNG.standard_normal((2, 7)) + 1j * RNG.standard_normal((2, 7))
+    fn = jax.jit(build_c2c_1d(7, Direction.FORWARD, max_radix=4))
+    yr, yi = fn(jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32))
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.linalg.norm(y - np.fft.fft(x)) / np.linalg.norm(np.fft.fft(x)) < tolerance(7)

@@ -97,3 +97,19 @@ def test_interface_make_plan_distrib():
     dist.destroy_plan_distrib(p)
     with pytest.raises(RuntimeError):
         p(x)
+
+
+def test_shards_full_local_transform():
+    # Reference semantics: each node FFTs ALL dims of its LOCAL slab
+    # (make_plan_task plans fftw_plan_dft(dim, ...) on the local region).
+    x = crand((16, 4))
+    p = dist.make_plan_shards((16, 4), direction=Direction.FORWARD)
+    ref = np.fft.fftn(x.reshape(8, 2, 4), axes=(1, 2)).reshape(16, 4)
+    assert rel_l2(p(x), ref) < tolerance(8)
+
+
+def test_shards_1d_local_chunks():
+    x = crand((16,))
+    p = dist.make_plan_shards((16,), direction=Direction.FORWARD)
+    ref = np.fft.fft(x.reshape(8, 2), axis=1).reshape(16)
+    assert rel_l2(p(x), ref) < tolerance(2)

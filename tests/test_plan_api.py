@@ -179,3 +179,15 @@ def test_interface_batch_plan():
 def test_interface_rejects_bad_rank():
     with pytest.raises(ValueError):
         rft.generate_fft_interface(4, np.complex64, np.complex64)
+
+
+def test_fft_n_zero_raises():
+    with pytest.raises(ValueError):
+        rft.fft(crand((4,)), n=0)
+
+
+def test_inverse_none_norm_is_mathematical():
+    p = rft.make_plan((8, 12), axes=(0, 1), kind=rft.Kind.C2C,
+                      direction=rft.FORWARD, norm=rft.Norm.NONE)
+    x = crand((8, 12))
+    assert rel_l2(p.inverse()(p(x)), x) < tolerance(96)
