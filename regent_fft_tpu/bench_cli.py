@@ -163,7 +163,8 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--precision", default="highest",
                     choices=["highest", "high", "default"])
-    ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "xla", "pallas", "stockham", "hybrid"])
     ap.add_argument("--planner", default="estimate",
                     choices=["estimate", "model", "measure"])
     ap.add_argument("--verify", action="store_true")
