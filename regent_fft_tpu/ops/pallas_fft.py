@@ -198,16 +198,6 @@ def _runner_2stage(n1: int, n2: int, sign: int, tb: int, precision_name: str,
     return run
 
 
-def supported(spec) -> bool:
-    """Gate: which PlanSpecs may take the fused Pallas path."""
-    if jax.default_backend() != "tpu":
-        return False
-    for a in spec.axes:
-        if _plan_kind(spec.shape[a]) is None:
-            return False
-    return True
-
-
 def _plan_kind(n: int):
     if 2 <= n <= 128:
         return ("direct",)

@@ -86,3 +86,12 @@ def test_plan_backend_stockham():
                       direction=Direction.FORWARD, backend="stockham")
     from regent_fft_tpu.utils.verify import rel_l2
     assert rel_l2(p(x), np.fft.fftn(x)) < tolerance(x.size)
+
+
+def test_plan_backend_hybrid_cpu_interpret():
+    import regent_fft_tpu as rft
+    from regent_fft_tpu.utils.verify import rel_l2
+    x = crand((4, 8, 16)).astype(np.complex64)
+    p = rft.make_plan((4, 8, 16), axes=(0, 1, 2), kind=Kind.C2C,
+                      direction=Direction.FORWARD, backend="hybrid")
+    assert rel_l2(p(x), np.fft.fftn(x)) < tolerance(x.size)
