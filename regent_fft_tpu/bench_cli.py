@@ -11,6 +11,9 @@ Re-implements the *conventions* of the vendored FFTW bench harness
          irb512x512 — in-place real backward (c2r), 512x512
 
 Reported "mflops" follow libbench2/mflops.c: 5 N log2(N) / t (x0.5 real).
+Timing here is per-dispatch (host round trips included) — right for
+comparing problems/backends on one setup; use bench.py's chained
+methodology for absolute device numbers (docs/tpu_notes.md).
 ``--verify`` runs the FFTW verify-dft.c identities (impulse, linearity,
 time shift) plus a float64 golden check — with automated PASS/FAIL, unlike
 the reference's print-and-eyeball tests (SURVEY.md section 4).

@@ -171,3 +171,13 @@ def _np_norm_undo(spec) -> float:
     """numpy irfftn applies 1/N; rescale to the plan's norm convention."""
     from ..plan import _norm_scale
     return _norm_scale(spec) * spec.logical_n
+
+
+def check_parseval(fft_fn: Callable, n: int, seed: int = 0) -> float:
+    """Parseval/Plancherel: sum|X|^2 == n * sum|x|^2 (energy identity)."""
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    y = to_numpy_complex(fft_fn(x))
+    lhs = float(np.sum(np.abs(y) ** 2))
+    rhs = float(n * np.sum(np.abs(x) ** 2))
+    return abs(lhs - rhs) / rhs

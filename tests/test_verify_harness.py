@@ -49,3 +49,8 @@ def test_random_problem_fuzz():
         spec = PlanSpec(shape=shape, axes=axes, kind=Kind.C2C, direction=direction)
         res = verify.verify_plan(make_plan(spec), seed=int(rng.integers(1 << 30)))
         assert res["ok"], (spec, res)
+
+
+@pytest.mark.parametrize("n", [64, 509, 1024])
+def test_parseval(n):
+    assert verify.check_parseval(lambda x: rft.fft(x), n) < verify.tolerance(n)
