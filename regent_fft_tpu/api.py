@@ -37,6 +37,10 @@ def _dtype_of(x) -> str:
         return "complex32"
     d = x.dtype if isinstance(x, np.ndarray) else jnp.asarray(x).dtype
     if d == np.complex128 or d == np.float64:
+        # numpy defaults to f64; without x64 the c128 plan path would
+        # raise, so silently take the c64 fast path like jnp.fft does.
+        if not jax.config.read("jax_enable_x64"):
+            return "complex64"
         return "complex128"
     return "complex64"
 

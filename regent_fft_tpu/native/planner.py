@@ -11,6 +11,7 @@ Every entry point has identical-semantics Python fallbacks in
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import sys
@@ -19,7 +20,18 @@ from typing import List, Optional, Tuple
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "planner.cc")
-_SO = os.path.join(_DIR, f"libplanner-{sys.platform}.so")
+
+
+def _src_digest() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
+# The library filename embeds a hash of planner.cc: a binary can only ever
+# be loaded if it was built from the exact source present in the tree
+# (review requirement — no unreviewable prebuilt blob can shadow the
+# source).  Binaries are never committed (.gitignore *.so).
+_SO = os.path.join(_DIR, f"libplanner-{sys.platform}-{_src_digest()}.so")
 
 _lib = None
 _lib_lock = threading.Lock()
@@ -48,9 +60,7 @@ def load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_err is not None:
             return None
-        if not os.path.exists(_SO) or (
-                os.path.exists(_SRC)
-                and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
+        if not os.path.exists(_SO):
             _build_err = _build()
             if _build_err is not None:
                 from ..utils.plog import logger

@@ -253,8 +253,10 @@ def _runner_last(n: int, sign: int, tb: int, interpret: bool = False):
 def _vt_cap(n: int) -> int:
     """Lane-tile width for an n-point kernel.
 
-    Hardware envelope: blocks compile when n*vt <= 64K elements (and
-    vt <= 512); beyond that the Mosaic helper crashes.
+    Hardware-validated envelope: vt = min(512, 64K/n rounded down to a
+    lane multiple) but never below 128 — so n=1024 runs at 128-wide tiles
+    (128K-element blocks, validated on hardware); wider tiles at large n
+    crash the Mosaic helper.
     """
     return max(LANE_TILE, min(512, (65536 // max(n, 1)) // 128 * 128))
 

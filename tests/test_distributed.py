@@ -56,7 +56,7 @@ def test_slab_3d_and_inverse():
 def test_slab_transposed_out():
     # FFTW_MPI_TRANSPOSED_OUT analog: values identical, layout X-sharded.
     x = crand((8, 8, 8))
-    p = dist.make_plan_transposed = dist.make_plan_slab((8, 8, 8), transposed_out=True)
+    p = dist.make_plan_slab((8, 8, 8), transposed_out=True)
     y = p(x)
     assert rel_l2(y, np.fft.fftn(x)) < tolerance(x.size)
     assert p.out_sharding.spec[-1] == "fft"

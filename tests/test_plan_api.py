@@ -191,3 +191,15 @@ def test_inverse_none_norm_is_mathematical():
                       direction=rft.FORWARD, norm=rft.Norm.NONE)
     x = crand((8, 12))
     assert rel_l2(p.inverse()(p(x)), x) < tolerance(96)
+
+
+def test_float64_input_downcasts_without_x64():
+    # numpy's default dtype is f64; without JAX_ENABLE_X64 the one-shot
+    # API must take the complex64 path (like jnp.fft) instead of raising.
+    import jax
+    if jax.config.read("jax_enable_x64"):
+        pytest.skip("x64 enabled: f64 inputs legitimately plan as c128")
+    x = RNG.standard_normal(64)  # float64
+    assert rel_l2(rft.fft(x), np.fft.fft(x)) < tolerance(64)
+    z = RNG.standard_normal(64) + 1j * RNG.standard_normal(64)  # complex128
+    assert rel_l2(rft.fft(z), np.fft.fft(z)) < tolerance(64)
