@@ -11,9 +11,9 @@ Re-implements the *conventions* of the vendored FFTW bench harness
          irb512x512 — in-place real backward (c2r), 512x512
 
 Reported "mflops" follow libbench2/mflops.c: 5 N log2(N) / t (x0.5 real).
-Timing here is per-dispatch (host round trips included) — right for
-comparing problems/backends on one setup; use bench.py's chained
-methodology for absolute device numbers (docs/tpu_notes.md).
+Timing uses the package-wide honest methodology (scan-chained device
+execution, ``utils.timing`` — same numbers as bench.py); pass
+``--latency`` for per-dispatch wall latency including host round trips.
 ``--verify`` runs the FFTW verify-dft.c identities (impulse, linearity,
 time shift) plus a float64 golden check — with automated PASS/FAIL, unlike
 the reference's print-and-eyeball tests (SURVEY.md section 4).
@@ -105,21 +105,22 @@ def _make_input(prob: Problem, batch: int, seed: int = 0):
 
 def run_problem(prob: Problem, batch: int = 1, iters: int = 10,
                 precision: str = "highest", backend: str = "auto",
-                planner: str = "estimate", verify: bool = False) -> dict:
+                planner: str = "estimate", verify: bool = False,
+                latency: bool = False) -> dict:
     import jax
     from .utils import verify as V
     from .utils import flopcount
+    from .utils import timing
 
     plan = _build_plan(prob, batch, precision, backend, planner)
     x = _make_input(prob, batch)
-    y = plan(x)
+    y = plan(x)  # warm the production dispatch path
     jax.block_until_ready(jax.tree.leaves(y))
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = plan(x)
-    jax.block_until_ready(jax.tree.leaves(y))
-    dt = (time.perf_counter() - t0) / iters
+    if latency:
+        dt = timing.time_plan_latency(plan, iters=iters)
+    else:
+        dt = timing.time_plan(plan, iters=min(iters, 8), reps=3)
 
     mflops = flopcount.mflops_convention(prob.n, dt, real=prob.real) * max(batch, 1)
     out = {
@@ -128,6 +129,7 @@ def run_problem(prob: Problem, batch: int = 1, iters: int = 10,
         "time_us": dt * 1e6,
         "mflops": mflops,
         "batch": batch,
+        "methodology": "latency" if latency else "chained-device",
     }
     if verify:
         res = V.verify_plan(plan, x=x)
@@ -171,6 +173,8 @@ def main(argv=None):
     ap.add_argument("--planner", default="estimate",
                     choices=["estimate", "model", "measure"])
     ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--latency", action="store_true",
+                    help="per-dispatch wall latency instead of chained device time")
     ap.add_argument("--json", action="store_true", help="one JSON line per problem")
     args = ap.parse_args(argv)
 
@@ -184,7 +188,8 @@ def main(argv=None):
     for ps in problems:
         prob = parse_problem(ps)
         res = run_problem(prob, args.batch, args.iters, args.precision,
-                          args.backend, args.planner, args.verify)
+                          args.backend, args.planner, args.verify,
+                          latency=args.latency)
         if args.json:
             print(json.dumps(res))
         else:

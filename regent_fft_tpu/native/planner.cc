@@ -48,7 +48,10 @@ double stage_cost(double n, double r, const CostParams& p) {
   // Sub-linear penalty: tiny radices still stream through the MXU pipe.
   if (eff < 0.0625) eff = 0.0625;
   double matmul = 8.0 * n * r / (p.mxu_rate * eff);
-  double twiddle = 6.0 * n / (p.vpu_rate / 1.0) * p.vpu_rate;  // ~6n
+  // 6 VPU flops/element for the inter-stage twiddle multiply, converted
+  // to MXU-flop time units via the relative VPU rate (vpu_rate = VPU
+  // flops per MXU flop per unit time, so time = flops / (mxu_rate*vpu)).
+  double twiddle = 6.0 * n / (p.mxu_rate * p.vpu_rate);
   return matmul + twiddle + p.stage_overhead * n * 0.25;
 }
 
@@ -219,6 +222,6 @@ void rftp_set_cost_params(double mxu_edge, double mxu_rate, double vpu_rate,
   g_memo.best.clear();
 }
 
-int rftp_version() { return 1; }
+int rftp_version() { return 2; }
 
 }  // extern "C"

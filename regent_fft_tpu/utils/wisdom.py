@@ -43,14 +43,19 @@ def _spec_from_dict(d: dict) -> PlanSpec:
 
 
 def export_wisdom_to_string() -> str:
-    """Serialize cached plan specs + tuned schedule overrides
-    (fftw_export_wisdom_to_string analog)."""
+    """Serialize cached plan specs + tuned schedule overrides + measured
+    backend winners (fftw_export_wisdom_to_string analog — FFTW wisdom
+    stores the full solver decision, ``api/export-wisdom*.c``)."""
     from ..ops import factor as _factor
+    from ..plan import _BACKEND_WISDOM
     specs = [_spec_to_dict(s) for s in _PLAN_CACHE]
     overrides = [{"n": n, "max_radix": mr, "factors": list(f)}
                  for (n, mr), f in _factor._SCHEDULE_OVERRIDES.items()]
+    backends = [{"spec": _spec_to_dict(k), "winner": w}
+                for k, w in _BACKEND_WISDOM.items()]
     return json.dumps({"version": WISDOM_VERSION, "library": "regent_fft_tpu",
-                       "plans": specs, "schedules": overrides}, indent=2)
+                       "plans": specs, "schedules": overrides,
+                       "backends": backends}, indent=2)
 
 
 def export_wisdom_to_filename(path: str) -> None:
@@ -69,10 +74,14 @@ def import_wisdom_from_string(s: str, build: bool = True) -> int:
     if data.get("version") != WISDOM_VERSION:
         raise ValueError(f"unsupported wisdom version: {data.get('version')}")
     from ..ops import factor as _factor
+    from ..plan import _BACKEND_WISDOM, _backend_key
     n = 0
     for o in data.get("schedules", []):
         _factor.set_schedule_override(o["n"], tuple(o["factors"]),
                                       o.get("max_radix", 128))
+        n += 1
+    for o in data.get("backends", []):
+        _BACKEND_WISDOM[_backend_key(_spec_from_dict(o["spec"]))] = o["winner"]
         n += 1
     for d in data.get("plans", []):
         spec = _spec_from_dict(d)
@@ -88,10 +97,12 @@ def import_wisdom_from_filename(path: str, build: bool = True) -> int:
 
 
 def forget_wisdom() -> None:
-    """fftw_forget_wisdom analog: drop plans AND tuned schedules."""
+    """fftw_forget_wisdom analog: drop plans, schedules, backend winners."""
     from ..ops import factor as _factor
+    from ..plan import _BACKEND_WISDOM
     _PLAN_CACHE.clear()
     _factor._SCHEDULE_OVERRIDES.clear()
+    _BACKEND_WISDOM.clear()
 
 
 def default_wisdom_path() -> str:
