@@ -177,36 +177,41 @@ def _runner_axis0(n: int, sign: int, vt: int, interpret: bool = False):
 
 
 @functools.lru_cache(maxsize=256)
-def _runner_mid(n: int, sign: int, vt: int, interpret: bool = False):
+def _runner_cols(n: int, sign: int, vt: int, scale: float = 1.0,
+                 interpret: bool = False):
     """Kernel for FFT along the MIDDLE axis of (P, n, V) data.
 
-    The array is viewed 2-D as (P*n, V); grid (P, V/vt) with block
-    (n, vt) whose row BLOCK index i selects rows [i*n, (i+1)*n) — the
-    i-th pre-slice.  Everything stays 2-D (3-D blocks with unit leading
-    dims crash this Mosaic build).
+    The array is viewed 2-D as (P*n, V); 2-D grid (P, V/vt) with block
+    (n, vt): block index (i, j) selects rows [i*n, (i+1)*n) — the i-th
+    pre-slice — and lane tile j.  No data movement outside the kernel:
+    this is the "no normalization copies" mid-axis pass (column-tiled
+    grids compile on the current Mosaic; round-1's workaround copies are
+    gone).  ``scale`` (static) is fused into the output write — the norm
+    multiply costs zero HBM passes.
     """
     wr_np, wi_np, _ = _packed_tables(n, sign)
+    s = np.float32(scale)
 
     def kernel(xr_ref, xi_ref, wr_ref, wi_ref, yr_ref, yi_ref):
         yr, yi = _stockham_tile(xr_ref[:], xi_ref[:], n, sign,
                                 wr_ref[:], wi_ref[:])
+        if scale != 1.0:
+            yr = yr * s
+            yi = yi * s
         yr_ref[:] = yr
         yi_ref[:] = yi
 
     def run(xr, xi):
-        """xr, xi: (P*n, vt) 2-D views; returns same-shaped planes.
-
-        ROW-tiled 1-D grid only: each block is one full-width pre-slice
-        (column-tiled grids crash this Mosaic build).
-        """
+        """xr, xi: (P*n, V) 2-D views; returns same-shaped planes."""
         rows, vdim = xr.shape
-        assert vdim == vt, (vdim, vt)
+        assert vdim % vt == 0, (vdim, vt)
         p = rows // n
-        bs = pl.BlockSpec((n, vt), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ws = pl.BlockSpec(wr_np.shape, lambda i: (0, 0),
+        bs = pl.BlockSpec((n, vt), lambda i, j: (i, j),
+                          memory_space=pltpu.VMEM)
+        ws = pl.BlockSpec(wr_np.shape, lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            kernel, grid=(p,),
+            kernel, grid=(p, vdim // vt),
             in_specs=[bs, bs, ws, ws], out_specs=[bs, bs],
             out_shape=[jax.ShapeDtypeStruct((rows, vdim), jnp.float32)] * 2,
             cost_estimate=pl.CostEstimate(
@@ -217,19 +222,106 @@ def _runner_mid(n: int, sign: int, vt: int, interpret: bool = False):
     return run
 
 
+# Largest fused 2-axis block (n1 * n2 elements); hardware envelope.
+MAX_FUSED2_ELEMS = 65536
+
+
 @functools.lru_cache(maxsize=256)
-def _runner_last(n: int, sign: int, tb: int, interpret: bool = False):
+def _runner_fused2(n1: int, n2: int, sign: int, scale: float = 1.0,
+                   interpret: bool = False):
+    """Fused TWO-AXIS FFT kernel over (n1, n2) blocks: one HBM pass for
+    both trailing axes.
+
+    Butterfly along axis 0 (n1 on sublanes), in-VMEM 2-D transpose
+    (Mosaic-native for both dims >= 16), butterfly along the former lane
+    axis (n2), transpose back, write — the 3-D analog of FFTW's
+    rank-geq2 solver with the intermediate kept on-chip
+    (``fftw-3.3.8/dft/rank-geq2.c``), at half the HBM traffic of two
+    separate passes.
+    """
+    w1r_np, w1i_np, _ = _packed_tables(n1, sign)
+    w2r_np, w2i_np, _ = _packed_tables(n2, sign)
+    s = np.float32(scale)
+
+    def kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w2r_ref, w2i_ref,
+               yr_ref, yi_ref):
+        ar, ai = _stockham_tile(xr_ref[:], xi_ref[:], n1, sign,
+                                w1r_ref[:], w1i_ref[:])
+        ar, ai = ar.T, ai.T
+        br, bi = _stockham_tile(ar, ai, n2, sign, w2r_ref[:], w2i_ref[:])
+        br, bi = br.T, bi.T
+        if scale != 1.0:
+            br = br * s
+            bi = bi * s
+        yr_ref[:] = br
+        yi_ref[:] = bi
+
+    def run(xr, xi):
+        """xr, xi: (P*n1, n2) 2-D views; returns same-shaped planes."""
+        rows, vdim = xr.shape
+        assert vdim == n2, (vdim, n2)
+        p = rows // n1
+        bs = pl.BlockSpec((n1, n2), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+        w1s = pl.BlockSpec(w1r_np.shape, lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+        w2s = pl.BlockSpec(w2r_np.shape, lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel, grid=(p,),
+            in_specs=[bs, bs, w1s, w1s, w2s, w2s], out_specs=[bs, bs],
+            out_shape=[jax.ShapeDtypeStruct((rows, vdim), jnp.float32)] * 2,
+            cost_estimate=pl.CostEstimate(
+                flops=int(10 * n1 * n2 * np.log2(n1 * n2) * p),
+                bytes_accessed=4 * rows * vdim * 4, transcendentals=0),
+            interpret=interpret,
+        )(xr, xi, jnp.asarray(w1r_np), jnp.asarray(w1i_np),
+          jnp.asarray(w2r_np), jnp.asarray(w2i_np))
+    return run
+
+
+def fused2_supported(n1: int, n2: int) -> bool:
+    """Can the (n1, n2) trailing-axes pair run as ONE fused kernel pass?"""
+    pow2 = lambda n: n >= 2 and (n & (n - 1)) == 0
+    return (pow2(n1) and pow2(n2)
+            and n1 * n2 <= MAX_FUSED2_ELEMS
+            and n2 >= LANE_TILE          # lanes dim must be a lane tile
+            and n1 >= 16 and n2 >= 16)   # in-VMEM transpose legality
+
+
+def fft_axes2_stockham(xr, xi, direction: Direction, scale: float = 1.0,
+                       interpret: bool = False):
+    """FFT along the LAST TWO axes of an N-D split pair in one HBM pass."""
+    shape = xr.shape
+    n1, n2 = shape[-2], shape[-1]
+    if not fused2_supported(n1, n2):
+        raise ValueError(f"fused2 unsupported for trailing axes {(n1, n2)}")
+    sign = int(direction)
+    pre = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    run = _runner_fused2(n1, n2, sign, float(scale), interpret)
+    yr, yi = run(xr.reshape(pre * n1, n2), xi.reshape(pre * n1, n2))
+    return yr.reshape(shape), yi.reshape(shape)
+
+
+@functools.lru_cache(maxsize=256)
+def _runner_last(n: int, sign: int, tb: int, scale: float = 1.0,
+                 interpret: bool = False):
     """Kernel over (B, n) arrays: FFT along the LAST axis.
 
     Blocks (tb, n) are transposed IN VMEM (2-D transposes are
     Mosaic-native) so the butterfly core still runs with the transform
-    axis on sublanes; transposed back on write.
+    axis on sublanes; transposed back on write.  ``scale`` is fused into
+    the write.
     """
     wr_np, wi_np, _ = _packed_tables(n, sign)
+    s = np.float32(scale)
 
     def kernel(xr_ref, xi_ref, wr_ref, wi_ref, yr_ref, yi_ref):
         yr, yi = _stockham_tile(xr_ref[:].T, xi_ref[:].T, n, sign,
                                 wr_ref[:], wi_ref[:])
+        if scale != 1.0:
+            yr = yr * s
+            yi = yi * s
         yr_ref[:] = yr.T
         yi_ref[:] = yi.T
 
@@ -261,41 +353,30 @@ def _vt_cap(n: int) -> int:
     return max(LANE_TILE, min(512, (65536 // max(n, 1)) // 128 * 128))
 
 
-def _mid_apply(xr3, xi3, n: int, sign: int, interpret: bool):
-    """FFT over axis 1 of (pre, n, post) split planes via row-tiled blocks.
+def _mid_apply(xr3, xi3, n: int, sign: int, scale: float, interpret: bool):
+    """FFT over axis 1 of (pre, n, post) split planes, ONE HBM pass.
 
-    post is padded to a lane multiple.  When post exceeds the VMEM width
-    cap, the lane dim is split (free) and the chunk axis transposed out
-    (one copy each way) so every block stays full-width — column-tiled
-    grids crash this Mosaic build.
+    post is padded to a lane multiple; the 2-D grid column-tiles wide
+    trailing extents directly (no normalization copies — round-1's
+    swapaxes workaround is gone since column-tiled grids now compile).
     """
     pre, _, post = xr3.shape
-    vt = _vt_cap(n)
     pad = (-post) % 128
     if pad:
         xr3 = jnp.pad(xr3, ((0, 0), (0, 0), (0, pad)))
         xi3 = jnp.pad(xi3, ((0, 0), (0, 0), (0, pad)))
     postp = xr3.shape[-1]
-    if postp <= vt:
-        run = _runner_mid(n, sign, postp, interpret)
-        yr, yi = _chunk_rows_map(run, xr3.reshape(pre * n, postp),
-                                 xi3.reshape(pre * n, postp), n)
-        yr = yr.reshape(pre, n, postp)[:, :, :post]
-        yi = yi.reshape(pre, n, postp)[:, :, :post]
-        return yr, yi
-    # wide case: (pre, n, nc, vc) -> (pre, nc, n, vc) [copy] -> row blocks
-    vc = vt
-    while postp % vc:
-        vc -= 128
-    nc = postp // vc
-    xr4 = jnp.swapaxes(xr3.reshape(pre, n, nc, vc), 1, 2)
-    xi4 = jnp.swapaxes(xi3.reshape(pre, n, nc, vc), 1, 2)
-    run = _runner_mid(n, sign, vc, interpret)
-    yr, yi = _chunk_rows_map(run, xr4.reshape(pre * nc * n, vc),
-                             xi4.reshape(pre * nc * n, vc), n)
-    yr = jnp.swapaxes(yr.reshape(pre, nc, n, vc), 1, 2).reshape(pre, n, postp)
-    yi = jnp.swapaxes(yi.reshape(pre, nc, n, vc), 1, 2).reshape(pre, n, postp)
-    return yr[:, :, :post], yi[:, :, :post]
+    vt = min(_vt_cap(n), postp)
+    while postp % vt:
+        vt -= 128
+    run = _runner_cols(n, sign, vt, scale, interpret)
+    yr, yi = run(xr3.reshape(pre * n, postp), xi3.reshape(pre * n, postp))
+    yr = yr.reshape(pre, n, postp)
+    yi = yi.reshape(pre, n, postp)
+    if pad:
+        yr = yr[:, :, :post]
+        yi = yi[:, :, :post]
+    return yr, yi
 
 
 def _chunk_rows_map(run, xr2, xi2, n: int):
@@ -315,13 +396,13 @@ def _chunk_rows_map(run, xr2, xi2, n: int):
 
 
 def fft_axis_stockham(xr, xi, axis: int, direction: Direction,
-                      interpret: bool = False):
+                      scale: float = 1.0, interpret: bool = False):
     """FFT along ``axis`` of an N-D split pair via the butterfly kernels.
 
-    Power-of-two lengths only.  Last axis: row-tiled (tb, n) blocks with
-    in-VMEM 2-D transposes.  Other axes: row-tiled full-width (n, vc)
-    blocks (one normalization copy each way when the trailing extent
-    exceeds the VMEM width cap).
+    Power-of-two lengths only; exactly ONE HBM read+write of the array.
+    Last axis: row-tiled (tb, n) blocks with in-VMEM 2-D transposes.
+    Other axes: column-tiled (n, vt) blocks over a 2-D grid.  ``scale``
+    is fused into the kernel's output write (free normalization).
     """
     ndim = xr.ndim
     axis = axis % ndim
@@ -330,6 +411,7 @@ def fft_axis_stockham(xr, xi, axis: int, direction: Direction,
         raise ValueError(
             f"stockham path needs power-of-two length <= {MAX_STOCKHAM_N}, got {n}")
     sign = int(direction)
+    scale = float(scale)
     shape = xr.shape
     if axis == ndim - 1 and ndim > 1:
         b = int(np.prod(shape[:-1]))
@@ -340,11 +422,11 @@ def fft_axis_stockham(xr, xi, axis: int, direction: Direction,
         if pad:
             xr2 = jnp.pad(xr2, ((0, pad), (0, 0)))
             xi2 = jnp.pad(xi2, ((0, pad), (0, 0)))
-        run = _runner_last(n, sign, tb, interpret)
+        run = _runner_last(n, sign, tb, scale, interpret)
         yr, yi = _chunk_rows_map(run, xr2, xi2, tb)
         return yr[:b].reshape(shape), yi[:b].reshape(shape)
     pre = int(np.prod(shape[:axis])) if axis else 1
     post = int(np.prod(shape[axis + 1:]))
     yr, yi = _mid_apply(xr.reshape(pre, n, post), xi.reshape(pre, n, post),
-                        n, sign, interpret)
+                        n, sign, scale, interpret)
     return yr.reshape(shape), yi.reshape(shape)

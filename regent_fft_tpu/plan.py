@@ -171,22 +171,37 @@ def _build_core(spec: PlanSpec):
 
     sign = int(spec.direction)
 
+    # Butterfly kernels compute in f32: never on the complex128 path.
+    kernels_ok = spec.dtype != "complex128"
+
     def axis_steps(axes_list, direction):
-        """Per-axis execution steps: fused direct einsum when the axis is
-        short enough (one read+write — bandwidth minimum), else the
-        general (mixed-radix / Bluestein / Pallas) 1-D pipeline."""
+        """Per-axis execution steps: Stockham butterfly kernel (1 HBM
+        pass, f32-native) for power-of-two axes under the stockham/hybrid
+        backends — with the trailing axis PAIR fused into one kernel pass
+        when its (n1, n2) block fits the VMEM envelope — fused direct
+        einsum for short non-pow2 axes, else the general (mixed-radix /
+        Bluestein / Pallas) 1-D pipeline."""
         steps = []
         ndim = len(spec.shape)
+        axes_list = list(axes_list)
+        if (backend in ("stockham", "hybrid") and kernels_ok
+                and len(axes_list) >= 2 and ndim >= 2
+                and axes_list[0] == ndim - 1 and axes_list[1] == ndim - 2):
+            from .ops import pallas_stockham as _ps
+            n1, n2 = spec.shape[ndim - 2], spec.shape[ndim - 1]
+            if _ps.fused2_supported(n1, n2):
+                # ONE kernel pass for both trailing axes (half the HBM
+                # traffic of two passes; fftw rank-geq2 solver analog).
+                steps.append(("stockham2", ndim - 2, (n1, n2)))
+                axes_list = axes_list[2:]
         for a in axes_list:
             n = spec.shape[a]
-            pow2_ok = 2 <= n <= 1024 and (n & (n - 1)) == 0
-            if backend == "stockham" and pow2_ok:
-                # VPU butterfly kernel: power-of-two axes, f32-native.
-                steps.append(("stockham", a, n))
-                continue
-            if backend == "hybrid" and pow2_ok and a == ndim - 1:
-                # Hybrid: butterfly kernel on the copy-free last axis
-                # (f32-native, 1 HBM pass), fused einsum elsewhere.
+            pow2_ok = (kernels_ok and 2 <= n <= 1024
+                       and (n & (n - 1)) == 0)
+            if backend in ("stockham", "hybrid") and pow2_ok:
+                # VPU butterfly kernel: power-of-two axes, f32-native,
+                # exactly one HBM read+write per axis (column-tiled grid
+                # for mid axes, in-VMEM transposes for the last axis).
                 steps.append(("stockham", a, n))
                 continue
             if backend == "pallas":
@@ -214,9 +229,15 @@ def _build_core(spec: PlanSpec):
                 steps.append(("general", a, build_1d(n, direction)))
         return steps
 
-    def run_steps(steps, xr, xi, direction):
+    def run_steps(steps, xr, xi, direction, fuse_scale: float = 1.0):
+        """Execute the steps; ``fuse_scale`` rides the LAST kernel step's
+        output write for free (FFT linearity lets the norm scale attach
+        to any stage)."""
         s = int(direction)
-        for kind_, a, arg in steps:
+        last_fusable = len(steps) - 1 if (
+            steps and steps[-1][0] in ("stockham", "stockham2")) else -1
+        for idx, (kind_, a, arg) in enumerate(steps):
+            ksc = fuse_scale if idx == last_fusable else 1.0
             if kind_ == "direct":
                 xr, xi = _stockham.direct_dft_axis(
                     xr, xi, a, arg, s, precision, u3)
@@ -224,7 +245,12 @@ def _build_core(spec: PlanSpec):
                 from .ops import pallas_stockham as _ps
                 interp = jax.default_backend() != "tpu"
                 xr, xi = _ps.fft_axis_stockham(
-                    xr, xi, a, Direction(s), interpret=interp)
+                    xr, xi, a, Direction(s), scale=ksc, interpret=interp)
+            elif kind_ == "stockham2":
+                from .ops import pallas_stockham as _ps
+                interp = jax.default_backend() != "tpu"
+                xr, xi = _ps.fft_axes2_stockham(
+                    xr, xi, Direction(s), scale=ksc, interpret=interp)
             elif kind_ == "mixed2":
                 n, n1 = arg
                 xr, xi = _stockham.mixed_radix_fft_axis(
@@ -233,15 +259,20 @@ def _build_core(spec: PlanSpec):
                 xr, xi = _nd.apply_along_axis(arg, a, xr, xi)
         return xr, xi
 
+    def _fused_into_steps(steps) -> bool:
+        return bool(steps) and steps[-1][0] in ("stockham", "stockham2")
+
     if spec.kind == Kind.C2C:
         # Transform the last-listed axis first when it is the final
         # (lane-contiguous) axis — cheapest pass runs on the natural layout.
         axes = sorted(spec.axes, reverse=True)
         steps = axis_steps(axes, spec.direction)
+        fused = _fused_into_steps(steps)
 
         def core(xr, xi):
-            yr, yi = run_steps(steps, xr, xi, spec.direction)
-            if scale != 1.0:
+            yr, yi = run_steps(steps, xr, xi, spec.direction,
+                               fuse_scale=scale if fused else 1.0)
+            if scale != 1.0 and not fused:
                 yr = yr * jnp.asarray(scale, yr.dtype)
                 yi = yi * jnp.asarray(scale, yi.dtype)
             return yr, yi
@@ -255,11 +286,13 @@ def _build_core(spec: PlanSpec):
         rfn = _real.build_r2c_1d(n_r, mr, precision, u3)
         other = [a for a in spec.axes if a != raxis]
         steps = axis_steps(sorted(other, reverse=True), Direction.FORWARD)
+        fused = _fused_into_steps(steps)
 
         def core(x):
             yr, yi = _nd.apply_along_axis_real_in(rfn, raxis, x)
-            yr, yi = run_steps(steps, yr, yi, Direction.FORWARD)
-            if scale != 1.0:
+            yr, yi = run_steps(steps, yr, yi, Direction.FORWARD,
+                               fuse_scale=scale if fused else 1.0)
+            if scale != 1.0 and not fused:
                 yr = yr * jnp.asarray(scale, yr.dtype)
                 yi = yi * jnp.asarray(scale, yi.dtype)
             return yr, yi
@@ -272,11 +305,15 @@ def _build_core(spec: PlanSpec):
     cfn = _real.build_c2r_1d(n_r, mr, precision, u3)
     other = [a for a in spec.axes if a != raxis]
     steps = axis_steps(sorted(other, reverse=True), Direction.BACKWARD)
+    fused = _fused_into_steps(steps)
 
     def core(xr, xi):
-        xr, xi = run_steps(steps, xr, xi, Direction.BACKWARD)
+        # scale commutes with the linear c2r untangle, so it can ride the
+        # last kernel step's write even though untangle runs after.
+        xr, xi = run_steps(steps, xr, xi, Direction.BACKWARD,
+                           fuse_scale=scale if fused else 1.0)
         y = _nd.apply_along_axis_real_out(cfn, raxis, xr, xi)
-        if scale != 1.0:
+        if scale != 1.0 and not fused:
             y = y * jnp.asarray(scale, y.dtype)
         return y
     return core
