@@ -395,6 +395,199 @@ def _chunk_rows_map(run, xr2, xi2, n: int):
     return yr4.reshape(rows, vc), yi4.reshape(rows, vc)
 
 
+def r2c_last_supported(n: int) -> bool:
+    """Can the kernel r2c/c2r path run the last axis of length n?"""
+    return 2 <= n <= MAX_STOCKHAM_N and n % 2 == 0 and (n & (n - 1)) == 0
+
+
+def _pair_rows(x2):
+    """(B, n) -> even rows, odd rows ((B/2, n) each), padding B to even."""
+    b = x2.shape[0]
+    if b % 2:
+        x2 = jnp.pad(x2, ((0, 1), (0, 0)))
+        b += 1
+    x3 = x2.reshape(b // 2, 2, x2.shape[1])
+    return x3[:, 0, :], x3[:, 1, :]
+
+
+@functools.lru_cache(maxsize=256)
+def _runner_last_r2c(n: int, tb: int, interpret: bool = False):
+    """Fully-fused r2c kernel over row-pair-packed (B/2, n) planes.
+
+    Per (tb, n) block: forward AND backward butterfly transforms of the
+    packed rows (backward gives Z[(n-k) mod n] with NO data reversal —
+    Mosaic has no sublane flip), Hermitian untangle, masking of bins
+    >= n//2+1 to zero (so the output doubles as the lane-padded half
+    spectrum), and a row-pair interleave into one (2*tb, n) output block.
+    Replaces the reference's r2c engine (``rdft/``) on the hot path.
+    """
+    wfr_np, wfi_np, _ = _packed_tables(n, -1)
+    wbr_np, wbi_np, _ = _packed_tables(n, +1)
+    h = n // 2 + 1
+
+    def kernel(zr_ref, zi_ref, wfr_ref, wfi_ref, wbr_ref, wbi_ref,
+               yr_ref, yi_ref):
+        zr = zr_ref[:].T
+        zi = zi_ref[:].T
+        ar, ai = _stockham_tile(zr, zi, n, -1, wfr_ref[:], wfi_ref[:])
+        br, bi = _stockham_tile(zr, zi, n, +1, wbr_ref[:], wbi_ref[:])
+        x1r = 0.5 * (ar + br)
+        x1i = 0.5 * (ai - bi)
+        x2r = 0.5 * (ai + bi)
+        x2i = -0.5 * (ar - br)
+        k = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 0)
+        keep = k < h
+        z = jnp.float32(0.0)
+        x1r = jnp.where(keep, x1r, z)
+        x1i = jnp.where(keep, x1i, z)
+        x2r = jnp.where(keep, x2r, z)
+        x2i = jnp.where(keep, x2i, z)
+        yr_ref[:] = jnp.stack([x1r.T, x2r.T], axis=1).reshape(2 * tb, n)
+        yi_ref[:] = jnp.stack([x1i.T, x2i.T], axis=1).reshape(2 * tb, n)
+
+    def run(zr, zi):
+        b2 = zr.shape[0]
+        ibs = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        obs = pl.BlockSpec((2 * tb, n), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        wfs = pl.BlockSpec(wfr_np.shape, lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+        wbs = pl.BlockSpec(wbr_np.shape, lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel, grid=(b2 // tb,),
+            in_specs=[ibs, ibs, wfs, wfs, wbs, wbs], out_specs=[obs, obs],
+            out_shape=[jax.ShapeDtypeStruct((2 * b2, n), jnp.float32)] * 2,
+            cost_estimate=pl.CostEstimate(
+                flops=int(20 * n * np.log2(n) * b2), transcendentals=0,
+                bytes_accessed=6 * b2 * n * 4),
+            interpret=interpret,
+        )(zr, zi, jnp.asarray(wfr_np), jnp.asarray(wfi_np),
+          jnp.asarray(wbr_np), jnp.asarray(wbi_np))
+    return run
+
+
+@functools.lru_cache(maxsize=256)
+def _runner_last_c2r(n: int, tb: int, interpret: bool = False):
+    """Fully-fused c2r kernel: (2*tb, n) padded half-spectrum block ->
+    (2*tb, n) real block, unscaled (times N) inverse.
+
+    Writing Z's Hermitian tail needs X[n-k]; instead of reversing, use
+      v = BWD(H) + conj(BWD(G)),   H = (X1 + i X2) masked to k <= n/2,
+                                   G = (X1 - i X2) masked to 1 <= k < n/2
+    — two backward butterfly transforms, zero data movement.
+    """
+    wbr_np, wbi_np, _ = _packed_tables(n, +1)
+    m = n // 2
+
+    def kernel(yr_ref, yi_ref, wbr_ref, wbi_ref, o_ref):
+        ar = yr_ref[:].reshape(tb, 2, n)
+        ai = yi_ref[:].reshape(tb, 2, n)
+        x1r = ar[:, 0, :].T
+        x2r = ar[:, 1, :].T
+        x1i = ai[:, 0, :].T
+        x2i = ai[:, 1, :].T
+        k = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 0)
+        z = jnp.float32(0.0)
+        # Hermitian endpoint bins are real (numpy.fft.irfft convention).
+        ends = (k == 0) | (k == m)
+        x1i = jnp.where(ends, z, x1i)
+        x2i = jnp.where(ends, z, x2i)
+        head = k <= m
+        tail = (k >= 1) & (k < m)
+        hr = jnp.where(head, x1r - x2i, z)
+        hi = jnp.where(head, x1i + x2r, z)
+        gr = jnp.where(tail, x1r + x2i, z)
+        gi = jnp.where(tail, x1i - x2r, z)
+        vhr, vhi = _stockham_tile(hr, hi, n, +1, wbr_ref[:], wbi_ref[:])
+        vgr, vgi = _stockham_tile(gr, gi, n, +1, wbr_ref[:], wbi_ref[:])
+        vr = vhr + vgr
+        vi = vhi - vgi
+        o_ref[:] = jnp.stack([vr.T, vi.T], axis=1).reshape(2 * tb, n)
+
+    def run(yr, yi):
+        rows = yr.shape[0]
+        ibs = pl.BlockSpec((2 * tb, n), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        ws = pl.BlockSpec(wbr_np.shape, lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel, grid=(rows // (2 * tb),),
+            in_specs=[ibs, ibs, ws, ws], out_specs=ibs,
+            out_shape=jax.ShapeDtypeStruct((rows, n), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=int(20 * n * np.log2(n) * rows // 2),
+                bytes_accessed=6 * rows * n * 2, transcendentals=0),
+            interpret=interpret,
+        )(yr, yi, jnp.asarray(wbr_np), jnp.asarray(wbi_np))
+    return run
+
+
+def fft_last_r2c_stockham(x, interpret: bool = False, padded: bool = False):
+    """R2C along the LAST axis of a real array, fully in-kernel.
+
+    Two consecutive real rows pack as one complex row (free: leading-dim
+    reshapes only); ONE kernel pass over half the rows computes both
+    half-spectra (see :func:`_runner_last_r2c`).  This replaces the
+    reference's fftw_plan_dft_r2c (``src/fft.rg:313``; FFTW ``rdft/``)
+    on the hot path at ~half the traffic of a padded complex transform.
+
+    Returns the split (..., n//2+1) half spectrum — or, with
+    ``padded=True``, (..., n)-wide planes whose bins >= n//2+1 are zero
+    (lane-aligned for subsequent kernel passes; slice at the end).
+    """
+    shape = x.shape
+    n = shape[-1]
+    if not r2c_last_supported(n):
+        raise ValueError(f"kernel r2c path needs even power-of-two n <= "
+                         f"{MAX_STOCKHAM_N}, got {n}")
+    h = n // 2 + 1
+    b = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+    zr, zi = _pair_rows(x.reshape(b, n))
+    b2 = zr.shape[0]
+    tb = LANE_TILE
+    pad = (-b2) % tb
+    if pad:
+        zr = jnp.pad(zr, ((0, pad), (0, 0)))
+        zi = jnp.pad(zi, ((0, pad), (0, 0)))
+    run = _runner_last_r2c(n, tb, interpret)
+    yr, yi = run(zr, zi)
+    yr, yi = yr[:b], yi[:b]
+    if padded:
+        return yr.reshape(shape[:-1] + (n,)), yi.reshape(shape[:-1] + (n,))
+    out = shape[:-1] + (h,)
+    return yr[:, :h].reshape(out), yi[:, :h].reshape(out)
+
+
+def ifft_last_c2r_stockham(xr, xi, n: int, interpret: bool = False):
+    """UNSCALED (times N) inverse of :func:`fft_last_r2c_stockham`.
+
+    Input: split (..., n//2+1) half spectrum OR (..., n) lane-padded
+    planes (extra bins ignored — the kernel masks them).  Output
+    (..., n) real.  One fused kernel pass (see :func:`_runner_last_c2r`).
+    """
+    if not r2c_last_supported(n):
+        raise ValueError(f"kernel c2r path needs even power-of-two n <= "
+                         f"{MAX_STOCKHAM_N}, got {n}")
+    h = n // 2 + 1
+    shape = xr.shape
+    assert shape[-1] in (h, n), (shape, h, n)
+    b = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+    xr2 = xr.reshape(b, shape[-1])
+    xi2 = xi.reshape(b, shape[-1])
+    if shape[-1] != n:  # lane-pad the half spectrum (values ignored)
+        xr2 = jnp.pad(xr2, ((0, 0), (0, n - h)))
+        xi2 = jnp.pad(xi2, ((0, 0), (0, n - h)))
+    tb = LANE_TILE
+    pad = (-b) % (2 * tb)
+    if pad:
+        xr2 = jnp.pad(xr2, ((0, pad), (0, 0)))
+        xi2 = jnp.pad(xi2, ((0, pad), (0, 0)))
+    run = _runner_last_c2r(n, tb, interpret)
+    y = run(xr2, xi2)
+    return y[:b].reshape(shape[:-1] + (n,))
+
+
 def fft_axis_stockham(xr, xi, axis: int, direction: Direction,
                       scale: float = 1.0, interpret: bool = False):
     """FFT along ``axis`` of an N-D split pair via the butterfly kernels.

@@ -262,6 +262,29 @@ def _build_core(spec: PlanSpec):
     def _fused_into_steps(steps) -> bool:
         return bool(steps) and steps[-1][0] in ("stockham", "stockham2")
 
+    def run_steps_padded(steps, xr, xi, direction, fuse_scale: float = 1.0):
+        """run_steps with the trailing extent padded to a lane multiple
+        ONCE across all steps (instead of per kernel call).  Every step
+        is linear and axis-local, so zero lanes stay zero; this matters
+        for half-spectrum arrays (n//2+1 trailing bins) where per-pass
+        pad+slice copies would double the HBM traffic."""
+        w = xr.shape[-1]
+        pad = (-w) % 128
+        last = xr.ndim - 1
+        touches_last = any(k == "stockham2" or a == last
+                           for k, a, _ in steps)
+        needs = (pad and not touches_last
+                 and any(k == "stockham" for k, _, _ in steps))
+        if needs:
+            cfg = [(0, 0)] * (xr.ndim - 1) + [(0, pad)]
+            xr = jnp.pad(xr, cfg)
+            xi = jnp.pad(xi, cfg)
+        xr, xi = run_steps(steps, xr, xi, direction, fuse_scale)
+        if needs:
+            xr = xr[..., :w]
+            xi = xi[..., :w]
+        return xr, xi
+
     if spec.kind == Kind.C2C:
         # Transform the last-listed axis first when it is the final
         # (lane-contiguous) axis — cheapest pass runs on the natural layout.
@@ -270,7 +293,7 @@ def _build_core(spec: PlanSpec):
         fused = _fused_into_steps(steps)
 
         def core(xr, xi):
-            yr, yi = run_steps(steps, xr, xi, spec.direction,
+            yr, yi = run_steps_padded(steps, xr, xi, spec.direction,
                                fuse_scale=scale if fused else 1.0)
             if scale != 1.0 and not fused:
                 yr = yr * jnp.asarray(scale, yr.dtype)
@@ -278,20 +301,45 @@ def _build_core(spec: PlanSpec):
             return yr, yi
         return core
 
+    ndim = len(spec.shape)
+
+    def _kernel_real_last(raxis, n_r):
+        """Use the row-pair butterfly kernel for the real axis?"""
+        from .ops import pallas_stockham as _ps
+        return (backend in ("stockham", "hybrid") and kernels_ok
+                and raxis == ndim - 1 and _ps.r2c_last_supported(n_r))
+
     if spec.kind == Kind.R2C:
         # Real transform on the LAST of the requested axes (numpy rfftn),
         # complex transforms on the rest.
         raxis = spec.axes[-1]
         n_r = spec.shape[raxis]
-        rfn = _real.build_r2c_1d(n_r, mr, precision, u3)
+        kernel_r2c = _kernel_real_last(raxis, n_r)
+        rfn = None if kernel_r2c else _real.build_r2c_1d(
+            n_r, mr, precision, u3)
         other = [a for a in spec.axes if a != raxis]
         steps = axis_steps(sorted(other, reverse=True), Direction.FORWARD)
         fused = _fused_into_steps(steps)
 
+        h_r = n_r // 2 + 1
+
         def core(x):
-            yr, yi = _nd.apply_along_axis_real_in(rfn, raxis, x)
-            yr, yi = run_steps(steps, yr, yi, Direction.FORWARD,
-                               fuse_scale=scale if fused else 1.0)
+            if kernel_r2c:
+                from .ops import pallas_stockham as _ps
+                interp = jax.default_backend() != "tpu"
+                # Lane-padded output (bins >= h zeroed in-kernel) keeps
+                # every subsequent kernel pass pad-free; slice once.
+                yr, yi = _ps.fft_last_r2c_stockham(x, interpret=interp,
+                                                   padded=bool(steps))
+                yr, yi = run_steps(steps, yr, yi, Direction.FORWARD,
+                                   fuse_scale=scale if fused else 1.0)
+                if bool(steps):
+                    yr = yr[..., :h_r]
+                    yi = yi[..., :h_r]
+            else:
+                yr, yi = _nd.apply_along_axis_real_in(rfn, raxis, x)
+                yr, yi = run_steps_padded(steps, yr, yi, Direction.FORWARD,
+                                          fuse_scale=scale if fused else 1.0)
             if scale != 1.0 and not fused:
                 yr = yr * jnp.asarray(scale, yr.dtype)
                 yi = yi * jnp.asarray(scale, yi.dtype)
@@ -302,7 +350,8 @@ def _build_core(spec: PlanSpec):
     # the last axis.  spec.shape is the REAL output shape.
     raxis = spec.axes[-1]
     n_r = spec.shape[raxis]
-    cfn = _real.build_c2r_1d(n_r, mr, precision, u3)
+    kernel_c2r = _kernel_real_last(raxis, n_r)
+    cfn = None if kernel_c2r else _real.build_c2r_1d(n_r, mr, precision, u3)
     other = [a for a in spec.axes if a != raxis]
     steps = axis_steps(sorted(other, reverse=True), Direction.BACKWARD)
     fused = _fused_into_steps(steps)
@@ -310,9 +359,23 @@ def _build_core(spec: PlanSpec):
     def core(xr, xi):
         # scale commutes with the linear c2r untangle, so it can ride the
         # last kernel step's write even though untangle runs after.
-        xr, xi = run_steps(steps, xr, xi, Direction.BACKWARD,
-                           fuse_scale=scale if fused else 1.0)
-        y = _nd.apply_along_axis_real_out(cfn, raxis, xr, xi)
+        if kernel_c2r:
+            from .ops import pallas_stockham as _ps
+            interp = jax.default_backend() != "tpu"
+            w = xr.shape[-1]
+            if w != n_r and any(k == "stockham" for k, _, _ in steps):
+                # Lane-pad the half spectrum ONCE; the c2r kernel masks
+                # the extra bins, so no slice-back is ever needed.
+                cfg = [(0, 0)] * (xr.ndim - 1) + [(0, n_r - w)]
+                xr = jnp.pad(xr, cfg)
+                xi = jnp.pad(xi, cfg)
+            xr, xi = run_steps(steps, xr, xi, Direction.BACKWARD,
+                               fuse_scale=scale if fused else 1.0)
+            y = _ps.ifft_last_c2r_stockham(xr, xi, n_r, interpret=interp)
+        else:
+            xr, xi = run_steps_padded(steps, xr, xi, Direction.BACKWARD,
+                                      fuse_scale=scale if fused else 1.0)
+            y = _nd.apply_along_axis_real_out(cfn, raxis, xr, xi)
         if scale != 1.0 and not fused:
             y = y * jnp.asarray(scale, y.dtype)
         return y

@@ -95,3 +95,59 @@ def test_plan_backend_hybrid_cpu_interpret():
     p = rft.make_plan((4, 8, 16), axes=(0, 1, 2), kind=Kind.C2C,
                       direction=Direction.FORWARD, backend="hybrid")
     assert rel_l2(p(x), np.fft.fftn(x)) < tolerance(x.size)
+
+
+def test_fused2_kernel_matches_numpy():
+    from regent_fft_tpu.ops.pallas_stockham import (fft_axes2_stockham,
+                                                    fused2_supported)
+    assert fused2_supported(16, 128) and not fused2_supported(1024, 128)
+    x = crand((3, 16, 128)).astype(np.complex64)
+    yr, yi = fft_axes2_stockham(jnp.asarray(x.real, jnp.float32),
+                                jnp.asarray(x.imag, jnp.float32),
+                                Direction.FORWARD, scale=0.25, interpret=True)
+    ref = 0.25 * np.fft.fftn(x, axes=(1, 2))
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < tolerance(x.size)
+
+
+def test_kernel_scale_fusion_matches():
+    x = crand((4, 64)).astype(np.complex64)
+    yr, yi = ps.fft_axis_stockham(jnp.asarray(x.real, jnp.float32),
+                                  jnp.asarray(x.imag, jnp.float32),
+                                  1, Direction.BACKWARD, scale=1.0 / 64,
+                                  interpret=True)
+    ref = np.fft.ifft(x, axis=1)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < tolerance(64)
+
+
+def test_kernel_r2c_row_pair():
+    x = np.random.default_rng(3).standard_normal((6, 128)).astype(np.float32)
+    yr, yi = ps.fft_last_r2c_stockham(jnp.asarray(x), interpret=True)
+    ref = np.fft.rfft(x, axis=-1)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < tolerance(128)
+
+
+def test_kernel_c2r_row_pair():
+    rng = np.random.default_rng(4)
+    h = rng.standard_normal((5, 33)) + 1j * rng.standard_normal((5, 33))
+    h = h.astype(np.complex64)
+    y = ps.ifft_last_c2r_stockham(jnp.asarray(h.real, jnp.float32),
+                                  jnp.asarray(h.imag, jnp.float32),
+                                  64, interpret=True)
+    ref = np.fft.irfft(h, n=64, axis=-1) * 64
+    assert np.linalg.norm(np.asarray(y) - ref) / np.linalg.norm(ref) < tolerance(64)
+
+
+def test_plan_hybrid_r2c_c2r_kernel_path():
+    import regent_fft_tpu as rft
+    from regent_fft_tpu.utils.verify import rel_l2
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((4, 16, 64)).astype(np.float32)
+    p = rft.make_plan((4, 16, 64), axes=(1, 2), kind=Kind.R2C,
+                      direction=Direction.FORWARD, backend="hybrid")
+    y = p(x)
+    assert rel_l2(y, np.fft.rfftn(x, axes=(1, 2))) < tolerance(x.size)
+    back = p.inverse()(y)
+    assert rel_l2(back, x) < tolerance(x.size)
