@@ -38,12 +38,19 @@ from ..dtypes import Direction
 from . import twiddle as _twiddle
 
 # Lane-tile width per kernel instance and per-call operand cap.  Hardware
-# bisection: the Mosaic grid pipeline compiles butterfly kernels only with
-# <=128-wide tiles and n <= 1024 (wider tiles or more rows crash the
-# compile helper).
+# bisection (re-validated round 2): the Mosaic helper compiles butterfly
+# blocks up to ~128K elements with sublane extents <= 2048 — so mid-axis
+# kernels (lane tiles >= 128) cap at n=1024, while last-axis kernels can
+# run n=2048 at 64-row tiles.  Larger n crashes regardless of tile.
 LANE_TILE = 128
-MAX_STOCKHAM_N = 1024
+MAX_STOCKHAM_N = 1024      # mid-axis (column-tiled) kernels
+MAX_LAST_N = 2048          # last-axis kernels (narrower row tiles)
 MAX_CALL_ELEMS = 4 * 1024 * 1024
+
+
+def _tb_for(n: int) -> int:
+    """Row-tile height for a last-axis n-point kernel (block <= 128K)."""
+    return LANE_TILE if n <= MAX_STOCKHAM_N else 131072 // n
 
 
 def _plan_stages(n: int):
@@ -278,6 +285,115 @@ def _runner_fused2(n1: int, n2: int, sign: int, scale: float = 1.0,
         )(xr, xi, jnp.asarray(w1r_np), jnp.asarray(w1i_np),
           jnp.asarray(w2r_np), jnp.asarray(w2i_np))
     return run
+
+
+@functools.lru_cache(maxsize=256)
+def _runner_cols_tw(n1: int, big_n: int, sign: int, vt: int,
+                    interpret: bool = False):
+    """Column-tiled mid-axis butterfly with the four-step twiddle
+    W_bigN^{k1 * j2} fused into the output write.
+
+    The twiddle is synthesized IN-KERNEL from iotas + cos/sin (j2 =
+    global column = program_id(1)*vt + lane), so it costs zero extra HBM
+    traffic; the phase k1*j2/big_n < 1 stays exact in f32 for
+    big_n <= 2^24.  First stage of the large-N four-step
+    (``fftw-3.3.8/dft/ct.c`` re-derived for lane tiling).
+    """
+    wr_np, wi_np, _ = _packed_tables(n1, sign)
+    s2pi = 2.0 * np.pi * float(sign) / float(big_n)
+    bp = max(1, LANE_TILE // n1)   # FFT rows per block: keep blocks >=128 rows
+
+    def kernel(xr_ref, xi_ref, wr_ref, wi_ref, yr_ref, yi_ref):
+        j = pl.program_id(1)
+        k1v = jax.lax.broadcasted_iota(jnp.int32, (n1, vt), 0
+                                       ).astype(jnp.float32)
+        j2v = jax.lax.broadcasted_iota(jnp.int32, (n1, vt), 1
+                                       ).astype(jnp.float32)
+        j2v = j2v + (j * vt).astype(jnp.float32)
+        th = jnp.float32(s2pi) * k1v * j2v
+        tr = jnp.cos(th)
+        ti = jnp.sin(th)
+        for p in range(bp):
+            sl = slice(p * n1, (p + 1) * n1)
+            yr, yi = _stockham_tile(xr_ref[sl], xi_ref[sl], n1, sign,
+                                    wr_ref[:], wi_ref[:])
+            yr_ref[sl] = yr * tr - yi * ti
+            yi_ref[sl] = yr * ti + yi * tr
+
+    def run(xr, xi):
+        rows, vdim = xr.shape
+        p = rows // (bp * n1)
+        bs = pl.BlockSpec((bp * n1, vt), lambda i, j: (i, j),
+                          memory_space=pltpu.VMEM)
+        ws = pl.BlockSpec(wr_np.shape, lambda i, j: (0, 0),
+                          memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel, grid=(p, vdim // vt),
+            in_specs=[bs, bs, ws, ws], out_specs=[bs, bs],
+            out_shape=[jax.ShapeDtypeStruct((rows, vdim), jnp.float32)] * 2,
+            cost_estimate=pl.CostEstimate(
+                flops=int((10 * np.log2(max(n1, 2)) + 8) * rows * vdim),
+                bytes_accessed=4 * rows * vdim * 4,
+                transcendentals=2 * rows * vdim),
+            interpret=interpret,
+        )(xr, xi, jnp.asarray(wr_np), jnp.asarray(wi_np))
+    return run
+
+
+def _four_step_split(n: int):
+    """(n1, n2) for the four-step: n1 >= 8 (sublane tile), n2 <= 2048."""
+    n1 = max(8, n // MAX_LAST_N)
+    return n1, n // n1
+
+
+def four_step_supported(n: int) -> bool:
+    """Last-axis lengths runnable as cols+twiddle -> last -> swap."""
+    if n <= MAX_LAST_N or n & (n - 1):
+        return False
+    n1, n2 = _four_step_split(n)
+    return n1 <= MAX_STOCKHAM_N and LANE_TILE <= n2 <= MAX_LAST_N
+
+
+def fft_last_four_step(xr, xi, direction: Direction, scale: float = 1.0,
+                       interpret: bool = False):
+    """FFT along the last axis for 4096 <= n <= 2M (power of two).
+
+    Four-step decomposition n = n1*n2: column-tiled butterfly over n1
+    with the inter-factor twiddle fused into its write, last-axis
+    butterfly over n2 (norm scale fused), then the single digit-reversal
+    transpose of the two sub-axes.  Three HBM passes total vs the
+    einsum path's ~4.5 (measured).  Mirrors ``fftw-3.3.8/dft/ct.c``.
+    """
+    shape = xr.shape
+    n = shape[-1]
+    if not four_step_supported(n):
+        raise ValueError(f"four-step unsupported for n={n}")
+    n1, n2 = _four_step_split(n)
+    sign = int(direction)
+    b = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+    xr2 = xr.reshape(b * n1, n2)
+    xi2 = xi.reshape(b * n1, n2)
+    bp = max(1, LANE_TILE // n1)
+    padb = ((-b) % bp) * n1
+    if padb:
+        xr2 = jnp.pad(xr2, ((0, padb), (0, 0)))
+        xi2 = jnp.pad(xi2, ((0, padb), (0, 0)))
+    vt = min(_vt_cap(n1), n2)
+    run1 = _runner_cols_tw(n1, n, sign, vt, interpret)
+    ar, ai = run1(xr2, xi2)
+    tb = _tb_for(n2)
+    pad = (-(b * n1)) % tb
+    if pad:
+        ar = jnp.pad(ar, ((0, pad), (0, 0)))
+        ai = jnp.pad(ai, ((0, pad), (0, 0)))
+    run2 = _runner_last(n2, sign, tb, float(scale), interpret)
+    br, bi = _chunk_rows_map(run2, ar, ai, tb)
+    br = br[:b * n1].reshape(b, n1, n2)
+    bi = bi[:b * n1].reshape(b, n1, n2)
+    # Output index k = k1 + n1*k2: flatten as (k2, k1).
+    yr = jnp.swapaxes(br, 1, 2).reshape(shape)
+    yi = jnp.swapaxes(bi, 1, 2).reshape(shape)
+    return yr, yi
 
 
 def fused2_supported(n1: int, n2: int) -> bool:
@@ -600,17 +716,19 @@ def fft_axis_stockham(xr, xi, axis: int, direction: Direction,
     ndim = xr.ndim
     axis = axis % ndim
     n = xr.shape[axis]
-    if n & (n - 1) or n > MAX_STOCKHAM_N:
+    is_last = axis == ndim - 1 and ndim > 1
+    cap = MAX_LAST_N if is_last else MAX_STOCKHAM_N
+    if n & (n - 1) or n > cap:
         raise ValueError(
-            f"stockham path needs power-of-two length <= {MAX_STOCKHAM_N}, got {n}")
+            f"stockham path needs power-of-two length <= {cap}, got {n}")
     sign = int(direction)
     scale = float(scale)
     shape = xr.shape
-    if axis == ndim - 1 and ndim > 1:
+    if is_last:
         b = int(np.prod(shape[:-1]))
         xr2 = xr.reshape(b, n)
         xi2 = xi.reshape(b, n)
-        tb = LANE_TILE
+        tb = _tb_for(n)
         pad = (-b) % tb
         if pad:
             xr2 = jnp.pad(xr2, ((0, pad), (0, 0)))

@@ -196,14 +196,28 @@ def _build_core(spec: PlanSpec):
                 axes_list = axes_list[2:]
         for a in axes_list:
             n = spec.shape[a]
-            pow2_ok = (kernels_ok and 2 <= n <= 1024
-                       and (n & (n - 1)) == 0)
-            if backend in ("stockham", "hybrid") and pow2_ok:
-                # VPU butterfly kernel: power-of-two axes, f32-native,
-                # exactly one HBM read+write per axis (column-tiled grid
-                # for mid axes, in-VMEM transposes for the last axis).
-                steps.append(("stockham", a, n))
-                continue
+            is_last = a == ndim - 1 and ndim > 1
+            from .ops import pallas_stockham as _ps
+            cap = _ps.MAX_LAST_N if is_last else _ps.MAX_STOCKHAM_N
+            pow2 = n >= 2 and (n & (n - 1)) == 0
+            if backend in ("stockham", "hybrid") and kernels_ok and pow2:
+                if n <= cap:
+                    # VPU butterfly kernel: one HBM read+write per axis
+                    # (column-tiled grid for mid axes, in-VMEM
+                    # transposes for the last axis).
+                    steps.append(("stockham", a, n))
+                    continue
+                if is_last and _ps.four_step_supported(n):
+                    # Large last axis: four-step kernel pipeline.  Under
+                    # "hybrid" only when the einsum two-factor split is
+                    # unbalanced (measured: balanced splits like 64*64
+                    # keep the MXU path slightly ahead; 128*64 and worse
+                    # lose to the kernels).  measure-mode re-decides.
+                    split = _stockham.best_two_factor(n, spec.max_radix)
+                    if (backend == "stockham" or split is None
+                            or split[0] != split[1]):
+                        steps.append(("stockham4", a, n))
+                        continue
             if backend == "pallas":
                 steps.append(("general", a, build_1d(n, direction)))
                 continue
@@ -235,7 +249,8 @@ def _build_core(spec: PlanSpec):
         to any stage)."""
         s = int(direction)
         last_fusable = len(steps) - 1 if (
-            steps and steps[-1][0] in ("stockham", "stockham2")) else -1
+            steps and steps[-1][0] in ("stockham", "stockham2",
+                                       "stockham4")) else -1
         for idx, (kind_, a, arg) in enumerate(steps):
             ksc = fuse_scale if idx == last_fusable else 1.0
             if kind_ == "direct":
@@ -251,6 +266,11 @@ def _build_core(spec: PlanSpec):
                 interp = jax.default_backend() != "tpu"
                 xr, xi = _ps.fft_axes2_stockham(
                     xr, xi, Direction(s), scale=ksc, interpret=interp)
+            elif kind_ == "stockham4":
+                from .ops import pallas_stockham as _ps
+                interp = jax.default_backend() != "tpu"
+                xr, xi = _ps.fft_last_four_step(
+                    xr, xi, Direction(s), scale=ksc, interpret=interp)
             elif kind_ == "mixed2":
                 n, n1 = arg
                 xr, xi = _stockham.mixed_radix_fft_axis(
@@ -260,7 +280,8 @@ def _build_core(spec: PlanSpec):
         return xr, xi
 
     def _fused_into_steps(steps) -> bool:
-        return bool(steps) and steps[-1][0] in ("stockham", "stockham2")
+        return bool(steps) and steps[-1][0] in ("stockham", "stockham2",
+                                                "stockham4")
 
     def run_steps_padded(steps, xr, xi, direction, fuse_scale: float = 1.0):
         """run_steps with the trailing extent padded to a lane multiple

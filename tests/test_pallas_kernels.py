@@ -151,3 +151,37 @@ def test_plan_hybrid_r2c_c2r_kernel_path():
     assert rel_l2(y, np.fft.rfftn(x, axes=(1, 2))) < tolerance(x.size)
     back = p.inverse()(y)
     assert rel_l2(back, x) < tolerance(x.size)
+
+
+def test_last_axis_2048_kernel():
+    x = crand((4, 2048)).astype(np.complex64)
+    yr, yi = ps.fft_axis_stockham(jnp.asarray(x.real, jnp.float32),
+                                  jnp.asarray(x.imag, jnp.float32),
+                                  1, Direction.FORWARD, interpret=True)
+    ref = np.fft.fft(x, axis=1)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < tolerance(2048)
+
+
+def test_four_step_large_last_axis():
+    from regent_fft_tpu.ops.pallas_stockham import (fft_last_four_step,
+                                                    four_step_supported)
+    assert four_step_supported(4096) and four_step_supported(1 << 21)
+    assert not four_step_supported(2048) and not four_step_supported(6000)
+    x = crand((2, 4096)).astype(np.complex64)
+    yr, yi = fft_last_four_step(jnp.asarray(x.real, jnp.float32),
+                                jnp.asarray(x.imag, jnp.float32),
+                                Direction.BACKWARD, scale=1.0 / 4096,
+                                interpret=True)
+    ref = np.fft.ifft(x, axis=1)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < tolerance(4096)
+
+
+def test_plan_hybrid_large_1d():
+    import regent_fft_tpu as rft
+    from regent_fft_tpu.utils.verify import rel_l2
+    x = crand((2, 4096)).astype(np.complex64)
+    p = rft.make_plan((2, 4096), axes=(1,), kind=Kind.C2C,
+                      direction=Direction.FORWARD, backend="hybrid")
+    assert rel_l2(p(x), np.fft.fft(x, axis=1)) < tolerance(4096)
