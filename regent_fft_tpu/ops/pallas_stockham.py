@@ -53,25 +53,39 @@ def _tb_for(n: int) -> int:
     return LANE_TILE if n <= MAX_STOCKHAM_N else 131072 // n
 
 
+# Largest tail sub-transform finished on the MXU (see _stockham_tile).
+TAIL_MT = 32
+
+
 def _plan_stages(n: int):
-    """Radix schedule: radix-4 stages, radix-2 when 4 doesn't divide."""
+    """HEAD radix-4 schedule: butterfly stages while the remaining
+    sub-length exceeds TAIL_MT (every head stage keeps its butterfly span
+    h = m/4 >= 16, i.e. full sublane tiles — the padded sub-8-row stages
+    that used to dominate kernel time are gone)."""
     stages = []
     m = n
-    while m > 1:
-        r = 4 if m % 4 == 0 else 2
-        stages.append((r, m))
-        m //= r
+    while m > TAIL_MT:
+        stages.append((4, m))
+        m //= 4
     return stages
 
 
-def _packed_tables(n: int, sign: int):
-    """All stages' twiddles packed into TWO (T, 1) arrays + slice offsets.
+def _tail_mt(n: int) -> int:
+    m = n
+    while m > TAIL_MT:
+        m //= 4
+    return m
 
-    Radix-4 stages pack W^j | W^2j | W^3j; radix-2 stages pack W^j.
-    Packing matters: the Mosaic grid pipeline crashes with ~18 separate
-    table operands but is fine with two (found by hardware bisection).
-    Returns (wr (T,1), wi (T,1), offsets) where offsets[stage] is a list
-    of (start, h) slices per twiddle factor of that stage.
+
+def _packed_tables(n: int, sign: int):
+    """Head twiddles + tail DFT matrix packed into TWO operands.
+
+    Returns (wr, wi, offsets) where wr/wi have shape (T + mt, mt):
+    rows [0, T) column 0 hold the packed head-stage twiddles
+    (W^j | W^2j | W^3j per radix-4 stage), rows [T, T+mt) hold the
+    mt-point tail DFT matrix.  One packed pair per (n, sign) keeps the
+    kernel operand count at two regardless of stage count (the Mosaic
+    grid pipeline crashes with many separate table operands).
     """
     re_parts, im_parts, offsets = [], [], []
     pos = 0
@@ -86,11 +100,16 @@ def _packed_tables(n: int, sign: int):
             offs.append((pos, h))
             pos += h
         offsets.append(offs)
-    if pos == 0:  # n == 1
-        re_parts, im_parts = [np.zeros(1, np.float32)], [np.zeros(1, np.float32)]
-        pos = 1
-    wr = np.concatenate(re_parts).reshape(pos, 1)
-    wi = np.concatenate(im_parts).reshape(pos, 1)
+    mt = _tail_mt(n)
+    head_r = np.zeros((pos, mt), np.float32)
+    head_i = np.zeros((pos, mt), np.float32)
+    if pos:
+        head_r[:, 0] = np.concatenate(re_parts)
+        head_i[:, 0] = np.concatenate(im_parts)
+    k = np.arange(mt)
+    th = 2.0 * np.pi * float(sign) * np.outer(k, k) / mt
+    wr = np.concatenate([head_r, np.cos(th).astype(np.float32)], axis=0)
+    wi = np.concatenate([head_i, np.sin(th).astype(np.float32)], axis=0)
     return wr, wi, offsets
 
 
@@ -99,10 +118,19 @@ def _cmul(br, bi, wr, wi):
 
 
 def _stockham_tile(xr, xi, n: int, sign: int, wr_all, wi_all):
-    """Mixed radix-4/2 Stockham over axis 0 of (n, V) VMEM values.
+    """Stockham FFT over axis 0 of (n, V) VMEM values: radix-4 VPU head
+    stages (butterfly spans >= 16 rows, fully tile-aligned) finished by
+    ONE MXU contraction with the mt-point tail DFT matrix.
 
-    ``wr_all``/``wi_all`` are the packed (T, 1) twiddle planes; stage
-    slices are static.
+    The tail of a self-sorting Stockham *is* a plain DFT_mt applied per
+    L-block: out[q*L + l] = sum_j DFT[q, j] * a[l, j], and the lhs-matrix
+    ``dot_general`` form produces exactly that (q, l, v) row order.  The
+    3M (Karatsuba) HIGHEST-precision product keeps f32 accuracy.
+    Measured: 10.2 -> 8.3 ms for a full 512^3 axis pass (the sub-tile
+    masked stages this replaces cost ~4 ms of unhidden VPU time).
+
+    ``wr_all``/``wi_all`` are the packed (T+mt, mt) planes from
+    :func:`_packed_tables`; all slices are static.
     """
     v = xr.shape[-1]
     ar = xr.reshape(1, n, v)
@@ -114,40 +142,45 @@ def _stockham_tile(xr, xi, n: int, sign: int, wr_all, wi_all):
         h = m // r
         ws = []
         for (start, hh) in offs:
-            ws.append(wr_all[start:start + hh])
-            ws.append(wi_all[start:start + hh])
-        if r == 2:
-            w_r, w_i = ws[0][None], ws[1][None]
-            tr, ti = ar[:, :h, :], ai[:, :h, :]
-            br, bi = ar[:, h:, :], ai[:, h:, :]
-            er, ei = tr + br, ti + bi
-            dr, di = tr - br, ti - bi
-            o_r, o_i = _cmul(dr, di, w_r, w_i)
-            ar = jnp.stack([er, o_r], axis=0).reshape(2 * L, h, v)
-            ai = jnp.stack([ei, o_i], axis=0).reshape(2 * L, h, v)
-            L *= 2
-        else:
-            w1r, w1i = ws[0][None], ws[1][None]
-            w2r, w2i = ws[2][None], ws[3][None]
-            w3r, w3i = ws[4][None], ws[5][None]
-            q0r, q0i = ar[:, 0*h:1*h, :], ai[:, 0*h:1*h, :]
-            q1r, q1i = ar[:, 1*h:2*h, :], ai[:, 1*h:2*h, :]
-            q2r, q2i = ar[:, 2*h:3*h, :], ai[:, 2*h:3*h, :]
-            q3r, q3i = ar[:, 3*h:4*h, :], ai[:, 3*h:4*h, :]
-            t0r, t0i = q0r + q2r, q0i + q2i
-            t1r, t1i = q0r - q2r, q0i - q2i
-            t2r, t2i = q1r + q3r, q1i + q3i
-            t3r, t3i = q1r - q3r, q1i - q3i
-            # i_ * t3 with i_ = sign*i: re = -s*t3i, im = s*t3r
-            it3r, it3i = -s * t3i, s * t3r
-            y0r, y0i = t0r + t2r, t0i + t2i
-            y1r, y1i = _cmul(t1r + it3r, t1i + it3i, w1r, w1i)
-            y2r, y2i = _cmul(t0r - t2r, t0i - t2i, w2r, w2i)
-            y3r, y3i = _cmul(t1r - it3r, t1i - it3i, w3r, w3i)
-            ar = jnp.stack([y0r, y1r, y2r, y3r], axis=0).reshape(4 * L, h, v)
-            ai = jnp.stack([y0i, y1i, y2i, y3i], axis=0).reshape(4 * L, h, v)
-            L *= 4
-    return ar.reshape(n, v), ai.reshape(n, v)
+            ws.append(wr_all[start:start + hh, :1])
+            ws.append(wi_all[start:start + hh, :1])
+        w1r, w1i = ws[0][None], ws[1][None]
+        w2r, w2i = ws[2][None], ws[3][None]
+        w3r, w3i = ws[4][None], ws[5][None]
+        q0r, q0i = ar[:, 0*h:1*h, :], ai[:, 0*h:1*h, :]
+        q1r, q1i = ar[:, 1*h:2*h, :], ai[:, 1*h:2*h, :]
+        q2r, q2i = ar[:, 2*h:3*h, :], ai[:, 2*h:3*h, :]
+        q3r, q3i = ar[:, 3*h:4*h, :], ai[:, 3*h:4*h, :]
+        t0r, t0i = q0r + q2r, q0i + q2i
+        t1r, t1i = q0r - q2r, q0i - q2i
+        t2r, t2i = q1r + q3r, q1i + q3i
+        t3r, t3i = q1r - q3r, q1i - q3i
+        # i_ * t3 with i_ = sign*i: re = -s*t3i, im = s*t3r
+        it3r, it3i = -s * t3i, s * t3r
+        y0r, y0i = t0r + t2r, t0i + t2i
+        y1r, y1i = _cmul(t1r + it3r, t1i + it3i, w1r, w1i)
+        y2r, y2i = _cmul(t0r - t2r, t0i - t2i, w2r, w2i)
+        y3r, y3i = _cmul(t1r - it3r, t1i - it3i, w3r, w3i)
+        ar = jnp.stack([y0r, y1r, y2r, y3r], axis=0).reshape(4 * L, h, v)
+        ai = jnp.stack([y0i, y1i, y2i, y3i], axis=0).reshape(4 * L, h, v)
+        L *= 4
+    mt = _tail_mt(n)
+    T = wr_all.shape[0] - mt
+    tr = wr_all[T:, :mt]
+    ti = wi_all[T:, :mt]
+    a3r = ar.reshape(L, mt, v)
+    a3i = ai.reshape(L, mt, v)
+
+    def dg(m_, a_):
+        return jax.lax.dot_general(
+            m_, a_, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    t1 = dg(tr, a3r)
+    t2 = dg(ti, a3i)
+    t3 = dg(tr + ti, a3r + a3i)
+    return (t1 - t2).reshape(n, v), (t3 - t1 - t2).reshape(n, v)
 
 
 @functools.lru_cache(maxsize=256)
