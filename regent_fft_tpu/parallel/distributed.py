@@ -66,6 +66,34 @@ def _apply_scale(xr, xi, scale):
     return xr, xi
 
 
+def _a2a(xr, xi, axis_name: str, split: int, concat: int):
+    """all_to_all on both planes, logged at REGENT_FFT_LOG=2.
+
+    The logging analog of the reference's LoggingWrapper, which records
+    every mapping/sharding decision at ``-level mapper=2``
+    (``/root/reference/test/logging_mapper.cc:129-217``); collectives are
+    traced once per plan build, so each site logs its static local shape
+    and axes exactly once per compilation.
+    """
+    from ..utils.plog import log_collective
+    log_collective(f"all_to_all(split={split}, concat={concat})",
+                   axis_name, tuple(xr.shape))
+    xr = lax.all_to_all(xr, axis_name, split_axis=split, concat_axis=concat,
+                        tiled=True)
+    xi = lax.all_to_all(xi, axis_name, split_axis=split, concat_axis=concat,
+                        tiled=True)
+    return xr, xi
+
+
+def _chunked(n_chunks: int, extent: int):
+    """Chunk slices along an axis for the overlap pipeline (1 = off)."""
+    c = max(1, min(n_chunks, extent))
+    while extent % c:
+        c -= 1
+    size = extent // c
+    return [slice(k * size, (k + 1) * size) for k in range(c)]
+
+
 class DistributedFFTPlan:
     """A plan whose executor runs under shard_map over a device mesh.
 
@@ -161,7 +189,8 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
                    dtype="complex64", mesh: Optional[Mesh] = None,
                    axis_name: str = "fft", transposed_out: bool = False,
                    precision: str = "highest", use_3m: bool = False,
-                   max_radix: int = 128) -> DistributedFFTPlan:
+                   max_radix: int = 128,
+                   pipeline_chunks: int = 1) -> DistributedFFTPlan:
     """Single global N-D C2C FFT, slab-decomposed over the first axis.
 
     Local FFT over axes 1..nd-1, then one all_to_all that trades the first
@@ -169,6 +198,13 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     axis.  With ``transposed_out`` the result stays distributed over the
     LAST axis with axes order unchanged (FFTW_MPI_TRANSPOSED_OUT analog);
     otherwise a second all_to_all restores first-axis distribution.
+
+    ``pipeline_chunks > 1`` (rank >= 3 only) splits the
+    a2a -> fft(axis0) -> a2a phases into independent chunks along axis 1
+    — an axis no collective touches — so XLA's scheduler can hide each
+    chunk's ICI transfer behind the previous chunk's butterflies (the
+    scheduled-exchange idea of
+    ``/root/reference/fftw-3.3.8/mpi/transpose-pairwise.c:21-49``).
     """
     mesh = mesh or make_fft_mesh(axis_name=axis_name)
     axis_name = mesh.axis_names[0]
@@ -186,18 +222,29 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     fns = [(a, build_c2c_1d(shape[a], direction, max_radix, prec, use_3m))
            for a in sorted(local_axes, reverse=True)]
     fn0 = build_c2c_1d(shape[0], direction, max_radix, prec, use_3m)
+    chunks = pipeline_chunks if nd_ >= 3 else 1
+
+    def _phase2(cr, ci):
+        # Distributed transpose over ICI: gather axis 0, scatter axis -1,
+        # transform the former slab axis, optionally transpose back.
+        cr, ci = _a2a(cr, ci, axis_name, nd_ - 1, 0)
+        cr, ci = _nd.apply_along_axis(fn0, 0, cr, ci)
+        if not transposed_out:
+            cr, ci = _a2a(cr, ci, axis_name, 0, nd_ - 1)
+        return cr, ci
 
     def local_fn(xr, xi):
         # (Z/P, ..., X): all locally-complete axes first.
         xr, xi = _nd.c2c_nd(fns, xr, xi)
-        # Distributed transpose over ICI: gather axis 0, scatter axis -1.
-        xr = lax.all_to_all(xr, axis_name, split_axis=nd_ - 1, concat_axis=0, tiled=True)
-        xi = lax.all_to_all(xi, axis_name, split_axis=nd_ - 1, concat_axis=0, tiled=True)
-        # (Z, ..., X/P): transform the former slab axis.
-        xr, xi = _nd.apply_along_axis(fn0, 0, xr, xi)
-        if not transposed_out:
-            xr = lax.all_to_all(xr, axis_name, split_axis=0, concat_axis=nd_ - 1, tiled=True)
-            xi = lax.all_to_all(xi, axis_name, split_axis=0, concat_axis=nd_ - 1, tiled=True)
+        if chunks <= 1:
+            xr, xi = _phase2(xr, xi)
+        else:
+            outs = [
+                _phase2(xr[:, sl], xi[:, sl])
+                for sl in _chunked(chunks, xr.shape[1])
+            ]
+            xr = jnp.concatenate([o[0] for o in outs], axis=1)
+            xi = jnp.concatenate([o[1] for o in outs], axis=1)
         return _apply_scale(xr, xi, scale)
 
     in_spec = P(axis_name, *([None] * (nd_ - 1)))
@@ -206,7 +253,8 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
                    out_specs=(out_spec, out_spec))
     desc = (f"(plan-distrib-slab shape={shape} P={p} axis={axis_name} "
             f"local-{nd_-1}ax-fft -> all_to_all(ICI) -> fft(axis0)"
-            f"{' [transposed output]' if transposed_out else ' -> all_to_all back'})")
+            f"{' [transposed output]' if transposed_out else ' -> all_to_all back'}"
+            f"{f' [pipelined x{chunks}]' if chunks > 1 else ''})")
     flops = 5.0 * n_total * math.log2(max(n_total, 2))
     return DistributedFFTPlan(desc, mesh, in_spec, out_spec, fn, shape, dtype, flops)
 
@@ -245,12 +293,10 @@ def make_plan_slab_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
     def local_fn(x):
         xr, xi = _nd.apply_along_axis_real_in(rfn, nd_ - 1, x)   # halve X
         xr, xi = _nd.c2c_nd(cfns, xr, xi)                        # mid axes
-        xr = lax.all_to_all(xr, axis_name, split_axis=1, concat_axis=0, tiled=True)
-        xi = lax.all_to_all(xi, axis_name, split_axis=1, concat_axis=0, tiled=True)
+        xr, xi = _a2a(xr, xi, axis_name, 1, 0)
         xr, xi = _nd.apply_along_axis(fn0, 0, xr, xi)            # slab axis
         if not transposed_out:
-            xr = lax.all_to_all(xr, axis_name, split_axis=0, concat_axis=1, tiled=True)
-            xi = lax.all_to_all(xi, axis_name, split_axis=0, concat_axis=1, tiled=True)
+            xr, xi = _a2a(xr, xi, axis_name, 0, 1)
         return _apply_scale(xr, xi, scale)
 
     in_spec = P(axis_name, *([None] * (nd_ - 1)))
@@ -314,11 +360,9 @@ def make_plan_slab_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
     def local_fn(xr, xi):
         if not transposed_in:
             # (Z/P, Y, Xh) -> gather Z, shard Y
-            xr = lax.all_to_all(xr, axis_name, split_axis=1, concat_axis=0, tiled=True)
-            xi = lax.all_to_all(xi, axis_name, split_axis=1, concat_axis=0, tiled=True)
+            xr, xi = _a2a(xr, xi, axis_name, 1, 0)
         xr, xi = _nd.apply_along_axis(fn0, 0, xr, xi)            # inverse Z
-        xr = lax.all_to_all(xr, axis_name, split_axis=0, concat_axis=1, tiled=True)
-        xi = lax.all_to_all(xi, axis_name, split_axis=0, concat_axis=1, tiled=True)
+        xr, xi = _a2a(xr, xi, axis_name, 0, 1)
         xr, xi = _nd.c2c_nd(cfns, xr, xi)                        # inverse mid
         y = _nd.apply_along_axis_real_out(cfn, nd_ - 1, xr, xi)  # unpack X
         if scale != 1.0:
@@ -357,7 +401,8 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
                      axis_names: Tuple[str, str] = ("fy", "fz"),
                      transposed_out: bool = False,
                      precision: str = "highest", use_3m: bool = False,
-                     max_radix: int = 128) -> DistributedFFTPlan:
+                     max_radix: int = 128,
+                     pipeline_chunks: int = 1) -> DistributedFFTPlan:
     """Single global 3-D C2C FFT, pencil-decomposed over a 2-D mesh.
 
     Input (Z, Y, X) distributed as (Z/P1, Y/P2, X) — X-pencils.  Three local
@@ -368,6 +413,11 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
         (Z/P1, Y/P2, X ) --fft X--> a2a(fz): X<->Y --> (Z/P1, Y, X/P2)
                          --fft Y--> a2a(fy): Y<->Z --> (Z, Y/P1, X/P2)
                          --fft Z--> [optionally a2a back to input layout]
+
+    ``pipeline_chunks > 1`` splits the first a2a + fft(Y) into chunks
+    along the local Z axis (untouched by that collective) so the ICI
+    exchange of one chunk hides behind the butterflies of the previous
+    (``fftw-3.3.8/mpi/transpose-pairwise.c`` scheduled-exchange analog).
     """
     from .mesh import make_pencil_mesh
     shape = tuple(shape)
@@ -395,19 +445,24 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     fy = build_c2c_1d(y, direction, max_radix, prec, use_3m)
     fx = build_c2c_1d(x, direction, max_radix, prec, use_3m)
 
+    def _seg1(cr, ci):
+        cr, ci = _a2a(cr, ci, a2, 2, 1)                       # X <-> Y
+        return _nd.apply_along_axis(fy, 1, cr, ci)
+
     def local_fn(xr, xi):
         xr, xi = _nd.apply_along_axis(fx, 2, xr, xi)          # (Z/P1, Y/P2, X)
-        xr = lax.all_to_all(xr, a2, split_axis=2, concat_axis=1, tiled=True)
-        xi = lax.all_to_all(xi, a2, split_axis=2, concat_axis=1, tiled=True)
-        xr, xi = _nd.apply_along_axis(fy, 1, xr, xi)          # (Z/P1, Y, X/P2)
-        xr = lax.all_to_all(xr, a1, split_axis=1, concat_axis=0, tiled=True)
-        xi = lax.all_to_all(xi, a1, split_axis=1, concat_axis=0, tiled=True)
+        if pipeline_chunks <= 1:
+            xr, xi = _seg1(xr, xi)                            # (Z/P1, Y, X/P2)
+        else:
+            outs = [_seg1(xr[sl], xi[sl])
+                    for sl in _chunked(pipeline_chunks, xr.shape[0])]
+            xr = jnp.concatenate([o[0] for o in outs], axis=0)
+            xi = jnp.concatenate([o[1] for o in outs], axis=0)
+        xr, xi = _a2a(xr, xi, a1, 1, 0)
         xr, xi = _nd.apply_along_axis(fz, 0, xr, xi)          # (Z, Y/P1, X/P2)
         if not transposed_out:
-            xr = lax.all_to_all(xr, a1, split_axis=0, concat_axis=1, tiled=True)
-            xi = lax.all_to_all(xi, a1, split_axis=0, concat_axis=1, tiled=True)
-            xr = lax.all_to_all(xr, a2, split_axis=1, concat_axis=2, tiled=True)
-            xi = lax.all_to_all(xi, a2, split_axis=1, concat_axis=2, tiled=True)
+            xr, xi = _a2a(xr, xi, a1, 0, 1)
+            xr, xi = _a2a(xr, xi, a2, 1, 2)
         return _apply_scale(xr, xi, scale)
 
     in_spec = P(a1, a2, None)
@@ -468,17 +523,12 @@ def make_plan_pencil_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
     fy = build_c2c_1d(y, Direction.FORWARD, max_radix, prec, use_3m)
     fz = build_c2c_1d(z, Direction.FORWARD, max_radix, prec, use_3m)
 
-    def _a2a2(xr, xi, ax, s, c):
-        xr = lax.all_to_all(xr, ax, split_axis=s, concat_axis=c, tiled=True)
-        xi = lax.all_to_all(xi, ax, split_axis=s, concat_axis=c, tiled=True)
-        return xr, xi
-
     def local_fn(v):
         xr, xi = _nd.apply_along_axis_real_in(rfn, 2, v)     # (Z/P1, Y/P2, Xh)
-        xr, xi = _a2a2(xr, xi, a1, 1, 0)                     # (Z, Y/(P1P2), Xh)
+        xr, xi = _a2a(xr, xi, a1, 1, 0)                     # (Z, Y/(P1P2), Xh)
         xr, xi = _nd.apply_along_axis(fz, 0, xr, xi)
-        xr, xi = _a2a2(xr, xi, a1, 0, 1)                     # (Z/P1, Y/P2, Xh)
-        xr, xi = _a2a2(xr, xi, a2, 0, 1)                     # (Z/(P1P2), Y, Xh)
+        xr, xi = _a2a(xr, xi, a1, 0, 1)                     # (Z/P1, Y/P2, Xh)
+        xr, xi = _a2a(xr, xi, a2, 0, 1)                     # (Z/(P1P2), Y, Xh)
         xr, xi = _nd.apply_along_axis(fy, 1, xr, xi)
         return _apply_scale(xr, xi, scale)
 
@@ -545,18 +595,13 @@ def make_plan_pencil_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
     fy = build_c2c_1d(y, Direction.BACKWARD, max_radix, prec, use_3m)
     fz = build_c2c_1d(z, Direction.BACKWARD, max_radix, prec, use_3m)
 
-    def _a2a2(xr, xi, ax, s, c):
-        xr = lax.all_to_all(xr, ax, split_axis=s, concat_axis=c, tiled=True)
-        xi = lax.all_to_all(xi, ax, split_axis=s, concat_axis=c, tiled=True)
-        return xr, xi
-
     def local_fn(xr, xi):
         # exact reverse of pencil-r2c
         xr, xi = _nd.apply_along_axis(fy, 1, xr, xi)         # (Z/(P1P2), Y, Xh)
-        xr, xi = _a2a2(xr, xi, a2, 1, 0)                     # (Z/P1, Y/P2, Xh)
-        xr, xi = _a2a2(xr, xi, a1, 1, 0)                     # (Z, Y/(P1P2), Xh)
+        xr, xi = _a2a(xr, xi, a2, 1, 0)                     # (Z/P1, Y/P2, Xh)
+        xr, xi = _a2a(xr, xi, a1, 1, 0)                     # (Z, Y/(P1P2), Xh)
         xr, xi = _nd.apply_along_axis(fz, 0, xr, xi)
-        xr, xi = _a2a2(xr, xi, a1, 0, 1)                     # (Z/P1, Y/P2, Xh)
+        xr, xi = _a2a(xr, xi, a1, 0, 1)                     # (Z/P1, Y/P2, Xh)
         v = _nd.apply_along_axis_real_out(cfn, 2, xr, xi)    # (Z/P1, Y/P2, X)
         if scale != 1.0:
             v = v * jnp.asarray(scale, v.dtype)

@@ -34,6 +34,42 @@ def make_pencil_mesh(shape: Tuple[int, int], axis_names: Tuple[str, str] = ("fy"
     return Mesh(arr, axis_names)
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None,
+                     local_device_ids=None) -> None:
+    """Join (or start) a multi-process JAX runtime — multi-host readiness.
+
+    The reference runs multi-node through Legion/GASNet startup
+    (``/root/reference/src/fft.rg:513-537`` with ``USE_GASNET``); the JAX
+    analog is ``jax.distributed.initialize``, after which
+    ``jax.devices()`` spans every host and the mesh helpers above build
+    cross-host meshes transparently (collectives ride ICI within a slice
+    and DCN across slices).  On TPU pods all arguments are auto-detected;
+    on CPU/GPU pass coordinator ``host:port``, world size, and rank.
+
+    Call once, before any other JAX API.  Idempotent: repeated calls with
+    the same configuration are ignored.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = int(num_processes)
+    if process_id is not None:
+        kwargs["process_id"] = int(process_id)
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise
+    from ..utils.plog import dump_machine_model
+    dump_machine_model()
+
+
 def num_nodes() -> int:
     """DEFAULT_TUNABLE_NODE_COUNT analog (src/fft.rg:146-148)."""
     return jax.process_count()

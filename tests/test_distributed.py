@@ -113,3 +113,43 @@ def test_shards_1d_local_chunks():
     p = dist.make_plan_shards((16,), direction=Direction.FORWARD)
     ref = np.fft.fft(x.reshape(8, 2), axis=1).reshape(16)
     assert rel_l2(p(x), ref) < tolerance(2)
+
+
+def test_slab_pipelined_chunks_matches():
+    # Chunked overlap pipeline (transpose-pairwise analog): identical
+    # numerics to the unchunked plan at any chunk count.
+    x = crand((8, 6, 16))
+    ref = np.fft.fftn(x)
+    for chunks in (2, 3):
+        p = dist.make_plan_slab((8, 6, 16), norm=Norm.NONE,
+                                pipeline_chunks=chunks)
+        assert rel_l2(p(x), ref) < tolerance(x.size)
+        assert f"pipelined x{chunks}" in p.description
+
+
+def test_pencil_pipelined_chunks_matches():
+    mesh = make_pencil_mesh((2, 4))
+    x = crand((8, 8, 16))
+    ref = np.fft.fftn(x)
+    p = dist.make_plan_pencil((8, 8, 16), mesh=mesh, norm=Norm.NONE,
+                              pipeline_chunks=2)
+    assert rel_l2(p(x), ref) < tolerance(x.size)
+
+
+def test_collective_logging_level2(caplog):
+    # LoggingWrapper parity: REGENT_FFT_LOG=2 must show the collective
+    # schedule of a distributed plan (logging_mapper.cc:129-217 analog).
+    import logging
+    from regent_fft_tpu.utils import plog
+    plog.set_log_level(2)
+    plog.logger.propagate = True  # plog defaults to its own stderr handler
+    try:
+        with caplog.at_level(logging.DEBUG, logger="regent_fft_tpu"):
+            p = dist.make_plan_slab((8, 4, 16), norm=Norm.NONE)
+            x = crand((8, 4, 16))
+            p(x)  # tracing emits the collective records
+        msgs = [r.getMessage() for r in caplog.records]
+        assert any("all_to_all" in m for m in msgs), msgs
+    finally:
+        plog.logger.propagate = False
+        plog.set_log_level(0)
