@@ -33,6 +33,8 @@ from .utils import wisdom
 from .utils.wisdom import (export_wisdom_to_string, export_wisdom_to_filename,
                            import_wisdom_from_string, import_wisdom_from_filename,
                            forget_wisdom)
+from .utils.calibrate import calibrate, Calibration
+from .guru import IODim, GuruPlan, plan_guru, plan_many
 
 __version__ = "0.1.0"
 

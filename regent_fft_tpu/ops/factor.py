@@ -227,10 +227,14 @@ def schedule(n: int, max_radix: int = DEFAULT_MAX_RADIX,
 
 def plan_factors(n: int, max_radix: int = DEFAULT_MAX_RADIX,
                  mode: str = "estimate"):
-    """Top-level factorization decision: ('direct'|'mixed'|'bluestein', info).
+    """Top-level factorization decision:
+    ('direct'|'mixed'|'rader'|'bluestein', info).
 
     * ('direct', n)        — one DFT-matrix matmul (n <= max_radix)
     * ('mixed', factors)   — mixed-radix matmul stages
+    * ('rader', n-1)       — prime n with smooth n-1: cyclic convolution of
+                             length n-1 (two smooth FFTs, ~half Bluestein's
+                             work — ``fftw-3.3.8/dft/rader.c`` analog)
     * ('bluestein', m)     — chirp-z with inner smooth size m >= 2n-1
     """
     if n <= max_radix and (n, max_radix) not in _SCHEDULE_OVERRIDES:
@@ -240,4 +244,6 @@ def plan_factors(n: int, max_radix: int = DEFAULT_MAX_RADIX,
         if len(factors) == 1:
             return ("direct", n)
         return ("mixed", factors)
+    if len(prime_factors(n)) == 1 and is_smooth(n - 1, max_radix):
+        return ("rader", n - 1)
     return ("bluestein", next_fast_len(2 * n - 1, max_radix))

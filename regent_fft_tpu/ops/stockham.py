@@ -254,6 +254,10 @@ def build_c2c_1d(n: int, direction: Direction, max_radix: int = _factor.DEFAULT_
         def fn(xr, xi):
             return mixed_radix_fft(xr, xi, n, factors, sign, precision, use_3m)
         return fn
+    if kind == "rader":
+        # Prime n with smooth n-1: length-(n-1) cyclic convolution.
+        from . import rader as _rader
+        return _rader.build_rader_1d(n, direction, max_radix, precision, use_3m)
     # Bluestein fallback for sizes with prime factors > max_radix.
     from . import bluestein as _bluestein
     return _bluestein.build_bluestein_1d(n, direction, info, max_radix, precision, use_3m)
@@ -268,4 +272,6 @@ def schedule_description(n: int, max_radix: int = _factor.DEFAULT_MAX_RADIX) -> 
     if kind == "mixed":
         stages = " -> ".join(f"radix-{r}" for r in info)
         return f"mixed({n} = {'*'.join(map(str, info))}): {stages}"
+    if kind == "rader":
+        return f"rader({n}, conv={info}: {schedule_description(info, max_radix)})"
     return f"bluestein({n}, conv={info}: {schedule_description(info, max_radix)})"

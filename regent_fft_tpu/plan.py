@@ -459,10 +459,13 @@ class Plan:
         for n in lengths:
             kind, info = _factor.plan_factors(n, self.spec.max_radix)
             factors = (n,) if kind == "direct" else info if kind == "mixed" else None
-            if factors is None:  # bluestein: 2 smooth FFTs of size m + O(m)
+            if factors is None:
+                # rader: 2 smooth FFTs of size n-1 + one cmul pass;
+                # bluestein: 2 smooth FFTs of size m >= 2n-1 + 3 cmuls.
                 m = info
                 _, mf = _factor.plan_factors(m, self.spec.max_radix)
-                per = 2 * _factor.stage_flops(m, mf) + 6 * 3 * m
+                cmuls = 1 if kind == "rader" else 3
+                per = 2 * _factor.stage_flops(m, mf) + 6 * cmuls * m
                 total += (n_all // n) * (per // n if n else 0) * n
             else:
                 total += (n_all // n) * _factor.stage_flops(n, factors)

@@ -29,17 +29,45 @@ TPU_V5E = HardwareModel("tpu-v5e", hbm_gbps=819.0, f32_tflops=49.0,
 
 MODELS = {"tpu-v5e": TPU_V5E, "tpu v5 lite": TPU_V5E}
 
+# Measured overlay installed by utils.calibrate: replaces the datasheet
+# guesses (the r1-flagged f32_tflops=49 placeholder) with per-chip truth.
+_MEASURED: HardwareModel | None = None
+
+
+def install_measured(name: str, hbm_gbps: float, f32_tflops: float) -> None:
+    """Overlay the detected model with measured rates (utils.calibrate)."""
+    global _MEASURED
+    base = _detect_datasheet(name)
+    _MEASURED = dataclasses.replace(
+        base, name=f"{base.name} (measured)", hbm_gbps=hbm_gbps,
+        f32_tflops=f32_tflops)
+
+
+def clear_measured() -> None:
+    global _MEASURED
+    _MEASURED = None
+
+
+def _detect_datasheet(kind_hint: str = "") -> HardwareModel:
+    kind = kind_hint.lower()
+    if not kind:
+        try:
+            import jax
+            kind = jax.devices()[0].device_kind.lower()
+        except Exception:
+            kind = ""
+    for key, m in MODELS.items():
+        if key in kind or kind in key:
+            return m
+    return TPU_V5E
+
 
 def detect_hardware() -> HardwareModel:
-    try:
-        import jax
-        kind = jax.devices()[0].device_kind.lower()
-        for key, m in MODELS.items():
-            if key in kind or kind in key:
-                return m
-    except Exception:
-        pass
-    return TPU_V5E
+    """Hardware model for roofline math: measured overlay if calibrated,
+    else the datasheet entry for the detected device kind."""
+    if _MEASURED is not None:
+        return _MEASURED
+    return _detect_datasheet()
 
 
 def mflops_convention(n: int, t_seconds: float, real: bool = False) -> float:

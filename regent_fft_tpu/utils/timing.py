@@ -190,7 +190,7 @@ def time_plan_latency(plan, iters: int = 5, seed: int = 0) -> float:
 
 @functools.lru_cache(maxsize=8)
 def measured_copy_gbps(nbytes: int = 2 ** 30, iters: int = 8,
-                       reps: int = 3) -> float:
+                       reps: int = 3, min_bytes: int = 2 ** 30) -> float:
     """Achievable HBM bandwidth (GB/s) via a STREAM-scale scan chain.
 
     Each iteration reads two f32 planes and writes two (a,b -> b*s, a*s —
@@ -199,14 +199,15 @@ def measured_copy_gbps(nbytes: int = 2 ** 30, iters: int = 8,
     :func:`time_chain`, this is the denominator roofline fractions should
     use on an attach whose effective bandwidth differs from the datasheet.
 
-    ``nbytes`` is clamped to >= 1 GiB: a smaller scan carry can stay
-    VMEM-resident across iterations and measure on-chip SRAM, not HBM
-    (observed: 1-10 TB/s at 32-128 MB working sets on v5e).
+    ``nbytes`` is clamped to >= ``min_bytes`` (default 1 GiB): a smaller
+    scan carry can stay VMEM-resident across iterations and measure
+    on-chip SRAM, not HBM (observed: 1-10 TB/s at 32-128 MB working sets
+    on v5e).  Tests on CPU may lower ``min_bytes`` for speed.
     """
     import jax
     import jax.numpy as jnp
 
-    nbytes = max(nbytes, 1 << 30)
+    nbytes = max(nbytes, min_bytes)
     n = nbytes // 8  # elements per plane (two f32 planes = nbytes total)
     shape = (max(n // 1024, 1), 1024)
 

@@ -48,14 +48,20 @@ def export_wisdom_to_string() -> str:
     stores the full solver decision, ``api/export-wisdom*.c``)."""
     from ..ops import factor as _factor
     from ..plan import _BACKEND_WISDOM
+    from . import calibrate as _calibrate
     specs = [_spec_to_dict(s) for s in _PLAN_CACHE]
     overrides = [{"n": n, "max_radix": mr, "factors": list(f)}
                  for (n, mr), f in _factor._SCHEDULE_OVERRIDES.items()]
     backends = [{"spec": _spec_to_dict(k), "winner": w}
                 for k, w in _BACKEND_WISDOM.items()]
-    return json.dumps({"version": WISDOM_VERSION, "library": "regent_fft_tpu",
-                       "plans": specs, "schedules": overrides,
-                       "backends": backends}, indent=2)
+    out = {"version": WISDOM_VERSION, "library": "regent_fft_tpu",
+           "plans": specs, "schedules": overrides, "backends": backends}
+    cal = _calibrate.current()
+    if cal is not None:
+        # Per-chip cost-model calibration rides along, so a fresh process
+        # gets the calibrated model planner without re-benching.
+        out["calibration"] = cal.to_dict()
+    return json.dumps(out, indent=2)
 
 
 def export_wisdom_to_filename(path: str) -> None:
@@ -75,7 +81,12 @@ def import_wisdom_from_string(s: str, build: bool = True) -> int:
         raise ValueError(f"unsupported wisdom version: {data.get('version')}")
     from ..ops import factor as _factor
     from ..plan import _BACKEND_WISDOM, _backend_key
+    from . import calibrate as _calibrate
     n = 0
+    cal = data.get("calibration")
+    if cal is not None:
+        _calibrate.install_calibration(_calibrate.Calibration.from_dict(cal))
+        n += 1
     for o in data.get("schedules", []):
         _factor.set_schedule_override(o["n"], tuple(o["factors"]),
                                       o.get("max_radix", 128))
@@ -97,12 +108,15 @@ def import_wisdom_from_filename(path: str, build: bool = True) -> int:
 
 
 def forget_wisdom() -> None:
-    """fftw_forget_wisdom analog: drop plans, schedules, backend winners."""
+    """fftw_forget_wisdom analog: drop plans, schedules, backend winners,
+    and the cost-model calibration."""
     from ..ops import factor as _factor
     from ..plan import _BACKEND_WISDOM
+    from . import calibrate as _calibrate
     _PLAN_CACHE.clear()
     _factor._SCHEDULE_OVERRIDES.clear()
     _BACKEND_WISDOM.clear()
+    _calibrate.reset_calibration()
 
 
 def default_wisdom_path() -> str:

@@ -38,8 +38,11 @@ def test_next_fast_len():
 def test_plan_factors_dispatch():
     assert factor.plan_factors(64)[0] == "direct"
     assert factor.plan_factors(1024)[0] == "mixed"
-    kind, m = factor.plan_factors(131)
-    assert kind == "bluestein" and m >= 2 * 131 - 1
+    # 131 prime with smooth 130 -> rader (length-130 cyclic convolution)
+    assert factor.plan_factors(131) == ("rader", 130)
+    # 262 = 2*131: composite with a large prime factor -> bluestein
+    kind, m = factor.plan_factors(262)
+    assert kind == "bluestein" and m >= 2 * 262 - 1
 
 
 def test_flops_convention():

