@@ -79,7 +79,9 @@ def load() -> Optional[ctypes.CDLL]:
         lib.rftp_stage_flops.argtypes = [ctypes.c_uint64,
                                          ctypes.POINTER(ctypes.c_uint32), ctypes.c_int]
         lib.rftp_set_cost_params.restype = None
-        lib.rftp_set_cost_params.argtypes = [ctypes.c_double] * 4
+        lib.rftp_set_cost_params.argtypes = [ctypes.c_double] * 5
+        lib.rftp_schedule_cost.restype = ctypes.c_double
+        lib.rftp_schedule_cost.argtypes = [ctypes.c_uint64, ctypes.c_uint32]
         lib.rftp_version.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -119,9 +121,24 @@ def next_fast_len(n: int) -> Optional[int]:
 
 
 def set_cost_params(mxu_edge=128.0, mxu_rate=1.0, vpu_rate=0.05,
-                    stage_overhead=64.0) -> bool:
+                    stage_overhead=64.0, bw_unit=100.0) -> bool:
+    """Tune the native cost model (defaults = measured v5e ratios).
+
+    ``bw_unit`` is HBM traffic cost in MXU-flop time units per byte:
+    useful-f32-flops-per-second / HBM-bytes-per-second.
+    """
     lib = load()
     if lib is None:
         return False
-    lib.rftp_set_cost_params(mxu_edge, mxu_rate, vpu_rate, stage_overhead)
+    lib.rftp_set_cost_params(mxu_edge, mxu_rate, vpu_rate, stage_overhead,
+                             bw_unit)
     return True
+
+
+def schedule_cost(n: int, max_radix: int = 128) -> Optional[float]:
+    """Modeled per-batch-element cost of the best schedule (tests/inspection)."""
+    lib = load()
+    if lib is None:
+        return None
+    c = lib.rftp_schedule_cost(n, max_radix)
+    return None if c < 0 else float(c)

@@ -236,6 +236,14 @@ def _build_core(spec: PlanSpec):
             if 2 <= n <= spec.xla_direct_max:
                 steps.append(("direct", a, n))
                 continue
+            if spec.planner == "model":
+                # calibrated-cost-model split (native planner); its search
+                # is executor-shaped, so a 2-factor result maps onto the
+                # same mixed2 step the default heuristic uses.
+                ms = _factor.schedule(n, spec.max_radix, "model")
+                if ms is not None and len(ms) == 2:
+                    steps.append(("mixed2", a, (n, ms[0])))
+                    continue
             split = _stockham.best_two_factor(n, spec.max_radix)
             if split is not None:
                 steps.append(("mixed2", a, (n, split[0])))

@@ -57,6 +57,13 @@ class Calibration:
             return 0.05
         return max(self.vpu_gflops * 1e9 / (self.mxu_tflops * 1e12), 1e-6)
 
+    @property
+    def bw_unit(self) -> float:
+        """HBM byte cost in MXU-flop time units (CostParams.bw_unit)."""
+        if self.mxu_tflops <= 0 or self.hbm_gbps <= 0:
+            return 100.0
+        return self.mxu_tflops * 1e12 / (self.hbm_gbps * 1e9)
+
     def stage_overhead_units(self, n: int = 1024, batch: int = 1024) -> float:
         """CostParams.stage_overhead: the model charges
         ``stage_overhead * n * 0.25`` MXU-flop units per stage, per batch
@@ -96,14 +103,17 @@ def current() -> Optional[Calibration]:
 # Microbenchmarks (honest chained timing; ~seconds total on hardware)
 # ---------------------------------------------------------------------------
 
-def measure_mxu_tflops(m: int = 4096, k: int = 512, iters: int = 8,
+def measure_mxu_tflops(m: int = 8192, k: int = 1024, iters: int = 4,
                        reps: int = 2) -> float:
     """Achieved f32 matmul rate of an (m, k) @ (k, k) chain.
 
     k is a multiple of the 128-wide MXU edge so the contraction runs at
     full systolic efficiency; the carry shape equals the output shape so
     the chain composes.  Weights are scaled by 1/sqrt(k) to keep values
-    O(1) across iterations.
+    O(1) across iterations.  Runs at HIGHEST precision — the rate the
+    executor's einsum stages actually see (the f32 emulation passes are
+    the point, not an artifact).  The default shape costs ~17 GFLOP per
+    iteration so the adaptive timing window is genuinely MXU-bound.
     """
     import jax
     import jax.numpy as jnp
@@ -127,13 +137,14 @@ def measure_mxu_tflops(m: int = 4096, k: int = 512, iters: int = 8,
 
 
 def measure_vpu_gflops(rows: int = 1024, cols: int = 1024, iters: int = 8,
-                       reps: int = 2) -> float:
+                       reps: int = 2, inner: int = 32) -> float:
     """Achieved elementwise rate on a twiddle-shaped complex multiply.
 
-    One iteration applies (a+bi) * (c+di) with constant twiddle planes —
-    exactly the inter-stage twiddle workload the cost model prices at 6
-    flops/element.  The working set (~4 planes x 4 MB) fits VMEM so the
-    number reflects the VPU, not HBM.
+    One chain iteration applies (a+bi) * (c+di) with constant twiddle
+    planes ``inner`` times in a row — exactly the inter-stage twiddle
+    workload the cost model prices at 6 flops/element, with enough
+    arithmetic intensity (inner*6 flops per 16 bytes) that the number
+    reflects the VPU rather than HBM streaming.
     """
     import jax
     import jax.numpy as jnp
@@ -147,7 +158,9 @@ def measure_vpu_gflops(rows: int = 1024, cols: int = 1024, iters: int = 8,
     def step(c):
         a, b = c
         wr, wi = jnp.asarray(cr), jnp.asarray(ci)
-        return (a * wr - b * wi, a * wi + b * wr)
+        for _ in range(inner):
+            a, b = a * wr - b * wi, a * wi + b * wr
+        return (a, b)
 
     def make_carry(seed):
         kr, ki = jax.random.split(jax.random.PRNGKey(seed))
@@ -155,19 +168,24 @@ def measure_vpu_gflops(rows: int = 1024, cols: int = 1024, iters: int = 8,
                 jax.random.normal(ki, (rows, cols), jnp.float32))
 
     t = _timing.time_chain(step, make_carry, iters, reps)
-    return 6.0 * rows * cols / t / 1e9
+    return 6.0 * inner * rows * cols / t / 1e9
 
 
 def measure_stage_overhead_s(n: int = 1024, batch: int = 1024,
                              mxu_tflops: float = 0.0,
                              vpu_gflops: float = 0.0,
+                             hbm_gbps: float = 0.0,
                              iters: int = 6, reps: int = 2) -> float:
-    """Fixed per-stage cost: the 3-stage vs 2-stage timing residual.
+    """Fixed per-stage cost: what the rate model fails to predict.
 
-    Times the executor's real code paths (``mixed_radix_fft_axis`` for two
-    factors, ``mixed_radix_fft`` for three) for the same n, subtracts the
-    matmul/twiddle flop difference at the measured rates, and attributes
-    the remainder to one extra pipeline stage.  Clamped at >= 0.
+    Times the executor's real 2-stage path (``mixed_radix_fft_axis``),
+    subtracts the cost-model prediction at the measured rates (2 HBM
+    passes + true matmul flops + one twiddle pass), and attributes half
+    the residual to each stage.  Clamped at >= 0.  This is deliberately
+    measured on the SAME executor the model plans for — an earlier
+    version compared the 2-stage and flattened 3-stage executors and
+    absorbed the flattened pipeline's 12x traffic penalty into
+    "overhead", wrecking the calibration.
     """
     from . import measure as _measure
     from ..ops import stockham as _stockham
@@ -177,26 +195,18 @@ def measure_stage_overhead_s(n: int = 1024, batch: int = 1024,
     s2 = _stockham.best_two_factor(n, _factor.DEFAULT_MAX_RADIX)
     if s2 is None:
         raise ValueError(f"n={n} lacks a two-factor split; pick a smooth n")
-    f3 = _factor.factorize(s2[0], max(2, s2[0] // 2))
-    s3 = tuple(f3) + (s2[1],)
     prec = jax.lax.Precision.HIGHEST
     t2 = _measure.time_fn(
         _measure._schedule_step_fn(n, s2, -1, prec, False),
         (batch, n), k=iters)
-    t3 = _measure.time_fn(
-        _measure._schedule_step_fn(n, s3, -1, prec, False),
-        (batch, n), k=iters)
-    # model flops: per stage 8*n*r matmul + 6*n twiddle between stages
-    mm2 = 8.0 * n * sum(s2) * batch
-    mm3 = 8.0 * n * sum(s3) * batch
-    tw2 = 6.0 * n * (len(s2) - 1) * batch
-    tw3 = 6.0 * n * (len(s3) - 1) * batch
-    resid = t3 - t2
+    predicted = 0.0
+    if hbm_gbps > 0:
+        predicted += 2 * 16.0 * n * batch / (hbm_gbps * 1e9)
     if mxu_tflops > 0:
-        resid -= (mm3 - mm2) / (mxu_tflops * 1e12)
+        predicted += 8.0 * n * sum(s2) * batch / (mxu_tflops * 1e12)
     if vpu_gflops > 0:
-        resid -= (tw3 - tw2) / (vpu_gflops * 1e9)
-    return max(resid, 0.0)
+        predicted += 6.0 * n * batch / (vpu_gflops * 1e9)
+    return max(t2 - predicted, 0.0) / 2.0
 
 
 # ---------------------------------------------------------------------------
@@ -225,7 +235,7 @@ def calibrate(install: bool = True, quick: bool = False) -> Calibration:
         hbm = _timing.measured_copy_gbps(nbytes=1 << 25, iters=3, reps=2,
                                          min_bytes=1 << 25)
         ovh = measure_stage_overhead_s(n=256, batch=64, mxu_tflops=mxu,
-                                       vpu_gflops=vpu, iters=3)
+                                       vpu_gflops=vpu, hbm_gbps=hbm, iters=3)
         cal = Calibration(device=device, mxu_tflops=mxu, vpu_gflops=vpu,
                           hbm_gbps=hbm, stage_overhead_s=ovh)
         if install:
@@ -234,7 +244,8 @@ def calibrate(install: bool = True, quick: bool = False) -> Calibration:
     mxu = measure_mxu_tflops()
     vpu = measure_vpu_gflops()
     hbm = _timing.measured_copy_gbps()
-    ovh = measure_stage_overhead_s(mxu_tflops=mxu, vpu_gflops=vpu)
+    ovh = measure_stage_overhead_s(mxu_tflops=mxu, vpu_gflops=vpu,
+                                   hbm_gbps=hbm)
     cal = Calibration(device=device, mxu_tflops=mxu, vpu_gflops=vpu,
                       hbm_gbps=hbm, stage_overhead_s=ovh)
     if install:
@@ -249,7 +260,7 @@ def install_calibration(cal: Calibration) -> None:
     from ..native import planner as _native
     from . import flopcount as _fc
     _native.set_cost_params(cal.mxu_edge, cal.mxu_rate, cal.vpu_rate,
-                            cal.stage_overhead_units())
+                            cal.stage_overhead_units(), cal.bw_unit)
     _fc.install_measured(cal.device, hbm_gbps=cal.hbm_gbps,
                          f32_tflops=cal.mxu_tflops)
     from .plog import logger

@@ -30,59 +30,85 @@ import numpy as np
 
 
 def time_chain(step: Callable, make_carry: Callable, iters: int = 6,
-               reps: int = 3, seed0: int = 100) -> float:
+               reps: int = 3, seed0: int = 100,
+               min_window_s: float = 0.04) -> float:
     """Seconds per iteration of ``step`` (carry -> carry), honestly.
 
     ``make_carry(seed)`` must build a fresh device-side carry pytree from
     an int seed under jit; ``step`` must map that carry to a like-shaped
     carry (chaining defeats execution memoization between iterations).
 
-    Uses a PAIRED-DIFFERENCE estimate: chains of length ``iters`` and
-    ``3*iters`` are each timed (min over ``reps``), and the per-iteration
-    time is the slope (T_long - T_short) / (2*iters).  A single timed
-    dispatch on a remote-attach TPU carries a fixed ~30 ms tunnel round
-    trip, which a naive T/k estimate attributes to the kernel — measured
-    on this attach, that error dominated every sub-10 ms problem.
+    Uses a PAIRED-DIFFERENCE estimate: chains of length ``k`` and ``3*k``
+    are each timed (min over ``reps``), and the per-iteration time is the
+    slope (T_long - T_short) / (2*k).  A single timed dispatch on a
+    remote-attach TPU carries a fixed ~30 ms tunnel round trip, which a
+    naive T/k estimate attributes to the kernel — measured on this
+    attach, that error dominated every sub-10 ms problem.
+
+    The chain length ADAPTS: if the rough estimate says the slope window
+    (2*k iterations of compute) is under ``min_window_s``, k is scaled up
+    (powers of two, so at most a handful of recompiles) until the window
+    dwarfs the attach's ~1-3 ms dispatch jitter.  Without this, sub-ms
+    problems return noise — measured: the same schedule timed 0.1 ms and
+    2.0 ms across runs at fixed k=5.
     """
     import jax
+    import jax.numpy as jnp
 
-    def _chain(k):
-        @jax.jit
-        def many(carry):
-            def body(c, _):
-                return step(c), None
-            out, _ = jax.lax.scan(body, carry, None, length=k)
-            return out
-        return many
+    # DYNAMIC trip count: one compile serves every chain length (each
+    # length-adaptation round would otherwise recompile, ~10 s per length
+    # on a remote-compile attach).
+    @jax.jit
+    def many(carry, k):
+        return jax.lax.fori_loop(0, k, lambda i, c: step(c), carry)
 
     mk = jax.jit(make_carry)
 
     def fetch(tree):
         return float(jax.tree.leaves(tree)[0].ravel()[0])
 
-    def best_of(many, k):
-        carry = mk(seed0)
-        out = many(carry)
-        jax.block_until_ready(out)
-        _ = fetch(out)  # warm the fetch path
+    warmed = [False]
+
+    def best_of(k):
+        if not warmed[0]:
+            out = many(mk(seed0), jnp.int32(max(k, 1)))
+            jax.block_until_ready(out)
+            _ = fetch(out)  # compile + warm the fetch path
+            warmed[0] = True
         best = float("inf")
         for i in range(reps):
             carry = mk(seed0 + 1 + i + 7 * k)
             jax.block_until_ready(carry)
             _ = fetch(carry)
             t0 = time.perf_counter()
-            out = many(carry)
+            out = many(carry, jnp.int32(k))
             _ = fetch(out)
             best = min(best, time.perf_counter() - t0)
         return best
 
-    k1, k2 = iters, 3 * iters
-    t1 = best_of(_chain(k1), k1)
-    t2 = best_of(_chain(k2), k2)
-    slope = (t2 - t1) / (k2 - k1)
-    # Guard against noise making the short chain slower than the long
-    # one: the long-chain average is a safe upper bound on the truth.
-    return max(slope, 0.0) or t2 / k2
+    def slope_at(k1):
+        k2 = 3 * k1
+        t1 = best_of(k1)
+        t2 = best_of(k2)
+        slope = (t2 - t1) / (k2 - k1)
+        # Guard against noise making the short chain slower than the
+        # long one: the long-chain average bounds the truth from above.
+        return (max(slope, 0.0) or t2 / k2), t2
+
+    k = max(int(iters), 1)
+    per_iter, t_long = slope_at(k)
+    # Grow k geometrically until 2*k iterations of compute cover
+    # min_window_s; bail once a long chain costs ~a second (window is
+    # then plenty) or k hits a hard cap.
+    for _ in range(6):
+        window = 2 * k * per_iter
+        if window >= min_window_s or per_iter <= 0 or t_long > 1.0:
+            break
+        k = min(4 * k, 16384)
+        per_iter, t_long = slope_at(k)
+        if k == 16384:
+            break
+    return per_iter
 
 
 # ---------------------------------------------------------------------------
