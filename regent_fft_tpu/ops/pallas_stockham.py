@@ -38,19 +38,27 @@ from ..dtypes import Direction
 from . import twiddle as _twiddle
 
 # Lane-tile width per kernel instance and per-call operand cap.  Hardware
-# bisection (re-validated round 2): the Mosaic helper compiles butterfly
-# blocks up to ~128K elements with sublane extents <= 2048 — so mid-axis
-# kernels (lane tiles >= 128) cap at n=1024, while last-axis kernels can
-# run n=2048 at 64-row tiles.  Larger n crashes regardless of tile.
+# bisection (re-bisected mid round 2 — the Mosaic helper's envelope has
+# LIFTED since round 1): butterfly blocks up to 256K elements compile
+# (512x512 OK, 512x1024 crashes), sublane extents <= 2048 — so both
+# mid-axis and last-axis kernels run n <= 2048, and the fused two-axis
+# kernel covers (512, 512) blocks.  docs/tpu_notes.md "schedule rankings"
+# has the measured timings behind the tile choices below.
 LANE_TILE = 128
-MAX_STOCKHAM_N = 1024      # mid-axis (column-tiled) kernels
+MAX_BLOCK_ELEMS = 262144   # hardware-validated per-block element cap
+MAX_STOCKHAM_N = 2048      # mid-axis (column-tiled) kernels
 MAX_LAST_N = 2048          # last-axis kernels (narrower row tiles)
 MAX_CALL_ELEMS = 4 * 1024 * 1024
 
 
 def _tb_for(n: int) -> int:
-    """Row-tile height for a last-axis n-point kernel (block <= 128K)."""
-    return LANE_TILE if n <= MAX_STOCKHAM_N else 131072 // n
+    """Row-tile height for a last-axis n-point kernel.
+
+    Measured (512^3 pass, v5e): tb=256 runs the n=512 last-axis pass 22%
+    faster than tb=128 (9.0 vs 11.6 ms); tb=512 is slightly worse again.
+    Capped so blocks stay inside the validated element envelope.
+    """
+    return max(8, min(256, MAX_BLOCK_ELEMS // n))
 
 
 # Largest tail sub-transform finished on the MXU (see _stockham_tile).
@@ -263,7 +271,9 @@ def _runner_cols(n: int, sign: int, vt: int, scale: float = 1.0,
 
 
 # Largest fused 2-axis block (n1 * n2 elements); hardware envelope.
-MAX_FUSED2_ELEMS = 65536
+# 512x512 measured: ONE 15.0 ms pass for both trailing axes vs 17.0 ms
+# for separate last(9.0) + mid(8.0) passes at 512^3.
+MAX_FUSED2_ELEMS = MAX_BLOCK_ELEMS
 
 
 @functools.lru_cache(maxsize=256)

@@ -100,7 +100,10 @@ def test_plan_backend_hybrid_cpu_interpret():
 def test_fused2_kernel_matches_numpy():
     from regent_fft_tpu.ops.pallas_stockham import (fft_axes2_stockham,
                                                     fused2_supported)
-    assert fused2_supported(16, 128) and not fused2_supported(1024, 128)
+    # envelope (re-bisected r2): blocks up to 256K elements compile,
+    # so (512, 512) is in and (1024, 512) is out
+    assert fused2_supported(16, 128) and fused2_supported(512, 512)
+    assert not fused2_supported(1024, 512)
     x = crand((3, 16, 128)).astype(np.complex64)
     yr, yi = fft_axes2_stockham(jnp.asarray(x.real, jnp.float32),
                                 jnp.asarray(x.imag, jnp.float32),
