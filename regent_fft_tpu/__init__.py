@@ -28,7 +28,7 @@ from .parallel.distributed import (DistributedFFTPlan, make_plan_shards,
                                    make_plan_slab, make_plan_pencil,
                                    make_plan_slab_r2c, make_plan_slab_c2r,
                                    make_plan_pencil_r2c, make_plan_pencil_c2r,
-                                   destroy_plan_distrib)
+                                   make_plan_distributed, destroy_plan_distrib)
 from .utils import wisdom
 from .utils.wisdom import (export_wisdom_to_string, export_wisdom_to_filename,
                            import_wisdom_from_string, import_wisdom_from_filename,

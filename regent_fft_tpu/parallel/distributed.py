@@ -634,3 +634,126 @@ def make_plan_pencil_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
 def destroy_plan_distrib(plan: DistributedFFTPlan):
     """Reference-parity destroy (``src/fft.rg:655-661``)."""
     plan.destroy()
+
+
+# ---------------------------------------------------------------------------
+# Strategy dispatch + distributed wisdom (FFTW_MEASURE for the MPI layer —
+# FFTW's planner times its MPI transpose solvers like any other solver,
+# ``fftw-3.3.8/mpi/transpose-alltoall.c`` vs ``transpose-pairwise.c``; the
+# analog here is racing slab/pencil/chunking on the actual mesh).
+# ---------------------------------------------------------------------------
+
+# (shape, n_devices, direction, norm) -> winning strategy dict.  Exported
+# and restored by utils.wisdom alongside schedule/backend wisdom.
+_DISTRIB_WISDOM: dict = {}
+
+
+def _distrib_key(shape, n_devices: int, direction: Direction, norm: Norm):
+    return (tuple(shape), int(n_devices), int(direction), norm.value)
+
+
+def strategy_name(strategy: dict) -> str:
+    """Canonical short name, e.g. ``slab/c2`` or ``pencil2x4/c1``."""
+    mode = strategy["mode"]
+    c = strategy.get("pipeline_chunks", 1)
+    if mode == "pencil" and "mesh_shape" in strategy:
+        p1, p2 = strategy["mesh_shape"]
+        return f"pencil{p1}x{p2}/c{c}"
+    return f"{mode}/c{c}"
+
+
+def _default_pencil_shape(n_devices: int) -> Tuple[int, int]:
+    r = int(math.isqrt(n_devices))
+    while n_devices % r:
+        r -= 1
+    return (r, n_devices // r)
+
+
+def candidate_strategies(shape, n_devices: int,
+                         chunk_candidates: Sequence[int] = (1, 2, 4)):
+    """Feasible decomposition strategies for a global C2C transform.
+
+    Slab (one collective round) where P divides axes 0 and -1; pencil
+    (2-D mesh, two rounds, scales past P <= min-extent) for rank-3 shapes
+    whose extents divide the default near-square mesh.  Each mode is
+    offered at every overlap-pipeline chunk count that its chunk axis
+    admits (chunking needs rank >= 3)."""
+    shape = tuple(shape)
+    nd_ = len(shape)
+    p = int(n_devices)
+    out = []
+    if nd_ >= 2 and shape[0] % p == 0 and shape[-1] % p == 0:
+        for c in chunk_candidates:
+            if c == 1 or (nd_ >= 3 and c <= shape[1]):
+                out.append({"mode": "slab", "pipeline_chunks": int(c)})
+    if nd_ == 3 and p > 1:
+        p1, p2 = _default_pencil_shape(p)
+        if p1 > 1:  # a 1xP pencil is just a worse slab
+            z, y, x = shape
+            if not (z % p1 or y % p1 or y % p2 or x % p2):
+                for c in chunk_candidates:
+                    if c == 1 or c <= z // p1:
+                        out.append({"mode": "pencil", "mesh_shape": (p1, p2),
+                                    "pipeline_chunks": int(c)})
+    return out
+
+
+def build_strategy(strategy: dict, shape, direction=Direction.FORWARD,
+                   norm=Norm.BACKWARD, **kw) -> DistributedFFTPlan:
+    """Build the distributed C2C plan a strategy dict describes."""
+    s = dict(strategy)
+    mode = s.pop("mode")
+    if mode == "slab":
+        return make_plan_slab(shape, direction=direction, norm=norm, **s, **kw)
+    if mode == "pencil":
+        ms = s.pop("mesh_shape", None)
+        if ms is not None:
+            ms = tuple(ms)
+        return make_plan_pencil(shape, direction=direction, norm=norm,
+                                mesh_shape=ms, **s, **kw)
+    if mode == "shards":
+        s.pop("pipeline_chunks", None)
+        return make_plan_shards(shape, direction=direction, norm=norm, **kw)
+    raise ValueError(f"unknown distributed strategy mode: {mode!r}")
+
+
+def make_plan_distributed(shape, direction=Direction.FORWARD,
+                          norm=Norm.BACKWARD, n_devices: Optional[int] = None,
+                          planner: str = "estimate",
+                          chunk_candidates: Sequence[int] = (1, 2, 4),
+                          measure_iters: int = 3, **kw) -> DistributedFFTPlan:
+    """Auto-dispatching global C2C plan: slab vs pencil vs overlap chunks.
+
+    ``planner="estimate"``: use the wisdom winner when one is recorded for
+    (shape, devices, direction, norm); otherwise the heuristic — slab when
+    divisibility allows (one ICI round beats pencil's two at equal P),
+    else pencil.  ``planner="measure"``: race every feasible strategy on
+    the actual device mesh (``utils.measure.measure_distributed``), record
+    the winner in distributed wisdom (exported via ``export_wisdom``), and
+    build it — the FFTW_MEASURE analog the reference's distributed mode
+    never had (it index-launches per-node ESTIMATE plans only,
+    ``src/fft.rg:513-537``).
+    """
+    import jax
+    shape = tuple(shape)
+    p = int(n_devices or len(jax.devices()))
+    key = _distrib_key(shape, p, direction, norm)
+    if planner == "measure":
+        from ..utils.measure import measure_distributed
+        winner, _ = measure_distributed(
+            shape, direction=direction, norm=norm, n_devices=p,
+            chunk_candidates=chunk_candidates, iters=measure_iters,
+            install=True, **kw)
+        return build_strategy(winner, shape, direction, norm, **kw)
+    hit = _DISTRIB_WISDOM.get(key)
+    if hit is not None:
+        return build_strategy(hit, shape, direction, norm, **kw)
+    cands = candidate_strategies(shape, p, (1,))
+    if not cands:
+        raise ValueError(
+            f"no feasible distributed decomposition for shape {shape} on "
+            f"{p} devices (need P | axes 0,-1 for slab, or a divisible "
+            f"rank-3 pencil)")
+    slabs = [c for c in cands if c["mode"] == "slab"]
+    return build_strategy(slabs[0] if slabs else cands[0],
+                          shape, direction, norm, **kw)

@@ -54,8 +54,13 @@ def export_wisdom_to_string() -> str:
                  for (n, mr), f in _factor._SCHEDULE_OVERRIDES.items()]
     backends = [{"spec": _spec_to_dict(k), "winner": w}
                 for k, w in _BACKEND_WISDOM.items()]
+    from ..parallel.distributed import _DISTRIB_WISDOM
+    distrib = [{"shape": list(shape), "n_devices": ndev, "direction": d,
+                "norm": nv, "strategy": dict(strat)}
+               for (shape, ndev, d, nv), strat in _DISTRIB_WISDOM.items()]
     out = {"version": WISDOM_VERSION, "library": "regent_fft_tpu",
-           "plans": specs, "schedules": overrides, "backends": backends}
+           "plans": specs, "schedules": overrides, "backends": backends,
+           "distrib": distrib}
     cal = _calibrate.current()
     if cal is not None:
         # Per-chip cost-model calibration rides along, so a fresh process
@@ -94,6 +99,16 @@ def import_wisdom_from_string(s: str, build: bool = True) -> int:
     for o in data.get("backends", []):
         _BACKEND_WISDOM[_backend_key(_spec_from_dict(o["spec"]))] = o["winner"]
         n += 1
+    if data.get("distrib"):
+        from ..parallel.distributed import _DISTRIB_WISDOM, _distrib_key
+        for o in data["distrib"]:
+            strat = dict(o["strategy"])
+            if "mesh_shape" in strat:
+                strat["mesh_shape"] = tuple(strat["mesh_shape"])
+            _DISTRIB_WISDOM[_distrib_key(
+                o["shape"], o["n_devices"], Direction(o["direction"]),
+                Norm(o["norm"]))] = strat
+            n += 1
     for d in data.get("plans", []):
         spec = _spec_from_dict(d)
         if build:
@@ -109,13 +124,15 @@ def import_wisdom_from_filename(path: str, build: bool = True) -> int:
 
 def forget_wisdom() -> None:
     """fftw_forget_wisdom analog: drop plans, schedules, backend winners,
-    and the cost-model calibration."""
+    distributed-strategy winners, and the cost-model calibration."""
     from ..ops import factor as _factor
     from ..plan import _BACKEND_WISDOM
     from . import calibrate as _calibrate
+    from ..parallel.distributed import _DISTRIB_WISDOM
     _PLAN_CACHE.clear()
     _factor._SCHEDULE_OVERRIDES.clear()
     _BACKEND_WISDOM.clear()
+    _DISTRIB_WISDOM.clear()
     _calibrate.reset_calibration()
 
 
