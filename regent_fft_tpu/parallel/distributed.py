@@ -103,8 +103,12 @@ class DistributedFFTPlan:
     pipelines around the transform.
     """
 
+    # Executor argument indices donated when ``donate=True`` (subclasses
+    # with single-input executors override to (0,)).
+    _donate_argnums: Tuple[int, ...] = (0, 1)
+
     def __init__(self, spec_desc: str, mesh: Mesh, in_spec: P, out_spec: P,
-                 fn, shape, dtype: str, flops: float):
+                 fn, shape, dtype: str, flops: float, donate: bool = False):
         self.description = spec_desc
         self.mesh = mesh
         self.in_sharding = NamedSharding(mesh, in_spec)
@@ -112,7 +116,11 @@ class DistributedFFTPlan:
         self.global_shape = tuple(shape)
         self.dtype = dtype
         self.flops = flops
-        self._fn = jax.jit(fn)
+        # ``donate`` aliases the input planes to the executor (serving
+        # deployments: halves peak HBM for the largest transforms, the
+        # in-place analog of FFTW's in-place plans).
+        self._fn = jax.jit(
+            fn, donate_argnums=self._donate_argnums if donate else ())
         self._destroyed = False
         from ..utils.plog import log_plan
         log_plan(self)
@@ -141,7 +149,8 @@ class DistributedFFTPlan:
 def make_plan_shards(shape, kind=Kind.C2C, direction=Direction.FORWARD,
                      norm=Norm.NONE, dtype="complex64", mesh: Optional[Mesh] = None,
                      axis_name: str = "fft", precision: str = "highest",
-                     use_3m: bool = False, max_radix: int = 128) -> DistributedFFTPlan:
+                     use_3m: bool = False, max_radix: int = 128,
+                     donate: bool = False) -> DistributedFFTPlan:
     """Reference-parity distributed mode: independent per-shard transforms.
 
     Equal-partitions the LEADING axis across the mesh; each device runs a
@@ -182,7 +191,8 @@ def make_plan_shards(shape, kind=Kind.C2C, direction=Direction.FORWARD,
             f"independent {len(shape)}D FFT of each local {local_shape} slab, "
             f"no collectives)")
     flops = p * 5.0 * n_local * max(1.0, math.log2(max(n_local, 2)))
-    return DistributedFFTPlan(desc, mesh, pspec, pspec, fn, shape, dtype, flops)
+    return DistributedFFTPlan(desc, mesh, pspec, pspec, fn, shape, dtype,
+                              flops, donate)
 
 
 def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
@@ -190,7 +200,8 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
                    axis_name: str = "fft", transposed_out: bool = False,
                    precision: str = "highest", use_3m: bool = False,
                    max_radix: int = 128,
-                   pipeline_chunks: int = 1) -> DistributedFFTPlan:
+                   pipeline_chunks: int = 1,
+                   donate: bool = False) -> DistributedFFTPlan:
     """Single global N-D C2C FFT, slab-decomposed over the first axis.
 
     Local FFT over axes 1..nd-1, then one all_to_all that trades the first
@@ -256,13 +267,15 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
             f"{' [transposed output]' if transposed_out else ' -> all_to_all back'}"
             f"{f' [pipelined x{chunks}]' if chunks > 1 else ''})")
     flops = 5.0 * n_total * math.log2(max(n_total, 2))
-    return DistributedFFTPlan(desc, mesh, in_spec, out_spec, fn, shape, dtype, flops)
+    return DistributedFFTPlan(desc, mesh, in_spec, out_spec, fn, shape,
+                              dtype, flops, donate)
 
 
 def make_plan_slab_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
                        mesh: Optional[Mesh] = None, axis_name: str = "fft",
                        transposed_out: bool = False, precision: str = "highest",
-                       use_3m: bool = False, max_radix: int = 128):
+                       use_3m: bool = False, max_radix: int = 128,
+                       donate: bool = False):
     """Global real-input N-D FFT, slab-decomposed over the first axis.
 
     Real packing happens on the LAST axis locally (conjugate-even, halving
@@ -311,6 +324,8 @@ def make_plan_slab_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
     flops = 2.5 * n_total * math.log2(max(n_total, 2))
 
     class _R2CPlan(DistributedFFTPlan):
+        _donate_argnums = (0,)
+
         def __call__(self, x):
             if self._destroyed:
                 raise RuntimeError("plan was destroyed")
@@ -323,13 +338,15 @@ def make_plan_slab_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
             return from_split(SplitComplex(yr, yi), jnp.complex64)
         execute = __call__
 
-    return _R2CPlan(desc, mesh, in_spec, out_spec, fn, half, dtype, flops)
+    return _R2CPlan(desc, mesh, in_spec, out_spec, fn, half, dtype, flops,
+                    donate)
 
 
 def make_plan_slab_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
                        mesh: Optional[Mesh] = None, axis_name: str = "fft",
                        transposed_in: bool = False, precision: str = "highest",
-                       use_3m: bool = False, max_radix: int = 128):
+                       use_3m: bool = False, max_radix: int = 128,
+                       donate: bool = False):
     """Inverse of :func:`make_plan_slab_r2c`: half-spectrum -> real field.
 
     ``shape`` is the REAL output shape.  With ``transposed_in`` the input
@@ -392,7 +409,8 @@ def make_plan_slab_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
             return self._fn(xr, xi)
         execute = __call__
 
-    return _C2RPlan(desc, mesh, in_spec, slab_spec, fn, shape, dtype, flops)
+    return _C2RPlan(desc, mesh, in_spec, slab_spec, fn, shape, dtype, flops,
+                    donate)
 
 
 def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
@@ -402,7 +420,8 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
                      transposed_out: bool = False,
                      precision: str = "highest", use_3m: bool = False,
                      max_radix: int = 128,
-                     pipeline_chunks: int = 1) -> DistributedFFTPlan:
+                     pipeline_chunks: int = 1,
+                     donate: bool = False) -> DistributedFFTPlan:
     """Single global 3-D C2C FFT, pencil-decomposed over a 2-D mesh.
 
     Input (Z, Y, X) distributed as (Z/P1, Y/P2, X) — X-pencils.  Three local
@@ -473,7 +492,8 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
             f"fftX -> a2a[{a2}] -> fftY -> a2a[{a1}] -> fftZ"
             f"{' [transposed output]' if transposed_out else ' -> 2x a2a back'})")
     flops = 5.0 * n_total * math.log2(max(n_total, 2))
-    return DistributedFFTPlan(desc, mesh, in_spec, out_spec, fn, shape, dtype, flops)
+    return DistributedFFTPlan(desc, mesh, in_spec, out_spec, fn, shape,
+                              dtype, flops, donate)
 
 
 def make_plan_pencil_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
@@ -481,7 +501,7 @@ def make_plan_pencil_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
                          mesh_shape: Optional[Tuple[int, int]] = None,
                          axis_names: Tuple[str, str] = ("fy", "fz"),
                          precision: str = "highest", use_3m: bool = False,
-                         max_radix: int = 128):
+                         max_radix: int = 128, donate: bool = False):
     """Global 3-D real-input FFT, pencil-decomposed over a 2-D mesh.
 
     Input (Z, Y, X) real, distributed (Z/P1, Y/P2, X).  The halved axis
@@ -543,6 +563,8 @@ def make_plan_pencil_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
     flops = 2.5 * n_total * math.log2(max(n_total, 2))
 
     class _PR2CPlan(DistributedFFTPlan):
+        _donate_argnums = (0,)
+
         def __call__(self, v):
             if self._destroyed:
                 raise RuntimeError("plan was destroyed")
@@ -555,7 +577,8 @@ def make_plan_pencil_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
             return from_split(SplitComplex(yr, yi), jnp.complex64)
         execute = __call__
 
-    return _PR2CPlan(desc, mesh, in_spec, out_spec, fn, half, dtype, flops)
+    return _PR2CPlan(desc, mesh, in_spec, out_spec, fn, half, dtype, flops,
+                     donate)
 
 
 def make_plan_pencil_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
@@ -563,7 +586,7 @@ def make_plan_pencil_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
                          mesh_shape: Optional[Tuple[int, int]] = None,
                          axis_names: Tuple[str, str] = ("fy", "fz"),
                          precision: str = "highest", use_3m: bool = False,
-                         max_radix: int = 128):
+                         max_radix: int = 128, donate: bool = False):
     """Inverse of :func:`make_plan_pencil_r2c`: half-spectrum -> real field.
 
     ``shape`` is the REAL output shape; input layout is the r2c plan's
@@ -628,7 +651,8 @@ def make_plan_pencil_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
             return self._fn(xr, xi)
         execute = __call__
 
-    return _PC2RPlan(desc, mesh, in_spec, out_spec, fn, shape, dtype, flops)
+    return _PC2RPlan(desc, mesh, in_spec, out_spec, fn, shape, dtype, flops,
+                     donate)
 
 
 def destroy_plan_distrib(plan: DistributedFFTPlan):

@@ -153,3 +153,20 @@ def test_collective_logging_level2(caplog):
     finally:
         plog.logger.propagate = False
         plog.set_log_level(0)
+
+
+def test_distributed_donate():
+    """donate=True aliases input planes to the executor (serving analog of
+    FFTW in-place plans); numerics must be identical."""
+    import numpy as np
+    from regent_fft_tpu.parallel import distributed as dist
+    p = dist.make_plan_slab((16, 8, 16), donate=True)
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((16, 8, 16))
+         + 1j * rng.standard_normal((16, 8, 16))).astype(np.complex64)
+    got = np.asarray(p(x))
+    ref = np.fft.fftn(x.astype(np.complex128))
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
+    r = dist.make_plan_slab_r2c((16, 8, 16), donate=True)
+    y = np.asarray(r(rng.standard_normal((16, 8, 16)).astype(np.float32)))
+    assert y.shape == (16, 8, 9)
