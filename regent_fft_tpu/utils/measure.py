@@ -156,6 +156,11 @@ def measure_backends(spec, build_core, iters: int = 4, reps: int = 2):
     if jax.default_backend() == "tpu" and lengths:
         if all(_pow2_ok(n) for n in lengths):
             cands.append("stockham")
+            # matmul-form kernels (ops/pallas_fft.py): measured slower
+            # than the butterfly path at every probed size, but they are
+            # a registered solver — the race, not a human, retires them
+            # (kernel/planner.c races every applicable FFTW solver).
+            cands.append("pallas")
         # hybrid helps iff the array's LAST axis is a dispatched pow2 axis
         last_axis = len(spec.shape) - 1
         dispatched = (spec.axes if spec.kind == Kind.C2C else spec.axes[:-1])
