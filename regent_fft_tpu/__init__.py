@@ -35,6 +35,7 @@ from .utils.wisdom import (export_wisdom_to_string, export_wisdom_to_filename,
                            forget_wisdom)
 from .utils.calibrate import calibrate, Calibration
 from .guru import IODim, GuruPlan, plan_guru, plan_many
+from .ops.r2r import R2RKind, R2RPlan, plan_r2r, r2r, dct, dst, dht
 
 __version__ = "0.1.0"
 

@@ -1,0 +1,359 @@
+"""Real-to-real transforms: FFTW's r2r layer (DCT/DST/DHT/halfcomplex).
+
+The reference wrapper never exposes these, but its CPU engine does —
+FFTW's public API plans eleven r2r kinds (``fftw-3.3.8/api/fftw3.h`` kind
+enum; solvers in ``rdft/``: hc2hc, DHT via ``rdft/dht-*.c``, the REDFT/
+RODFT family via ``reodft/``).  A complete replacement carries them.
+
+Every kind reduces to the library's own complex FFT cores
+(``ops/stockham.build_c2c_1d``) with O(n) pre/post passes — slices,
+flips, static permutations and twiddle multiplies that XLA fuses, which
+is the TPU-idiomatic form of FFTW's specialized r2r codelets:
+
+* ``R2HC`` / ``HC2R`` — halfcomplex packing of the real DFT
+  (``rdft/rdft.h`` R2HC format): ``[r0 .. r_{n/2}, i_{ceil(n/2)-1} .. i_1]``.
+* ``DHT`` — cas-kernel Hartley transform: ``Re(F) - Im(F)`` + Hermitian
+  mirror (``rdft/dht-r2hc.c`` does the same reduction).
+* ``REDFT10``/``REDFT01`` (DCT-II/III) — Makhoul's n-point even/odd
+  reorder + quarter-wave twiddle, and its exact inverse via the
+  Hermitian identity ``V[k] = (Y[k] - i Y[n-k]) e^{i pi k/2n} / 2``.
+* ``REDFT00``/``RODFT00`` (DCT-I/DST-I) — symmetric extensions to
+  2(n-1) / 2(n+1) points (FFTW's logical sizes for these kinds).
+* ``REDFT11`` (DCT-IV) — half-shifted 2n-point transform with pre/post
+  twiddles; ``RODFT10``/``RODFT01``/``RODFT11`` (DST-II/III/IV) via the
+  sign-alternation identities mapping DST to DCT.
+
+All kinds are unnormalized with FFTW's conventions (scipy.fft types 1-4
+with ``norm=None`` agree); every formula is property-tested against
+scipy and the textbook O(n^2) definitions in ``tests/test_r2r.py``.
+"""
+from __future__ import annotations
+
+import math
+from enum import IntEnum
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes import Direction
+from . import factor as _factor
+from .stockham import build_c2c_1d
+
+
+class R2RKind(IntEnum):
+    """FFTW r2r kinds, with FFTW's enum values (``api/fftw3.h``)."""
+    R2HC = 0
+    HC2R = 1
+    DHT = 2
+    REDFT00 = 3   # DCT-I
+    REDFT01 = 4   # DCT-III
+    REDFT10 = 5   # DCT-II
+    REDFT11 = 6   # DCT-IV
+    RODFT00 = 7   # DST-I
+    RODFT01 = 8   # DST-III
+    RODFT10 = 9   # DST-II
+    RODFT11 = 10  # DST-IV
+
+
+_DCT_TYPES = {1: R2RKind.REDFT00, 2: R2RKind.REDFT10,
+              3: R2RKind.REDFT01, 4: R2RKind.REDFT11}
+_DST_TYPES = {1: R2RKind.RODFT00, 2: R2RKind.RODFT10,
+              3: R2RKind.RODFT01, 4: R2RKind.RODFT11}
+
+
+def logical_size(n: int, kind: R2RKind) -> int:
+    """FFTW's logical transform size for normalization/flops purposes
+    (``fftw-3.3.8/api/plan-r2r.c`` N semantics): 2(n-1) for REDFT00,
+    2(n+1) for RODFT00, 2n for the other trig kinds, n for R2HC/HC2R/DHT."""
+    k = R2RKind(kind)
+    if k == R2RKind.REDFT00:
+        return 2 * (n - 1)
+    if k == R2RKind.RODFT00:
+        return 2 * (n + 1)
+    if k in (R2RKind.R2HC, R2RKind.HC2R, R2RKind.DHT):
+        return n
+    return 2 * n
+
+
+def _alt_signs(n: int):
+    return jnp.asarray(((-1.0) ** np.arange(n)).astype(np.float32))
+
+
+def _fft_pair(n, direction, max_radix, precision, use_3m):
+    return build_c2c_1d(n, direction, max_radix, precision, use_3m)
+
+
+def _reorder_even_odd(x2):
+    """(B, n) -> Makhoul's v = [x[0::2], reversed(x[1::2])]."""
+    return jnp.concatenate(
+        [x2[:, 0::2], jnp.flip(x2[:, 1::2], axis=1)], axis=1)
+
+
+def _unreorder_perm(n: int) -> np.ndarray:
+    """Static permutation p with x = v[:, p] inverting _reorder_even_odd."""
+    r = np.concatenate([np.arange(0, n, 2), np.arange(1, n, 2)[::-1]])
+    p = np.empty(n, dtype=np.int32)
+    p[r] = np.arange(n, dtype=np.int32)
+    return p
+
+
+def build_r2r_1d(n: int, kind, max_radix: int = _factor.DEFAULT_MAX_RADIX,
+                 precision=jax.lax.Precision.HIGHEST, use_3m: bool = False):
+    """Build fn((B, n) real) -> (B, n) real for one FFTW r2r kind.
+
+    Unnormalized FFTW semantics; each fn is jit-traceable and built on the
+    library's own C2C cores (never ``jnp.fft``).
+    """
+    kind = R2RKind(kind)
+    if n < 1:
+        raise ValueError(f"r2r needs n >= 1, got {n}")
+    if kind == R2RKind.REDFT00 and n < 2:
+        raise ValueError("REDFT00 (DCT-I) needs n >= 2")
+    h = n // 2 + 1
+
+    if kind == R2RKind.R2HC:
+        fwd = _fft_pair(n, Direction.FORWARD, max_radix, precision, use_3m)
+
+        def fn(x2):
+            yr, yi = fwd(x2, jnp.zeros_like(x2))
+            return jnp.concatenate(
+                [yr[:, :h], jnp.flip(yi[:, 1:(n + 1) // 2], axis=1)], axis=1)
+        return fn
+
+    if kind == R2RKind.HC2R:
+        bwd = _fft_pair(n, Direction.BACKWARD, max_radix, precision, use_3m)
+        # Reconstruct the full Hermitian spectrum from the halfcomplex
+        # vector with two static-permutation gathers, then one backward
+        # C2C; imag(result) == 0 by symmetry and is dropped.
+        # S[k] = hc[min(k, n-k)] + i * sign * hc[pos]: the imag of a head
+        # bin k < ceil(n/2) is stored at hc[n-k]; a tail bin's imag is
+        # -i_{n-k}, stored at hc[k] itself; bins 0 (and n/2 for even n)
+        # are purely real.
+        k = np.arange(n)
+        re_idx = np.minimum(k, n - k) % n
+        head = (k >= 1) & (k < (n + 1) // 2)
+        tail = k > n // 2
+        im_idx = np.where(head, (n - k) % n, np.where(tail, k, 0))
+        im_sign = head.astype(np.float32) - tail.astype(np.float32)
+
+        def fn(x2):
+            sr = jnp.take(x2, jnp.asarray(re_idx.astype(np.int32)), axis=1)
+            si = jnp.take(x2, jnp.asarray(im_idx.astype(np.int32)), axis=1)
+            si = si * jnp.asarray(im_sign)
+            yr, _ = bwd(sr, si)
+            return yr
+        return fn
+
+    if kind == R2RKind.DHT:
+        fwd = _fft_pair(n, Direction.FORWARD, max_radix, precision, use_3m)
+        # cas kernel: H[k] = Re F[k] - Im F[k] for the full spectrum.
+
+        def fn(x2):
+            yr, yi = fwd(x2, jnp.zeros_like(x2))
+            return yr - yi
+        return fn
+
+    if kind == R2RKind.REDFT10:  # DCT-II
+        fwd = _fft_pair(n, Direction.FORWARD, max_radix, precision, use_3m)
+        th = np.pi * np.arange(n) / (2.0 * n)
+        c2 = jnp.asarray((2.0 * np.cos(th)).astype(np.float32))
+        s2 = jnp.asarray((2.0 * np.sin(th)).astype(np.float32))
+
+        def fn(x2):
+            v = _reorder_even_odd(x2)
+            vr, vi = fwd(v, jnp.zeros_like(v))
+            return c2 * vr + s2 * vi
+        return fn
+
+    if kind == R2RKind.REDFT01:  # DCT-III = unnormalized inverse of DCT-II
+        bwd = _fft_pair(n, Direction.BACKWARD, max_radix, precision, use_3m)
+        perm = jnp.asarray(_unreorder_perm(n))
+        # V[0] = u[0]/2; V[k] = (u[k] - i u[n-k]) e^{i pi k/2n} / 2;
+        # y = unreorder(Re(backward_fft(V)) * 2).  Fold the 1/2 and the
+        # final *2 together (they cancel) into the twiddle tables.
+        k = np.arange(n)
+        th = np.pi * k / (2.0 * n)
+        cr_np = np.cos(th); sr_np = np.sin(th)
+        cr_np[0] = 1.0; sr_np[0] = 0.0
+        cw = jnp.asarray(cr_np.astype(np.float32))
+        sw = jnp.asarray(sr_np.astype(np.float32))
+        flip_idx = jnp.asarray(((n - k) % n).astype(np.int32))
+        first = jnp.asarray((k == 0).astype(np.float32))
+
+        def fn(x2):
+            u_rev = jnp.take(x2, flip_idx, axis=1)      # u[(n-k) % n]
+            u_rev = u_rev * (1.0 - first)               # u[n-0] := 0
+            # (u[k] - i u[n-k]) (cos + i sin) = (u cos + urev sin)
+            #                                 + i (u sin - urev cos)
+            vr = x2 * cw + u_rev * sw
+            vi = x2 * sw - u_rev * cw
+            vi = vi * (1.0 - first)                     # V[0] = u[0]
+            yr, _ = bwd(vr, vi)
+            return jnp.take(yr, perm, axis=1)
+        return fn
+
+    if kind == R2RKind.REDFT00:  # DCT-I over 2(n-1) points
+        L = 2 * (n - 1)
+        fwd = _fft_pair(L, Direction.FORWARD, max_radix, precision, use_3m)
+
+        def fn(x2):
+            v = jnp.concatenate([x2, jnp.flip(x2[:, 1:n - 1], axis=1)], axis=1)
+            yr, _ = fwd(v, jnp.zeros_like(v))
+            return yr[:, :n]
+        return fn
+
+    if kind == R2RKind.RODFT00:  # DST-I over 2(n+1) points
+        L = 2 * (n + 1)
+        fwd = _fft_pair(L, Direction.FORWARD, max_radix, precision, use_3m)
+
+        def fn(x2):
+            z = jnp.zeros((x2.shape[0], 1), x2.dtype)
+            v = jnp.concatenate([z, x2, z, -jnp.flip(x2, axis=1)], axis=1)
+            _, yi = fwd(v, jnp.zeros_like(v))
+            return -yi[:, 1:n + 1]
+        return fn
+
+    if kind == R2RKind.REDFT11:  # DCT-IV via half-shifted 2n-point FFT
+        L = 2 * n
+        fwd = _fft_pair(L, Direction.FORWARD, max_radix, precision, use_3m)
+        j = np.arange(n)
+        pre = np.exp(-1j * np.pi * j / (2.0 * n))
+        post = 2.0 * np.exp(-1j * np.pi * (2 * j + 1) / (4.0 * n))
+        pre_r = jnp.asarray(pre.real.astype(np.float32))
+        pre_i = jnp.asarray(pre.imag.astype(np.float32))
+        post_r = jnp.asarray(post.real.astype(np.float32))
+        post_i = jnp.asarray(post.imag.astype(np.float32))
+
+        def fn(x2):
+            zpad = jnp.zeros_like(x2)
+            cr = jnp.concatenate([x2 * pre_r, zpad], axis=1)
+            ci = jnp.concatenate([x2 * pre_i, zpad], axis=1)
+            gr, gi = fwd(cr, ci)
+            return post_r * gr[:, :n] - post_i * gi[:, :n]
+        return fn
+
+    # DST kinds II/III/IV via the sign-alternation DCT identities
+    # (verified against scipy in tests): dst2(x) = rev(dct2(alt*x)),
+    # dst3(x) = alt * dct3(rev(x)), dst4(x) = rev(dct4(alt*x)).
+    if kind == R2RKind.RODFT10:
+        base = build_r2r_1d(n, R2RKind.REDFT10, max_radix, precision, use_3m)
+        alt = _alt_signs(n)
+        return lambda x2: jnp.flip(base(x2 * alt), axis=1)
+    if kind == R2RKind.RODFT01:
+        base = build_r2r_1d(n, R2RKind.REDFT01, max_radix, precision, use_3m)
+        alt = _alt_signs(n)
+        return lambda x2: alt * base(jnp.flip(x2, axis=1))
+    if kind == R2RKind.RODFT11:
+        base = build_r2r_1d(n, R2RKind.REDFT11, max_radix, precision, use_3m)
+        alt = _alt_signs(n)
+        return lambda x2: jnp.flip(base(x2 * alt), axis=1)
+
+    raise ValueError(f"unknown r2r kind: {kind!r}")
+
+
+class R2RPlan:
+    """Plan for an N-D real-to-real transform, one FFTW kind per axis.
+
+    ``fftw_plan_r2r`` analog (``fftw-3.3.8/api/plan-r2r.c``): callable on
+    real arrays of the planned shape; unnormalized FFTW semantics.
+    """
+
+    def __init__(self, shape, kinds, axes, max_radix, precision_name):
+        from ..plan import _PRECISIONS
+        self.shape = tuple(shape)
+        self.axes = tuple(axes)
+        self.kinds = tuple(R2RKind(k) for k in kinds)
+        prec = _PRECISIONS[precision_name]
+        fns = [(a, build_r2r_1d(self.shape[a], k, max_radix, prec))
+               for a, k in zip(self.axes, self.kinds)]
+        # flops by the libbench2 real-transform convention over logical
+        # sizes (2.5 N log2 N, ``libbench2/mflops.c:26-27``).
+        self.flops = 0.0
+        for a, k in zip(self.axes, self.kinds):
+            nl = logical_size(self.shape[a], k)
+            self.flops += (2.5 * np.prod(self.shape) / self.shape[a]
+                           * nl * max(1.0, math.log2(max(nl, 2))))
+
+        def core(x):
+            xr = x
+            for a, fn in fns:
+                ndim = xr.ndim
+                ax = a % ndim
+                moved = jnp.moveaxis(xr, ax, -1) if ax != ndim - 1 else xr
+                lead = moved.shape[:-1]
+                y2 = fn(moved.reshape(-1, moved.shape[-1]))
+                y = y2.reshape(*lead, y2.shape[-1])
+                xr = jnp.moveaxis(y, -1, ax) if ax != ndim - 1 else y
+            return xr
+
+        self._exec = jax.jit(core)
+        self._destroyed = False
+        desc_kinds = ",".join(k.name for k in self.kinds)
+        self.description = (f"(plan-r2r shape={self.shape} axes={self.axes} "
+                            f"kinds=[{desc_kinds}] unnormalized)")
+
+    def __call__(self, x):
+        if self._destroyed:
+            raise RuntimeError("plan was destroyed")
+        x = jnp.asarray(x)
+        if x.dtype not in (jnp.float32, jnp.float64):
+            raise TypeError(f"r2r plans take real input, got {x.dtype}")
+        if x.shape != self.shape:
+            raise ValueError(f"input shape {x.shape} != planned {self.shape}")
+        return self._exec(x.astype(jnp.float32))
+
+    execute = __call__
+
+    def print_plan(self):
+        print(self.description)
+
+    def destroy(self):
+        self._destroyed = True
+        self._exec = None
+
+
+def plan_r2r(shape, kinds, axes=None, max_radix: int = _factor.DEFAULT_MAX_RADIX,
+             precision: str = "highest") -> R2RPlan:
+    """Plan an N-D r2r transform (``fftw_plan_r2r`` analog).
+
+    ``kinds``: one :class:`R2RKind` (applied to every transformed axis)
+    or a sequence with one kind per axis.  ``axes`` defaults to all axes.
+    """
+    shape = tuple(shape)
+    if axes is None:
+        axes = tuple(range(len(shape)))
+    axes = tuple(a % len(shape) for a in axes)
+    if isinstance(kinds, (int, R2RKind)):
+        kinds = (R2RKind(kinds),) * len(axes)
+    kinds = tuple(R2RKind(k) for k in kinds)
+    if len(kinds) != len(axes):
+        raise ValueError(f"{len(kinds)} kinds for {len(axes)} axes")
+    return R2RPlan(shape, kinds, axes, max_radix, precision)
+
+
+def r2r(x, kind, axis: int = -1):
+    """One-shot 1-D r2r transform along ``axis`` (unnormalized FFTW
+    semantics)."""
+    x = jnp.asarray(x)
+    plan = plan_r2r(x.shape, (R2RKind(kind),), axes=(axis,))
+    return plan(x)
+
+
+def dct(x, type: int = 2, axis: int = -1):
+    """Unnormalized DCT (scipy.fft.dct(norm=None) / FFTW REDFT semantics)."""
+    if type not in _DCT_TYPES:
+        raise ValueError(f"DCT type must be 1-4, got {type}")
+    return r2r(x, _DCT_TYPES[type], axis)
+
+
+def dst(x, type: int = 2, axis: int = -1):
+    """Unnormalized DST (scipy.fft.dst(norm=None) / FFTW RODFT semantics)."""
+    if type not in _DST_TYPES:
+        raise ValueError(f"DST type must be 1-4, got {type}")
+    return r2r(x, _DST_TYPES[type], axis)
+
+
+def dht(x, axis: int = -1):
+    """Discrete Hartley transform (FFTW_DHT)."""
+    return r2r(x, R2RKind.DHT, axis)
