@@ -723,16 +723,24 @@ def candidate_strategies(shape, n_devices: int,
 
 
 def build_strategy(strategy: dict, shape, direction=Direction.FORWARD,
-                   norm=Norm.BACKWARD, **kw) -> DistributedFFTPlan:
-    """Build the distributed C2C plan a strategy dict describes."""
+                   norm=Norm.BACKWARD, n_devices: Optional[int] = None,
+                   **kw) -> DistributedFFTPlan:
+    """Build the distributed C2C plan a strategy dict describes.
+
+    ``n_devices`` restricts the mesh to the first N devices (matching the
+    device count the strategy was selected for); the full device set is
+    used when omitted.
+    """
     s = dict(strategy)
     mode = s.pop("mode")
+    if mode in ("slab", "shards") and n_devices is not None and "mesh" not in kw:
+        kw = dict(kw, mesh=make_fft_mesh(n_devices))
     if mode == "slab":
         return make_plan_slab(shape, direction=direction, norm=norm, **s, **kw)
     if mode == "pencil":
         ms = s.pop("mesh_shape", None)
         if ms is not None:
-            ms = tuple(ms)
+            ms = tuple(ms)  # make_pencil_mesh takes the first p1*p2 devices
         return make_plan_pencil(shape, direction=direction, norm=norm,
                                 mesh_shape=ms, **s, **kw)
     if mode == "shards":
@@ -768,10 +776,10 @@ def make_plan_distributed(shape, direction=Direction.FORWARD,
             shape, direction=direction, norm=norm, n_devices=p,
             chunk_candidates=chunk_candidates, iters=measure_iters,
             install=True, **kw)
-        return build_strategy(winner, shape, direction, norm, **kw)
+        return build_strategy(winner, shape, direction, norm, n_devices=p, **kw)
     hit = _DISTRIB_WISDOM.get(key)
     if hit is not None:
-        return build_strategy(hit, shape, direction, norm, **kw)
+        return build_strategy(hit, shape, direction, norm, n_devices=p, **kw)
     cands = candidate_strategies(shape, p, (1,))
     if not cands:
         raise ValueError(
@@ -780,4 +788,4 @@ def make_plan_distributed(shape, direction=Direction.FORWARD,
             f"rank-3 pencil)")
     slabs = [c for c in cands if c["mode"] == "slab"]
     return build_strategy(slabs[0] if slabs else cands[0],
-                          shape, direction, norm, **kw)
+                          shape, direction, norm, n_devices=p, **kw)

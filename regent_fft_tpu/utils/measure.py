@@ -225,7 +225,8 @@ def measure_distributed(shape, direction=None, norm=None,
         by_name[name] = strat
         try:
             plan = _dist.build_strategy(strat, shape, direction=direction,
-                                        norm=norm, **build_kw)
+                                        norm=norm, n_devices=n_devices,
+                                        **build_kw)
 
             def step(c, plan=plan):
                 xr = jax.lax.with_sharding_constraint(c[0], plan.in_sharding)

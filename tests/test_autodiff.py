@@ -52,3 +52,17 @@ def test_plan_benchmark_smoke():
     p = rft.make_plan((4, 64), axes=(1,), kind=rft.Kind.C2C, direction=rft.FORWARD)
     res = p.benchmark(iters=1)
     assert res["time_s"] > 0 and res["gflops_convention"] > 0
+
+
+def test_plan_benchmark_profile_trace(tmp_path):
+    """profile_dir wraps the timed run in jax.profiler.trace (the
+    SURVEY-named tracing hook); artifacts must land on disk."""
+    import os
+    p = rft.make_plan((4, 64), axes=(1,), kind=rft.Kind.C2C,
+                      direction=rft.FORWARD)
+    res = p.benchmark(iters=1, profile_dir=str(tmp_path))
+    assert res["time_s"] > 0
+    found = []
+    for root, _, files in os.walk(tmp_path):
+        found.extend(files)
+    assert found, "profiler trace produced no artifacts"
