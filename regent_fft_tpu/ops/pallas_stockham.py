@@ -556,8 +556,22 @@ def _chunk_rows_map(run, xr2, xi2, n: int):
 
 
 def r2c_last_supported(n: int) -> bool:
-    """Can the kernel r2c/c2r path run the last axis of length n?"""
+    """Can the row-pair kernel r2c/c2r path run a last axis of length n?"""
     return 2 <= n <= MAX_STOCKHAM_N and n % 2 == 0 and (n & (n - 1)) == 0
+
+
+def r2c_half_supported(n: int) -> bool:
+    """Can the HALF-LENGTH kernel r2c/c2r path run a last axis of length n?
+
+    The conjugate-even reduction (``ops/real.py``) runs one length-n/2
+    complex butterfly kernel plus O(n) XLA untangle passes — the true
+    work-halving FFTW ``rdft2`` scheme (the row-pair kernels pay two
+    full-length transforms instead; measured 1.5x slower at 1024-point
+    batches).  Needs n/2 to be a legal kernel lane extent.
+    """
+    m = n // 2
+    return (n % 2 == 0 and (n & (n - 1)) == 0
+            and LANE_TILE <= m <= MAX_LAST_N)
 
 
 def _pair_rows(x2):

@@ -25,8 +25,13 @@ from . import twiddle as _twiddle
 from .stockham import build_c2c_1d, cmul_elem
 
 
-def build_r2c_1d(n: int, max_radix, precision, use_3m=False):
-    """fn((B, n) real) -> ((B, n//2+1), (B, n//2+1)) split halfspectrum."""
+def build_r2c_1d(n: int, max_radix, precision, use_3m=False, cfft=None):
+    """fn((B, n) real) -> ((B, n//2+1), (B, n//2+1)) split halfspectrum.
+
+    ``cfft`` optionally injects the half-length (B, n//2) complex core —
+    the plan layer passes the Pallas butterfly kernel here so the
+    work-halving reduction runs on the kernel path too (even n only).
+    """
     if n == 1:
         def fn1(x):
             return x, jnp.zeros_like(x)
@@ -42,7 +47,8 @@ def build_r2c_1d(n: int, max_radix, precision, use_3m=False):
         return fn_odd
 
     m = n // 2
-    cfft = build_c2c_1d(m, Direction.FORWARD, max_radix, precision, use_3m)
+    if cfft is None:
+        cfft = build_c2c_1d(m, Direction.FORWARD, max_radix, precision, use_3m)
 
     def fn(x):
         wr_np, wi_np = _twiddle.halfcomplex_untangle(
@@ -66,12 +72,13 @@ def build_r2c_1d(n: int, max_radix, precision, use_3m=False):
     return fn
 
 
-def build_c2r_1d(n: int, max_radix, precision, use_3m=False):
+def build_c2r_1d(n: int, max_radix, precision, use_3m=False, cinv=None):
     """fn((B, n//2+1) split halfspectrum) -> (B, n) real, UNSCALED inverse.
 
     Output equals N times the true inverse (caller applies 1/N per norm).
     Assumes conjugate-even input (imag parts of bins 0 and N/2 ignored in
-    effect, matching numpy.fft.irfft).
+    effect, matching numpy.fft.irfft).  ``cinv`` optionally injects the
+    half-length backward complex core (kernel path; even n only).
     """
     if n == 1:
         def fn1(xr, xi):
@@ -90,7 +97,8 @@ def build_c2r_1d(n: int, max_radix, precision, use_3m=False):
         return fn_odd
 
     m = n // 2
-    cinv = build_c2c_1d(m, Direction.BACKWARD, max_radix, precision, use_3m)
+    if cinv is None:
+        cinv = build_c2c_1d(m, Direction.BACKWARD, max_radix, precision, use_3m)
 
     def fn(xr, xi):
         wr_np, wi_np = _twiddle.halfcomplex_untangle(

@@ -338,14 +338,31 @@ def _build_core(spec: PlanSpec):
         return (backend in ("stockham", "hybrid") and kernels_ok
                 and raxis == ndim - 1 and _ps.r2c_last_supported(n_r))
 
+    def _kernel_half_cfft(raxis, n_r, direction):
+        """Half-length kernel core for the conjugate-even reduction, or
+        None.  Preferred over the row-pair kernel: ONE n/2-point butterfly
+        pass (true FFTW-rdft2 work halving) instead of two n-point ones —
+        measured 1.5-2x faster at the BASELINE 1-D r2c config."""
+        from .ops import pallas_stockham as _ps
+        if not (backend in ("stockham", "hybrid") and kernels_ok
+                and raxis == ndim - 1 and _ps.r2c_half_supported(n_r)):
+            return None
+        interp = jax.default_backend() != "tpu"
+
+        def cfft(zr, zi):
+            return _ps.fft_axis_stockham(zr, zi, -1, direction,
+                                         interpret=interp)
+        return cfft
+
     if spec.kind == Kind.R2C:
         # Real transform on the LAST of the requested axes (numpy rfftn),
         # complex transforms on the rest.
         raxis = spec.axes[-1]
         n_r = spec.shape[raxis]
-        kernel_r2c = _kernel_real_last(raxis, n_r)
+        half_cfft = _kernel_half_cfft(raxis, n_r, Direction.FORWARD)
+        kernel_r2c = half_cfft is None and _kernel_real_last(raxis, n_r)
         rfn = None if kernel_r2c else _real.build_r2c_1d(
-            n_r, mr, precision, u3)
+            n_r, mr, precision, u3, cfft=half_cfft)
         other = [a for a in spec.axes if a != raxis]
         steps = axis_steps(sorted(other, reverse=True), Direction.FORWARD)
         fused = _fused_into_steps(steps)
@@ -379,8 +396,10 @@ def _build_core(spec: PlanSpec):
     # the last axis.  spec.shape is the REAL output shape.
     raxis = spec.axes[-1]
     n_r = spec.shape[raxis]
-    kernel_c2r = _kernel_real_last(raxis, n_r)
-    cfn = None if kernel_c2r else _real.build_c2r_1d(n_r, mr, precision, u3)
+    half_cinv = _kernel_half_cfft(raxis, n_r, Direction.BACKWARD)
+    kernel_c2r = half_cinv is None and _kernel_real_last(raxis, n_r)
+    cfn = None if kernel_c2r else _real.build_c2r_1d(n_r, mr, precision, u3,
+                                                     cinv=half_cinv)
     other = [a for a in spec.axes if a != raxis]
     steps = axis_steps(sorted(other, reverse=True), Direction.BACKWARD)
     fused = _fused_into_steps(steps)

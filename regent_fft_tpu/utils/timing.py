@@ -31,23 +31,33 @@ import numpy as np
 
 def time_chain(step: Callable, make_carry: Callable, iters: int = 6,
                reps: int = 3, seed0: int = 100,
-               min_window_s: float = 0.04) -> float:
+               min_window_s: float = 0.04, inner_unroll: int = 8) -> float:
     """Seconds per iteration of ``step`` (carry -> carry), honestly.
 
     ``make_carry(seed)`` must build a fresh device-side carry pytree from
     an int seed under jit; ``step`` must map that carry to a like-shaped
     carry (chaining defeats execution memoization between iterations).
 
-    Uses a PAIRED-DIFFERENCE estimate: chains of length ``k`` and ``3*k``
+    Uses a PAIRED-DIFFERENCE estimate: chains of ``k`` and ``3*k`` trips
     are each timed (min over ``reps``), and the per-iteration time is the
-    slope (T_long - T_short) / (2*k).  A single timed dispatch on a
+    slope (T_long - T_short) / (2*k*m).  A single timed dispatch on a
     remote-attach TPU carries a fixed ~30 ms tunnel round trip, which a
     naive T/k estimate attributes to the kernel — measured on this
     attach, that error dominated every sub-10 ms problem.
 
+    Each while-loop trip runs ``inner_unroll`` (= m) statically-unrolled
+    copies of ``step``, separated by ``optimization_barrier``: XLA cannot
+    alias a custom call's outputs into the loop carry, so every while
+    trip pays TWO full-plane carry copies (verified in compiled HLO and
+    by profiler: a 512^3 Pallas copy step timed 6.7 ms/iter chained at
+    m=1 vs its true 3.3 ms device time).  Amortizing m steps per trip
+    bounds that inflation at ~1/m; the barriers stop XLA from collapsing
+    consecutive fusable steps (e.g. the STREAM scale) into one pass,
+    which would overstate bandwidth m-fold.
+
     The chain length ADAPTS: if the rough estimate says the slope window
-    (2*k iterations of compute) is under ``min_window_s``, k is scaled up
-    (powers of two, so at most a handful of recompiles) until the window
+    (2*k trips of compute) is under ``min_window_s``, k is scaled up
+    (dynamic trip count — one compile serves every k) until the window
     dwarfs the attach's ~1-3 ms dispatch jitter.  Without this, sub-ms
     problems return noise — measured: the same schedule timed 0.1 ms and
     2.0 ms across runs at fixed k=5.
@@ -55,12 +65,18 @@ def time_chain(step: Callable, make_carry: Callable, iters: int = 6,
     import jax
     import jax.numpy as jnp
 
+    m = max(1, int(inner_unroll))
+
     # DYNAMIC trip count: one compile serves every chain length (each
     # length-adaptation round would otherwise recompile, ~10 s per length
     # on a remote-compile attach).
     @jax.jit
     def many(carry, k):
-        return jax.lax.fori_loop(0, k, lambda i, c: step(c), carry)
+        def body(i, c):
+            for _ in range(m):
+                c = jax.lax.optimization_barrier(step(c))
+            return c
+        return jax.lax.fori_loop(0, k, body, carry)
 
     mk = jax.jit(make_carry)
 
@@ -90,23 +106,23 @@ def time_chain(step: Callable, make_carry: Callable, iters: int = 6,
         k2 = 3 * k1
         t1 = best_of(k1)
         t2 = best_of(k2)
-        slope = (t2 - t1) / (k2 - k1)
+        slope = (t2 - t1) / ((k2 - k1) * m)
         # Guard against noise making the short chain slower than the
         # long one: the long-chain average bounds the truth from above.
-        return (max(slope, 0.0) or t2 / k2), t2
+        return (max(slope, 0.0) or t2 / (k2 * m)), t2
 
-    k = max(int(iters), 1)
+    k = max(int(round(iters / m)), 1)
     per_iter, t_long = slope_at(k)
-    # Grow k geometrically until 2*k iterations of compute cover
+    # Grow k geometrically until 2*k trips of compute cover
     # min_window_s; bail once a long chain costs ~a second (window is
     # then plenty) or k hits a hard cap.
     for _ in range(6):
-        window = 2 * k * per_iter
+        window = 2 * k * m * per_iter
         if window >= min_window_s or per_iter <= 0 or t_long > 1.0:
             break
-        k = min(4 * k, 16384)
+        k = min(4 * k, 2048)
         per_iter, t_long = slope_at(k)
-        if k == 16384:
+        if k == 2048:
             break
     return per_iter
 
