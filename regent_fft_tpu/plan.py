@@ -359,11 +359,18 @@ def _build_core(spec: PlanSpec):
         # complex transforms on the rest.
         raxis = spec.axes[-1]
         n_r = spec.shape[raxis]
-        half_cfft = _kernel_half_cfft(raxis, n_r, Direction.FORWARD)
+        other = [a for a in spec.axes if a != raxis]
+        # Half-length kernel reduction only when the real axis is the ONLY
+        # transformed axis: its extra even/odd-slice + untangle passes win
+        # there (measured 467 vs 371 GFLOP/s at the BASELINE 1-D config),
+        # but for rank >= 2 the row-pair kernel's lane-padded output feeds
+        # the mid-axis kernels pad-free and is faster overall (measured:
+        # half-pack regressed batched 3-D r2c 16 -> 25 ms).
+        half_cfft = (None if other
+                     else _kernel_half_cfft(raxis, n_r, Direction.FORWARD))
         kernel_r2c = half_cfft is None and _kernel_real_last(raxis, n_r)
         rfn = None if kernel_r2c else _real.build_r2c_1d(
             n_r, mr, precision, u3, cfft=half_cfft)
-        other = [a for a in spec.axes if a != raxis]
         steps = axis_steps(sorted(other, reverse=True), Direction.FORWARD)
         fused = _fused_into_steps(steps)
 
@@ -396,11 +403,12 @@ def _build_core(spec: PlanSpec):
     # the last axis.  spec.shape is the REAL output shape.
     raxis = spec.axes[-1]
     n_r = spec.shape[raxis]
-    half_cinv = _kernel_half_cfft(raxis, n_r, Direction.BACKWARD)
+    other = [a for a in spec.axes if a != raxis]
+    half_cinv = (None if other
+                 else _kernel_half_cfft(raxis, n_r, Direction.BACKWARD))
     kernel_c2r = half_cinv is None and _kernel_real_last(raxis, n_r)
     cfn = None if kernel_c2r else _real.build_c2r_1d(n_r, mr, precision, u3,
                                                      cinv=half_cinv)
-    other = [a for a in spec.axes if a != raxis]
     steps = axis_steps(sorted(other, reverse=True), Direction.BACKWARD)
     fused = _fused_into_steps(steps)
 
