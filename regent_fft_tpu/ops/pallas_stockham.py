@@ -585,7 +585,8 @@ def _pair_rows(x2):
 
 
 @functools.lru_cache(maxsize=256)
-def _runner_last_r2c(n: int, tb: int, interpret: bool = False):
+def _runner_last_r2c(n: int, tb: int, interpret: bool = False,
+                     packed: bool = False):
     """Fully-fused r2c kernel over row-pair-packed (B/2, n) planes.
 
     Per (tb, n) block: forward AND backward butterfly transforms of the
@@ -594,10 +595,18 @@ def _runner_last_r2c(n: int, tb: int, interpret: bool = False):
     >= n//2+1 to zero (so the output doubles as the lane-padded half
     spectrum), and a row-pair interleave into one (2*tb, n) output block.
     Replaces the reference's r2c engine (``rdft/``) on the hot path.
+
+    With ``packed=True`` the output is (2*tb, n/2): bins 0..n/2-1 with
+    the REAL Nyquist bin stored in bin 0's (zero) imaginary slot — the
+    FFTW halfcomplex-packing idea (``rdft/rdft.h`` R2HC avoids the n/2+1
+    problem the same way) adapted to the 128-lane granularity, so every
+    subsequent mid-axis pass moves exactly HALF the complex traffic.
     """
     wfr_np, wfi_np, _ = _packed_tables(n, -1)
     wbr_np, wbi_np, _ = _packed_tables(n, +1)
     h = n // 2 + 1
+    m = n // 2
+    w_out = m if packed else n
 
     def kernel(zr_ref, zi_ref, wfr_ref, wfi_ref, wbr_ref, wbi_ref,
                yr_ref, yi_ref):
@@ -609,20 +618,27 @@ def _runner_last_r2c(n: int, tb: int, interpret: bool = False):
         x1i = 0.5 * (ai - bi)
         x2r = 0.5 * (ai + bi)
         x2i = -0.5 * (ar - br)
-        k = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 0)
-        keep = k < h
-        z = jnp.float32(0.0)
-        x1r = jnp.where(keep, x1r, z)
-        x1i = jnp.where(keep, x1i, z)
-        x2r = jnp.where(keep, x2r, z)
-        x2i = jnp.where(keep, x2i, z)
-        yr_ref[:] = jnp.stack([x1r.T, x2r.T], axis=1).reshape(2 * tb, n)
-        yi_ref[:] = jnp.stack([x1i.T, x2i.T], axis=1).reshape(2 * tb, n)
+        if packed:
+            # bins 0..m-1; imag(bin 0) := re(bin m)  (both are real)
+            x1i = jnp.concatenate([x1r[m:m + 1], x1i[1:m]], axis=0)
+            x2i = jnp.concatenate([x2r[m:m + 1], x2i[1:m]], axis=0)
+            x1r = x1r[:m]
+            x2r = x2r[:m]
+        else:
+            k = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 0)
+            keep = k < h
+            z = jnp.float32(0.0)
+            x1r = jnp.where(keep, x1r, z)
+            x1i = jnp.where(keep, x1i, z)
+            x2r = jnp.where(keep, x2r, z)
+            x2i = jnp.where(keep, x2i, z)
+        yr_ref[:] = jnp.stack([x1r.T, x2r.T], axis=1).reshape(2 * tb, w_out)
+        yi_ref[:] = jnp.stack([x1i.T, x2i.T], axis=1).reshape(2 * tb, w_out)
 
     def run(zr, zi):
         b2 = zr.shape[0]
         ibs = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        obs = pl.BlockSpec((2 * tb, n), lambda i: (i, 0),
+        obs = pl.BlockSpec((2 * tb, w_out), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
         wfs = pl.BlockSpec(wfr_np.shape, lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
@@ -631,10 +647,10 @@ def _runner_last_r2c(n: int, tb: int, interpret: bool = False):
         return pl.pallas_call(
             kernel, grid=(b2 // tb,),
             in_specs=[ibs, ibs, wfs, wfs, wbs, wbs], out_specs=[obs, obs],
-            out_shape=[jax.ShapeDtypeStruct((2 * b2, n), jnp.float32)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((2 * b2, w_out), jnp.float32)] * 2,
             cost_estimate=pl.CostEstimate(
                 flops=int(20 * n * np.log2(n) * b2), transcendentals=0,
-                bytes_accessed=6 * b2 * n * 4),
+                bytes_accessed=(2 * b2 * n + 4 * b2 * w_out) * 4),
             interpret=interpret,
         )(zr, zi, jnp.asarray(wfr_np), jnp.asarray(wfi_np),
           jnp.asarray(wbr_np), jnp.asarray(wbi_np))
@@ -642,7 +658,8 @@ def _runner_last_r2c(n: int, tb: int, interpret: bool = False):
 
 
 @functools.lru_cache(maxsize=256)
-def _runner_last_c2r(n: int, tb: int, interpret: bool = False):
+def _runner_last_c2r(n: int, tb: int, interpret: bool = False,
+                     packed: bool = False):
     """Fully-fused c2r kernel: (2*tb, n) padded half-spectrum block ->
     (2*tb, n) real block, unscaled (times N) inverse.
 
@@ -653,14 +670,23 @@ def _runner_last_c2r(n: int, tb: int, interpret: bool = False):
     """
     wbr_np, wbi_np, _ = _packed_tables(n, +1)
     m = n // 2
+    w_in = m if packed else n
 
     def kernel(yr_ref, yi_ref, wbr_ref, wbi_ref, o_ref):
-        ar = yr_ref[:].reshape(tb, 2, n)
-        ai = yi_ref[:].reshape(tb, 2, n)
+        ar = yr_ref[:].reshape(tb, 2, w_in)
+        ai = yi_ref[:].reshape(tb, 2, w_in)
         x1r = ar[:, 0, :].T
         x2r = ar[:, 1, :].T
         x1i = ai[:, 0, :].T
         x2i = ai[:, 1, :].T
+        zrow = jnp.zeros((1, tb), jnp.float32)
+        ztail = jnp.zeros((n - m - 1, tb), jnp.float32)
+        if packed:
+            # unpack: bin m (Nyquist, real) rides in imag(bin 0)
+            x1r = jnp.concatenate([x1r, x1i[0:1], ztail], axis=0)
+            x1i = jnp.concatenate([zrow, x1i[1:m], zrow, ztail], axis=0)
+            x2r = jnp.concatenate([x2r, x2i[0:1], ztail], axis=0)
+            x2i = jnp.concatenate([zrow, x2i[1:m], zrow, ztail], axis=0)
         k = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 0)
         z = jnp.float32(0.0)
         # Hermitian endpoint bins are real (numpy.fft.irfft convention).
@@ -681,23 +707,32 @@ def _runner_last_c2r(n: int, tb: int, interpret: bool = False):
 
     def run(yr, yi):
         rows = yr.shape[0]
-        ibs = pl.BlockSpec((2 * tb, n), lambda i: (i, 0),
+        ibs = pl.BlockSpec((2 * tb, w_in), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        obs = pl.BlockSpec((2 * tb, n), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
         ws = pl.BlockSpec(wbr_np.shape, lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel, grid=(rows // (2 * tb),),
-            in_specs=[ibs, ibs, ws, ws], out_specs=ibs,
+            in_specs=[ibs, ibs, ws, ws], out_specs=obs,
             out_shape=jax.ShapeDtypeStruct((rows, n), jnp.float32),
             cost_estimate=pl.CostEstimate(
                 flops=int(20 * n * np.log2(n) * rows // 2),
-                bytes_accessed=6 * rows * n * 2, transcendentals=0),
+                bytes_accessed=(4 * rows * w_in + 2 * rows * n) * 2,
+                transcendentals=0),
             interpret=interpret,
         )(yr, yi, jnp.asarray(wbr_np), jnp.asarray(wbi_np))
     return run
 
 
-def fft_last_r2c_stockham(x, interpret: bool = False, padded: bool = False):
+def r2c_packed_supported(n: int) -> bool:
+    """Can the PACKED (n/2-lane halfcomplex) kernel r2c path run n?"""
+    return r2c_last_supported(n) and (n // 2) % LANE_TILE == 0
+
+
+def fft_last_r2c_stockham(x, interpret: bool = False, padded: bool = False,
+                          packed: bool = False):
     """R2C along the LAST axis of a real array, fully in-kernel.
 
     Two consecutive real rows pack as one complex row (free: leading-dim
@@ -708,7 +743,10 @@ def fft_last_r2c_stockham(x, interpret: bool = False, padded: bool = False):
 
     Returns the split (..., n//2+1) half spectrum — or, with
     ``padded=True``, (..., n)-wide planes whose bins >= n//2+1 are zero
-    (lane-aligned for subsequent kernel passes; slice at the end).
+    (lane-aligned for subsequent kernel passes; slice at the end) — or,
+    with ``packed=True``, (..., n/2)-wide planes with the real Nyquist
+    bin packed into bin 0's imaginary slot (halves every later pass;
+    unpack at the plan level after the other axes transform).
     """
     shape = x.shape
     n = shape[-1]
@@ -724,6 +762,15 @@ def fft_last_r2c_stockham(x, interpret: bool = False, padded: bool = False):
     if pad:
         zr = jnp.pad(zr, ((0, pad), (0, 0)))
         zi = jnp.pad(zi, ((0, pad), (0, 0)))
+    if packed:
+        if not r2c_packed_supported(n):
+            raise ValueError(f"packed r2c path needs n/2 to be a lane "
+                             f"multiple, got n={n}")
+        run = _runner_last_r2c(n, tb, interpret, packed=True)
+        yr, yi = run(zr, zi)
+        m = n // 2
+        return (yr[:b].reshape(shape[:-1] + (m,)),
+                yi[:b].reshape(shape[:-1] + (m,)))
     run = _runner_last_r2c(n, tb, interpret)
     yr, yi = run(zr, zi)
     yr, yi = yr[:b], yi[:b]
@@ -733,20 +780,35 @@ def fft_last_r2c_stockham(x, interpret: bool = False, padded: bool = False):
     return yr[:, :h].reshape(out), yi[:, :h].reshape(out)
 
 
-def ifft_last_c2r_stockham(xr, xi, n: int, interpret: bool = False):
+def ifft_last_c2r_stockham(xr, xi, n: int, interpret: bool = False,
+                           packed: bool = False):
     """UNSCALED (times N) inverse of :func:`fft_last_r2c_stockham`.
 
     Input: split (..., n//2+1) half spectrum OR (..., n) lane-padded
-    planes (extra bins ignored — the kernel masks them).  Output
+    planes (extra bins ignored — the kernel masks them) OR, with
+    ``packed=True``, the (..., n/2) Nyquist-packed layout.  Output
     (..., n) real.  One fused kernel pass (see :func:`_runner_last_c2r`).
     """
     if not r2c_last_supported(n):
         raise ValueError(f"kernel c2r path needs even power-of-two n <= "
                          f"{MAX_STOCKHAM_N}, got {n}")
     h = n // 2 + 1
+    m = n // 2
     shape = xr.shape
-    assert shape[-1] in (h, n), (shape, h, n)
     b = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+    if packed:
+        assert shape[-1] == m, (shape, m)
+        xr2 = xr.reshape(b, m)
+        xi2 = xi.reshape(b, m)
+        tb = LANE_TILE
+        pad = (-b) % (2 * tb)
+        if pad:
+            xr2 = jnp.pad(xr2, ((0, pad), (0, 0)))
+            xi2 = jnp.pad(xi2, ((0, pad), (0, 0)))
+        run = _runner_last_c2r(n, tb, interpret, packed=True)
+        y = run(xr2, xi2)
+        return y[:b].reshape(shape[:-1] + (n,))
+    assert shape[-1] in (h, n), (shape, h, n)
     xr2 = xr.reshape(b, shape[-1])
     xi2 = xi.reshape(b, shape[-1])
     if shape[-1] != n:  # lane-pad the half spectrum (values ignored)

@@ -140,6 +140,58 @@ def _backend_key(spec: PlanSpec) -> PlanSpec:
                                donate=False)
 
 
+def _packed_real_ok(n_r: int) -> bool:
+    from .ops import pallas_stockham as _ps
+    return _ps.r2c_packed_supported(n_r)
+
+
+def _rev_freq(x, axes):
+    """Modular frequency negation x[k] -> x[(-k) mod n] along ``axes``."""
+    for a in axes:
+        n_ = x.shape[a]
+        head = jax.lax.slice_in_dim(x, 0, 1, axis=a)
+        tail = jax.lax.slice_in_dim(x, 1, n_, axis=a)
+        x = jnp.concatenate([head, jnp.flip(tail, axis=a)], axis=a)
+    return x
+
+
+def _unpack_nyquist(yr, yi, axes):
+    """(…, n/2) Nyquist-packed planes -> (…, n/2+1) half spectrum.
+
+    After the mid-axis transforms, lane 0 holds Z = F(X0) + i*F(Nq) where
+    X0/Nq were the REAL bin-0/Nyquist slabs (the classic two-real-FFTs-in
+    -one-complex untangle, applied across the packed axis): F(X0) =
+    (Z + conj(Z[-k]))/2, F(Nq) = (Z - conj(Z[-k]))/(2i), with -k the
+    modular reversal along every transformed mid axis.
+    """
+    zr = yr[..., 0]
+    zi = yi[..., 0]
+    rr = _rev_freq(zr, axes)
+    ri = _rev_freq(zi, axes)
+    x0r = 0.5 * (zr + rr)
+    x0i = 0.5 * (zi - ri)
+    nqr = 0.5 * (zi + ri)
+    nqi = -0.5 * (zr - rr)
+    yr = jnp.concatenate([x0r[..., None], yr[..., 1:], nqr[..., None]],
+                         axis=-1)
+    yi = jnp.concatenate([x0i[..., None], yi[..., 1:], nqi[..., None]],
+                         axis=-1)
+    return yr, yi
+
+
+def _pack_nyquist(xr, xi):
+    """(…, n/2+1) half spectrum -> (…, n/2) Nyquist-packed planes.
+
+    packed[0] = X0 + i*Nq (complex): the inverse mid-axis transforms then
+    yield x0 + i*nyq with both slabs real (conjugate-even input), exactly
+    the layout the packed c2r kernel expects."""
+    m = xr.shape[-1] - 1
+    p0r = xr[..., 0] - xi[..., m]
+    p0i = xi[..., 0] + xr[..., m]
+    return (jnp.concatenate([p0r[..., None], xr[..., 1:m]], axis=-1),
+            jnp.concatenate([p0i[..., None], xi[..., 1:m]], axis=-1))
+
+
 def _build_core(spec: PlanSpec):
     """Build the split-pair core function for this spec (unjitted)."""
     precision = _PRECISIONS[spec.precision]
@@ -375,20 +427,33 @@ def _build_core(spec: PlanSpec):
         fused = _fused_into_steps(steps)
 
         h_r = n_r // 2 + 1
+        packed_real = bool(kernel_r2c and steps and _packed_real_ok(n_r))
 
         def core(x):
             if kernel_r2c:
                 from .ops import pallas_stockham as _ps
                 interp = jax.default_backend() != "tpu"
-                # Lane-padded output (bins >= h zeroed in-kernel) keeps
-                # every subsequent kernel pass pad-free; slice once.
-                yr, yi = _ps.fft_last_r2c_stockham(x, interpret=interp,
-                                                   padded=bool(steps))
-                yr, yi = run_steps(steps, yr, yi, Direction.FORWARD,
-                                   fuse_scale=scale if fused else 1.0)
-                if bool(steps):
-                    yr = yr[..., :h_r]
-                    yi = yi[..., :h_r]
+                if packed_real:
+                    # Nyquist-packed n/2-wide halfcomplex (FFTW rdft/
+                    # R2HC-packing adapted to lane granularity): every
+                    # mid-axis pass moves HALF the complex traffic; one
+                    # O(N/n_r) frequency-reversal untangle at the end.
+                    yr, yi = _ps.fft_last_r2c_stockham(x, interpret=interp,
+                                                       packed=True)
+                    yr, yi = run_steps(steps, yr, yi, Direction.FORWARD,
+                                       fuse_scale=scale if fused else 1.0)
+                    yr, yi = _unpack_nyquist(yr, yi, other)
+                else:
+                    # Lane-padded output (bins >= h zeroed in-kernel)
+                    # keeps every subsequent kernel pass pad-free;
+                    # slice once.
+                    yr, yi = _ps.fft_last_r2c_stockham(x, interpret=interp,
+                                                       padded=bool(steps))
+                    yr, yi = run_steps(steps, yr, yi, Direction.FORWARD,
+                                       fuse_scale=scale if fused else 1.0)
+                    if bool(steps):
+                        yr = yr[..., :h_r]
+                        yi = yi[..., :h_r]
             else:
                 yr, yi = _nd.apply_along_axis_real_in(rfn, raxis, x)
                 yr, yi = run_steps_padded(steps, yr, yi, Direction.FORWARD,
@@ -411,6 +476,7 @@ def _build_core(spec: PlanSpec):
                                                      cinv=half_cinv)
     steps = axis_steps(sorted(other, reverse=True), Direction.BACKWARD)
     fused = _fused_into_steps(steps)
+    packed_real = bool(kernel_c2r and steps and _packed_real_ok(n_r))
 
     def core(xr, xi):
         # scale commutes with the linear c2r untangle, so it can ride the
@@ -418,16 +484,26 @@ def _build_core(spec: PlanSpec):
         if kernel_c2r:
             from .ops import pallas_stockham as _ps
             interp = jax.default_backend() != "tpu"
-            w = xr.shape[-1]
-            if w != n_r and any(k == "stockham" for k, _, _ in steps):
-                # Lane-pad the half spectrum ONCE; the c2r kernel masks
-                # the extra bins, so no slice-back is ever needed.
-                cfg = [(0, 0)] * (xr.ndim - 1) + [(0, n_r - w)]
-                xr = jnp.pad(xr, cfg)
-                xi = jnp.pad(xi, cfg)
-            xr, xi = run_steps(steps, xr, xi, Direction.BACKWARD,
-                               fuse_scale=scale if fused else 1.0)
-            y = _ps.ifft_last_c2r_stockham(xr, xi, n_r, interpret=interp)
+            if packed_real:
+                # Nyquist-packed n/2-wide layout: pack before the inverse
+                # mid transforms (see _pack_nyquist), halving their
+                # traffic; the packed c2r kernel unpacks in-VMEM.
+                xr, xi = _pack_nyquist(xr, xi)
+                xr, xi = run_steps(steps, xr, xi, Direction.BACKWARD,
+                                   fuse_scale=scale if fused else 1.0)
+                y = _ps.ifft_last_c2r_stockham(xr, xi, n_r,
+                                               interpret=interp, packed=True)
+            else:
+                w = xr.shape[-1]
+                if w != n_r and any(k == "stockham" for k, _, _ in steps):
+                    # Lane-pad the half spectrum ONCE; the c2r kernel
+                    # masks the extra bins, so no slice-back is needed.
+                    cfg = [(0, 0)] * (xr.ndim - 1) + [(0, n_r - w)]
+                    xr = jnp.pad(xr, cfg)
+                    xi = jnp.pad(xi, cfg)
+                xr, xi = run_steps(steps, xr, xi, Direction.BACKWARD,
+                                   fuse_scale=scale if fused else 1.0)
+                y = _ps.ifft_last_c2r_stockham(xr, xi, n_r, interpret=interp)
         else:
             xr, xi = run_steps_padded(steps, xr, xi, Direction.BACKWARD,
                                       fuse_scale=scale if fused else 1.0)

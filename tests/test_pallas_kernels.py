@@ -188,3 +188,27 @@ def test_plan_hybrid_large_1d():
     p = rft.make_plan((2, 4096), axes=(1,), kind=Kind.C2C,
                       direction=Direction.FORWARD, backend="hybrid")
     assert rel_l2(p(x), np.fft.fft(x, axis=1)) < tolerance(4096)
+
+
+def test_packed_nyquist_r2c_c2r_roundtrip():
+    """Nyquist-packed n/2-wide halfcomplex layout (rank >= 2 kernel real
+    path): r2c matches rfftn and c2r inverts it, including the bin-0 /
+    Nyquist untangle across BOTH mid axes."""
+    import regent_fft_tpu as rft
+    from regent_fft_tpu import plan as planmod
+    assert planmod._packed_real_ok(256)
+    assert not planmod._packed_real_ok(128)   # m=64 below lane tile
+    rng = np.random.default_rng(3)
+    shape = (4, 8, 256)
+    x = rng.standard_normal(shape).astype(np.float32)
+    p = rft.make_plan(shape, axes=(0, 1, 2), kind=rft.Kind.R2C,
+                      direction=rft.FORWARD, norm=rft.Norm.NONE,
+                      backend="stockham")
+    got = np.asarray(p(x))
+    ref = np.fft.rfftn(x.astype(np.float64))
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
+    pi = rft.make_plan(shape, axes=(0, 1, 2), kind=rft.Kind.C2R,
+                       direction=rft.BACKWARD, norm=rft.Norm.BACKWARD,
+                       backend="stockham")
+    back = np.asarray(pi(got))
+    assert np.linalg.norm(back - x) / np.linalg.norm(x) < 1e-5
