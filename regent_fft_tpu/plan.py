@@ -261,13 +261,14 @@ def _build_core(spec: PlanSpec):
                     continue
                 if is_last and _ps.four_step_supported(n):
                     # Large last axis: four-step kernel pipeline.  Under
-                    # "hybrid" only when the einsum two-factor split is
-                    # unbalanced (measured: balanced splits like 64*64
-                    # keep the MXU path slightly ahead; 128*64 and worse
-                    # lose to the kernels).  measure-mode re-decides.
+                    # "hybrid" only when NO einsum two-factor split
+                    # exists (honest re-measurement: the in-place MXU
+                    # einsum beats four-step at every split that fits —
+                    # n=4096: 0.32 vs 0.48 ms, n=8192: 0.37 vs 0.48 at
+                    # batch 1024/512 — the old unbalanced-split rule came
+                    # from the inflated timer).  measure-mode re-decides.
                     split = _stockham.best_two_factor(n, spec.max_radix)
-                    if (backend == "stockham" or split is None
-                            or split[0] != split[1]):
+                    if backend == "stockham" or split is None:
                         steps.append(("stockham4", a, n))
                         continue
             if backend == "pallas":
