@@ -207,8 +207,8 @@ def main():
             with open(os.path.join(os.path.dirname(
                     os.path.abspath(__file__)), args.detail_out), "w") as f:
                 json.dump(artifact, f, indent=2)
-        except OSError:
-            pass
+        except OSError as e:  # never sink the headline, but say so
+            print(json.dumps({"detail_out_error": repr(e)}), file=sys.stderr)
 
 
 if __name__ == "__main__":

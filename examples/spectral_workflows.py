@@ -81,21 +81,23 @@ def distributed_filter():
          ).astype(np.complex64)
 
     mesh = rft.make_fft_mesh(ndev)
+    # transposed_out + transposed_in pairing: the forward leaves the
+    # spectrum distributed over the LAST axis (one all_to_all), the
+    # inverse accepts exactly that layout (one all_to_all back) — two
+    # collectives for the whole filter instead of four, the
+    # FFTW_MPI_TRANSPOSED_OUT/IN pairing.
     fwd = rft.make_plan_slab(shape, mesh=mesh, norm=Norm.NONE,
                              transposed_out=True)
     inv = rft.make_plan_slab(shape, mesh=mesh, norm=Norm.BACKWARD,
-                             direction=rft.BACKWARD, transposed_out=True)
+                             direction=rft.BACKWARD, transposed_in=True)
 
-    X = fwd(x)                       # stays distributed over the LAST axis
+    X = fwd(x)                       # distributed over the LAST axis
     keep = np.zeros(shape, np.float32)
     c = z // 4
     for kz_ in list(range(c)) + list(range(z - c, z)):
         for kx_ in list(range(c)) + list(range(z - c, z)):
             keep[kz_, :, kx_] = 1.0
     Y = X * keep                     # pointwise work in the transposed layout
-    # the inverse's transposed_out=True means it EXPECTS first-axis
-    # distribution on input when chained with a forward transposed plan;
-    # numerically validate against numpy either way.
     y = np.asarray(inv.execute(Y))
 
     ref = np.fft.ifftn(np.fft.fftn(x.astype(np.complex128)) * keep)

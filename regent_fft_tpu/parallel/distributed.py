@@ -198,6 +198,7 @@ def make_plan_shards(shape, kind=Kind.C2C, direction=Direction.FORWARD,
 def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
                    dtype="complex64", mesh: Optional[Mesh] = None,
                    axis_name: str = "fft", transposed_out: bool = False,
+                   transposed_in: bool = False,
                    precision: str = "highest", use_3m: bool = False,
                    max_radix: int = 128,
                    pipeline_chunks: int = 1,
@@ -210,6 +211,13 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     LAST axis with axes order unchanged (FFTW_MPI_TRANSPOSED_OUT analog);
     otherwise a second all_to_all restores first-axis distribution.
 
+    ``transposed_in`` accepts input already distributed over the LAST
+    axis (FFTW_MPI_TRANSPOSED_IN analog): the pipeline reverses — FFT the
+    locally-complete first axis, ONE all_to_all back to slabs, FFT the
+    rest — so a forward ``transposed_out`` plan chains into an inverse
+    ``transposed_in`` plan with two collectives total instead of four.
+    Mutually exclusive with ``transposed_out``.
+
     ``pipeline_chunks > 1`` (rank >= 3 only) splits the
     a2a -> fft(axis0) -> a2a phases into independent chunks along axis 1
     — an axis no collective touches — so XLA's scheduler can hide each
@@ -217,6 +225,10 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     scheduled-exchange idea of
     ``/root/reference/fftw-3.3.8/mpi/transpose-pairwise.c:21-49``).
     """
+    if transposed_in and transposed_out:
+        raise ValueError("transposed_in and transposed_out are exclusive "
+                         "(the single-collective pipeline cannot skip its "
+                         "only all_to_all)")
     mesh = mesh or make_fft_mesh(axis_name=axis_name)
     axis_name = mesh.axis_names[0]
     p = int(mesh.shape[axis_name])
@@ -234,6 +246,26 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
            for a in sorted(local_axes, reverse=True)]
     fn0 = build_c2c_1d(shape[0], direction, max_radix, prec, use_3m)
     chunks = pipeline_chunks if nd_ >= 3 else 1
+
+    if transposed_in:
+        # Reversed pipeline: (Z, ..., X/P) in -> fft(Z) -> one a2a back
+        # to slabs -> fft(local axes) -> (Z/P, ..., X) out.
+        def local_fn(xr, xi):
+            xr, xi = _nd.apply_along_axis(fn0, 0, xr, xi)
+            xr, xi = _a2a(xr, xi, axis_name, 0, nd_ - 1)
+            xr, xi = _nd.c2c_nd(fns, xr, xi)
+            return _apply_scale(xr, xi, scale)
+
+        slab_spec = P(axis_name, *([None] * (nd_ - 1)))
+        in_spec = P(*([None] * (nd_ - 1)), axis_name)
+        fn = shard_map(local_fn, mesh=mesh, in_specs=(in_spec, in_spec),
+                       out_specs=(slab_spec, slab_spec))
+        desc = (f"(plan-distrib-slab shape={shape} P={p} axis={axis_name} "
+                f"[transposed input] fft(axis0) -> all_to_all(ICI) -> "
+                f"local-{nd_-1}ax-fft)")
+        flops = 5.0 * n_total * math.log2(max(n_total, 2))
+        return DistributedFFTPlan(desc, mesh, in_spec, slab_spec, fn, shape,
+                                  dtype, flops, donate)
 
     def _phase2(cr, ci):
         # Distributed transpose over ICI: gather axis 0, scatter axis -1,

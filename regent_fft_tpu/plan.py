@@ -179,15 +179,27 @@ def _unpack_nyquist(yr, yi, axes):
     return yr, yi
 
 
-def _pack_nyquist(xr, xi):
+def _pack_nyquist(xr, xi, axes):
     """(…, n/2+1) half spectrum -> (…, n/2) Nyquist-packed planes.
 
-    packed[0] = X0 + i*Nq (complex): the inverse mid-axis transforms then
-    yield x0 + i*nyq with both slabs real (conjugate-even input), exactly
-    the layout the packed c2r kernel expects."""
+    packed[0] = X0s + i*Nqs where X0s/Nqs are the bin-0/Nyquist slabs
+    PROJECTED onto their conjugate-even parts along the transformed mid
+    ``axes``.  The projection makes the trick exact for ARBITRARY input:
+    conj-even-in-frequency = real-in-space, so the inverse mid transforms
+    yield Re(IF(X0)) + i*Re(IF(Nq)) — precisely the values numpy's
+    irfftn uses (its last-axis irfft drops the imaginary parts of the
+    endpoint bins).  For conjugate-even input the projection is the
+    identity."""
     m = xr.shape[-1] - 1
-    p0r = xr[..., 0] - xi[..., m]
-    p0i = xi[..., 0] + xr[..., m]
+
+    def herm(r, i):
+        return (0.5 * (r + _rev_freq(r, axes)),
+                0.5 * (i - _rev_freq(i, axes)))
+
+    x0r, x0i = herm(xr[..., 0], xi[..., 0])
+    nqr, nqi = herm(xr[..., m], xi[..., m])
+    p0r = x0r - nqi
+    p0i = x0i + nqr
     return (jnp.concatenate([p0r[..., None], xr[..., 1:m]], axis=-1),
             jnp.concatenate([p0i[..., None], xi[..., 1:m]], axis=-1))
 
@@ -489,7 +501,7 @@ def _build_core(spec: PlanSpec):
                 # Nyquist-packed n/2-wide layout: pack before the inverse
                 # mid transforms (see _pack_nyquist), halving their
                 # traffic; the packed c2r kernel unpacks in-VMEM.
-                xr, xi = _pack_nyquist(xr, xi)
+                xr, xi = _pack_nyquist(xr, xi, other)
                 xr, xi = run_steps(steps, xr, xi, Direction.BACKWARD,
                                    fuse_scale=scale if fused else 1.0)
                 y = _ps.ifft_last_c2r_stockham(xr, xi, n_r,

@@ -170,3 +170,42 @@ def test_distributed_donate():
     r = dist.make_plan_slab_r2c((16, 8, 16), donate=True)
     y = np.asarray(r(rng.standard_normal((16, 8, 16)).astype(np.float32)))
     assert y.shape == (16, 8, 9)
+
+
+def test_slab_transposed_in_chains_with_transposed_out():
+    """FFTW_MPI_TRANSPOSED_OUT/IN pairing: forward leaves the spectrum
+    last-axis-distributed, the transposed_in inverse consumes exactly
+    that layout — two collectives total for a roundtrip."""
+    shape = (16, 4, 16)
+    fwd = dist.make_plan_slab(shape, norm=Norm.NONE, transposed_out=True)
+    inv = dist.make_plan_slab(shape, norm=Norm.BACKWARD,
+                              direction=Direction.BACKWARD,
+                              transposed_in=True)
+    x = crand(shape)
+    X = fwd(x)
+    assert rel_l2(X, np.fft.fftn(x)) < tolerance(x.size)
+    back = np.asarray(inv(X))
+    assert np.linalg.norm(back - x) / np.linalg.norm(x) < 1e-5
+    # standalone transposed_in forward is also a correct global FFT
+    p = dist.make_plan_slab(shape, norm=Norm.NONE, transposed_in=True)
+    assert rel_l2(p(x), np.fft.fftn(x)) < tolerance(x.size)
+    with pytest.raises(ValueError):
+        dist.make_plan_slab(shape, transposed_in=True, transposed_out=True)
+
+
+def test_packed_c2r_matches_irfftn_on_arbitrary_spectrum():
+    """The Nyquist-packed c2r path projects the endpoint slabs to their
+    conjugate-even parts, matching numpy.irfftn for NON-Hermitian input
+    (regression: unprojected packing diverged 6e-2 on random spectra)."""
+    import regent_fft_tpu as rft
+    shape = (4, 8, 256)
+    h = shape[:-1] + (129,)
+    rng = np.random.default_rng(9)
+    y = (rng.standard_normal(h) + 1j * rng.standard_normal(h)
+         ).astype(np.complex64)
+    p = rft.make_plan(shape, axes=(0, 1, 2), kind=rft.Kind.C2R,
+                      direction=Direction.BACKWARD, norm=Norm.BACKWARD,
+                      backend="stockham")
+    got = np.asarray(p(y))
+    ref = np.fft.irfftn(y.astype(np.complex128), s=shape, axes=(0, 1, 2))
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
