@@ -704,8 +704,10 @@ def destroy_plan_distrib(plan: DistributedFFTPlan):
 _DISTRIB_WISDOM: dict = {}
 
 
-def _distrib_key(shape, n_devices: int, direction: Direction, norm: Norm):
-    return (tuple(shape), int(n_devices), int(direction), norm.value)
+def _distrib_key(shape, n_devices: int, direction: Direction, norm: Norm,
+                 kind: Kind = Kind.C2C):
+    return (tuple(shape), int(n_devices), int(direction), norm.value,
+            kind.value)
 
 
 def strategy_name(strategy: dict) -> str:
@@ -726,18 +728,32 @@ def _default_pencil_shape(n_devices: int) -> Tuple[int, int]:
 
 
 def candidate_strategies(shape, n_devices: int,
-                         chunk_candidates: Sequence[int] = (1, 2, 4)):
-    """Feasible decomposition strategies for a global C2C transform.
+                         chunk_candidates: Sequence[int] = (1, 2, 4),
+                         kind: Kind = Kind.C2C):
+    """Feasible decomposition strategies for a global transform.
 
-    Slab (one collective round) where P divides axes 0 and -1; pencil
-    (2-D mesh, two rounds, scales past P <= min-extent) for rank-3 shapes
-    whose extents divide the default near-square mesh.  Each mode is
-    offered at every overlap-pipeline chunk count that its chunk axis
-    admits (chunking needs rank >= 3)."""
+    C2C: slab (one collective round) where P divides axes 0 and -1;
+    pencil (2-D mesh, two rounds, scales past P <= min-extent) for
+    rank-3 shapes whose extents divide the default near-square mesh.
+    Each mode is offered at every overlap-pipeline chunk count that its
+    chunk axis admits (chunking needs rank >= 3).  R2C/C2R: slab needs
+    rank >= 3 with P | axes 0,1; pencil needs P1*P2 | Z and Y (the
+    divisibility rules of the r2c constructors — the halved axis never
+    crosses a collective)."""
     shape = tuple(shape)
     nd_ = len(shape)
     p = int(n_devices)
     out = []
+    if kind in (Kind.R2C, Kind.C2R):
+        if nd_ >= 3 and shape[0] % p == 0 and shape[1] % p == 0:
+            out.append({"mode": "slab", "pipeline_chunks": 1})
+        if nd_ == 3 and p > 1:
+            p1, p2 = _default_pencil_shape(p)
+            if p1 > 1 and shape[0] % (p1 * p2) == 0 \
+                    and shape[1] % (p1 * p2) == 0:
+                out.append({"mode": "pencil", "mesh_shape": (p1, p2),
+                            "pipeline_chunks": 1})
+        return out
     if nd_ >= 2 and shape[0] % p == 0 and shape[-1] % p == 0:
         for c in chunk_candidates:
             if c == 1 or (nd_ >= 3 and c <= shape[1]):
@@ -765,8 +781,24 @@ def build_strategy(strategy: dict, shape, direction=Direction.FORWARD,
     """
     s = dict(strategy)
     mode = s.pop("mode")
+    kind = kw.pop("kind", Kind.C2C)
     if mode in ("slab", "shards") and n_devices is not None and "mesh" not in kw:
         kw = dict(kw, mesh=make_fft_mesh(n_devices))
+    if kind in (Kind.R2C, Kind.C2R):
+        s.pop("pipeline_chunks", None)
+        ctor = {("slab", Kind.R2C): make_plan_slab_r2c,
+                ("slab", Kind.C2R): make_plan_slab_c2r,
+                ("pencil", Kind.R2C): make_plan_pencil_r2c,
+                ("pencil", Kind.C2R): make_plan_pencil_c2r}.get((mode, kind))
+        if ctor is None:
+            raise ValueError(f"no {kind} constructor for mode {mode!r}")
+        if mode == "pencil":
+            ms = s.pop("mesh_shape", None)
+            if ms is not None:
+                ms = tuple(ms)
+            kw.pop("mesh", None)
+            return ctor(shape, norm=norm, mesh_shape=ms, **s, **kw)
+        return ctor(shape, norm=norm, **s, **kw)
     if mode == "slab":
         return make_plan_slab(shape, direction=direction, norm=norm, **s, **kw)
     if mode == "pencil":
@@ -783,13 +815,15 @@ def build_strategy(strategy: dict, shape, direction=Direction.FORWARD,
 
 def make_plan_distributed(shape, direction=Direction.FORWARD,
                           norm=Norm.BACKWARD, n_devices: Optional[int] = None,
-                          planner: str = "estimate",
+                          planner: str = "estimate", kind: Kind = Kind.C2C,
                           chunk_candidates: Sequence[int] = (1, 2, 4),
                           measure_iters: int = 3, **kw) -> DistributedFFTPlan:
-    """Auto-dispatching global C2C plan: slab vs pencil vs overlap chunks.
+    """Auto-dispatching global plan: slab vs pencil vs overlap chunks.
 
-    ``planner="estimate"``: use the wisdom winner when one is recorded for
-    (shape, devices, direction, norm); otherwise the heuristic — slab when
+    ``kind`` selects C2C (default) or R2C/C2R (rank-3 real pipelines;
+    ``direction`` is implied by the kind there).  ``planner="estimate"``:
+    use the wisdom winner when one is recorded for (shape, devices,
+    direction, norm, kind); otherwise the heuristic — slab when
     divisibility allows (one ICI round beats pencil's two at equal P),
     else pencil.  ``planner="measure"``: race every feasible strategy on
     the actual device mesh (``utils.measure.measure_distributed``), record
@@ -801,23 +835,26 @@ def make_plan_distributed(shape, direction=Direction.FORWARD,
     import jax
     shape = tuple(shape)
     p = int(n_devices or len(jax.devices()))
-    key = _distrib_key(shape, p, direction, norm)
+    key = _distrib_key(shape, p, direction, norm, kind)
     if planner == "measure":
         from ..utils.measure import measure_distributed
         winner, _ = measure_distributed(
-            shape, direction=direction, norm=norm, n_devices=p,
+            shape, direction=direction, norm=norm, n_devices=p, kind=kind,
             chunk_candidates=chunk_candidates, iters=measure_iters,
             install=True, **kw)
-        return build_strategy(winner, shape, direction, norm, n_devices=p, **kw)
+        return build_strategy(winner, shape, direction, norm, n_devices=p,
+                              kind=kind, **kw)
     hit = _DISTRIB_WISDOM.get(key)
     if hit is not None:
-        return build_strategy(hit, shape, direction, norm, n_devices=p, **kw)
-    cands = candidate_strategies(shape, p, (1,))
+        return build_strategy(hit, shape, direction, norm, n_devices=p,
+                              kind=kind, **kw)
+    cands = candidate_strategies(shape, p, (1,), kind=kind)
     if not cands:
         raise ValueError(
-            f"no feasible distributed decomposition for shape {shape} on "
-            f"{p} devices (need P | axes 0,-1 for slab, or a divisible "
-            f"rank-3 pencil)")
+            f"no feasible distributed decomposition for shape {shape} "
+            f"({kind}) on {p} devices (see candidate_strategies for the "
+            f"divisibility rules)")
     slabs = [c for c in cands if c["mode"] == "slab"]
     return build_strategy(slabs[0] if slabs else cands[0],
-                          shape, direction, norm, n_devices=p, **kw)
+                          shape, direction, norm, n_devices=p, kind=kind,
+                          **kw)

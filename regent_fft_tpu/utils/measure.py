@@ -179,7 +179,7 @@ def measure_backends(spec, build_core, iters: int = 4, reps: int = 2):
 
 
 def measure_distributed(shape, direction=None, norm=None,
-                        n_devices: Optional[int] = None,
+                        n_devices: Optional[int] = None, kind=None,
                         chunk_candidates: Sequence[int] = (1, 2, 4),
                         iters: int = 3, reps: int = 2,
                         install: bool = True, **build_kw):
@@ -200,23 +200,62 @@ def measure_distributed(shape, direction=None, norm=None,
     """
     import jax
     import jax.numpy as jnp
-    from ..dtypes import Direction, Norm
+    from ..dtypes import Direction, Kind, Norm
     from ..parallel import distributed as _dist
     from . import timing as _timing
 
     direction = Direction.FORWARD if direction is None else direction
     norm = Norm.BACKWARD if norm is None else norm
+    kind = Kind.C2C if kind is None else Kind(kind)
     n_devices = int(n_devices or len(jax.devices()))
-    cands = _dist.candidate_strategies(shape, n_devices, chunk_candidates)
+    cands = _dist.candidate_strategies(shape, n_devices, chunk_candidates,
+                                       kind=kind)
     if not cands:
         raise ValueError(
-            f"no feasible distributed strategies for {tuple(shape)} on "
-            f"{n_devices} devices")
+            f"no feasible distributed strategies for {tuple(shape)} "
+            f"({kind}) on {n_devices} devices")
+
+    shape = tuple(shape)
+    n_last = shape[-1]
+    h_last = n_last // 2 + 1
 
     def make_carry(seed):
         kr, ki = jax.random.split(jax.random.PRNGKey(seed))
-        return (jax.random.normal(kr, tuple(shape), jnp.float32),
-                jax.random.normal(ki, tuple(shape), jnp.float32))
+        if kind == Kind.R2C:
+            return jax.random.normal(kr, shape, jnp.float32)
+        if kind == Kind.C2R:
+            half = shape[:-1] + (h_last,)
+            return (jax.random.normal(kr, half, jnp.float32),
+                    jax.random.normal(ki, half, jnp.float32))
+        return (jax.random.normal(kr, shape, jnp.float32),
+                jax.random.normal(ki, shape, jnp.float32))
+
+    def make_step(plan):
+        # Chain adapters per kind (shape-preserving carries; the O(N)
+        # re-pack slices are negligible next to the transform).
+        if kind == Kind.R2C:
+            def step(x):
+                yr, yi = plan._fn(jax.lax.with_sharding_constraint(
+                    x, plan.in_sharding))
+                a = jax.lax.slice_in_dim(yr, 0, (n_last + 1) // 2, axis=-1)
+                b = jax.lax.slice_in_dim(yi, 0, n_last // 2, axis=-1)
+                return jnp.concatenate([a, b], axis=-1)
+            return step
+        if kind == Kind.C2R:
+            def step(c):
+                y = plan._fn(
+                    jax.lax.with_sharding_constraint(c[0], plan.in_sharding),
+                    jax.lax.with_sharding_constraint(c[1], plan.in_sharding))
+                a = jax.lax.slice_in_dim(y, 0, h_last, axis=-1)
+                b = jax.lax.slice_in_dim(y, n_last - h_last, n_last, axis=-1)
+                return (a, b)
+            return step
+
+        def step(c):
+            xr = jax.lax.with_sharding_constraint(c[0], plan.in_sharding)
+            xi = jax.lax.with_sharding_constraint(c[1], plan.in_sharding)
+            return plan._fn(xr, xi)
+        return step
 
     timings = {}
     by_name = {}
@@ -226,20 +265,15 @@ def measure_distributed(shape, direction=None, norm=None,
         try:
             plan = _dist.build_strategy(strat, shape, direction=direction,
                                         norm=norm, n_devices=n_devices,
-                                        **build_kw)
-
-            def step(c, plan=plan):
-                xr = jax.lax.with_sharding_constraint(c[0], plan.in_sharding)
-                xi = jax.lax.with_sharding_constraint(c[1], plan.in_sharding)
-                return plan._fn(xr, xi)
-
-            timings[name] = _timing.time_chain(step, make_carry, iters, reps)
+                                        kind=kind, **build_kw)
+            timings[name] = _timing.time_chain(make_step(plan), make_carry,
+                                               iters, reps)
         except Exception:
             timings[name] = float("inf")
     winner_name = min(timings, key=timings.get)
     winner = by_name[winner_name]
     if install and timings[winner_name] < float("inf"):
-        key = _dist._distrib_key(shape, n_devices, direction, norm)
+        key = _dist._distrib_key(shape, n_devices, direction, norm, kind)
         _dist._DISTRIB_WISDOM[key] = dict(winner)
     return winner, timings
 

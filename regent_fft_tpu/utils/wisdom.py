@@ -56,8 +56,8 @@ def export_wisdom_to_string() -> str:
                 for k, w in _BACKEND_WISDOM.items()]
     from ..parallel.distributed import _DISTRIB_WISDOM
     distrib = [{"shape": list(shape), "n_devices": ndev, "direction": d,
-                "norm": nv, "strategy": dict(strat)}
-               for (shape, ndev, d, nv), strat in _DISTRIB_WISDOM.items()]
+                "norm": nv, "kind": kv, "strategy": dict(strat)}
+               for (shape, ndev, d, nv, kv), strat in _DISTRIB_WISDOM.items()]
     out = {"version": WISDOM_VERSION, "library": "regent_fft_tpu",
            "plans": specs, "schedules": overrides, "backends": backends,
            "distrib": distrib}
@@ -107,7 +107,7 @@ def import_wisdom_from_string(s: str, build: bool = True) -> int:
                 strat["mesh_shape"] = tuple(strat["mesh_shape"])
             _DISTRIB_WISDOM[_distrib_key(
                 o["shape"], o["n_devices"], Direction(o["direction"]),
-                Norm(o["norm"]))] = strat
+                Norm(o["norm"]), Kind(o.get("kind", Kind.C2C.value)))] = strat
             n += 1
     for d in data.get("plans", []):
         spec = _spec_from_dict(d)

@@ -183,3 +183,39 @@ def test_make_plan_distributed_heuristic():
     # nothing feasible
     with pytest.raises(ValueError):
         dist.make_plan_distributed((15, 15, 15), n_devices=8)
+
+
+def test_measure_distributed_r2c_c2r():
+    """Distributed measure mode covers real transforms too (slab vs
+    pencil r2c/c2r raced on the mesh; wisdom keyed by kind)."""
+    from regent_fft_tpu.dtypes import Direction, Kind, Norm
+    from regent_fft_tpu.parallel import distributed as dist
+    _clear_distrib()
+    shape = (16, 16, 12)
+    winner, timings = measure.measure_distributed(
+        shape, n_devices=8, kind=Kind.R2C, norm=Norm.NONE,
+        iters=1, reps=1)
+    assert dist.strategy_name(winner) in timings
+    assert any(t < float("inf") for t in timings.values())
+    # auto-plan builds the winner and computes rfftn correctly
+    p = dist.make_plan_distributed(shape, n_devices=8, kind=Kind.R2C,
+                                   norm=Norm.NONE)
+    x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+    got = np.asarray(p(x))
+    ref = np.fft.rfftn(x.astype(np.float64))
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
+
+    # c2r auto-plan (heuristic path)
+    pc = dist.make_plan_distributed(shape, n_devices=8, kind=Kind.C2R,
+                                    norm=Norm.BACKWARD)
+    back = np.asarray(pc(got))
+    assert np.linalg.norm(back - x) / np.linalg.norm(x) < 1e-5
+
+    # wisdom roundtrip keeps the kind-keyed entry
+    key = dist._distrib_key(shape, 8, Direction.FORWARD, Norm.NONE, Kind.R2C)
+    assert key in dist._DISTRIB_WISDOM
+    s = rft.export_wisdom_to_string()
+    _clear_distrib()
+    rft.import_wisdom_from_string(s, build=False)
+    assert dist._DISTRIB_WISDOM[key] == winner
+    _clear_distrib()
