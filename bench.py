@@ -186,12 +186,27 @@ def main():
                     help="artifact with headline + detail + suite "
                          "('' disables)")
     args = ap.parse_args()
+    def write_artifact(artifact):
+        # Durable artifact: the driver records only the stdout line, so
+        # the full config-family matrix lands next to it for the judge.
+        # Written incrementally (headline first) so a timeout mid-suite
+        # still leaves a valid artifact.
+        if not args.detail_out:
+            return
+        try:
+            with open(os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), args.detail_out), "w") as f:
+                json.dump(artifact, f, indent=2)
+        except OSError as e:  # never sink the headline, but say so
+            print(json.dumps({"detail_out_error": repr(e)}), file=sys.stderr)
+
     res = bench_3d_c2c(args.size, args.iters, args.precision)
     extra = res.pop("extra")
     print(json.dumps(res))
     sys.stdout.flush()
     print(json.dumps({"detail": extra}), file=sys.stderr)
     artifact = {"headline": dict(res), "detail": extra}
+    write_artifact(artifact)
     if not args.no_suite:
         try:
             suite = bench_suite(args.iters)
@@ -200,15 +215,7 @@ def main():
         except Exception as e:  # suite must never sink the headline
             print(json.dumps({"suite_error": repr(e)}), file=sys.stderr)
             artifact["suite_error"] = repr(e)
-    if args.detail_out:
-        # Durable artifact: the driver records only the stdout line, so
-        # the full config-family matrix lands next to it for the judge.
-        try:
-            with open(os.path.join(os.path.dirname(
-                    os.path.abspath(__file__)), args.detail_out), "w") as f:
-                json.dump(artifact, f, indent=2)
-        except OSError as e:  # never sink the headline, but say so
-            print(json.dumps({"detail_out_error": repr(e)}), file=sys.stderr)
+        write_artifact(artifact)
 
 
 if __name__ == "__main__":
