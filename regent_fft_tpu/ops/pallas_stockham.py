@@ -54,9 +54,9 @@ MAX_CALL_ELEMS = 4 * 1024 * 1024
 def _tb_for(n: int) -> int:
     """Row-tile height for a last-axis n-point kernel.
 
-    Measured (512^3 pass, v5e): tb=256 runs the n=512 last-axis pass 22%
-    faster than tb=128 (9.0 vs 11.6 ms); tb=512 is slightly worse again.
-    Capped so blocks stay inside the validated element envelope.
+    Honest-timer sweep (512^3 pass, v5e): tb=256 is fastest (5.9 ms vs
+    6.2 at tb=128, 6.0 at tb=512).  Capped so blocks stay inside the
+    validated element envelope.
     """
     return max(8, min(256, MAX_BLOCK_ELEMS // n))
 
@@ -504,11 +504,12 @@ def _runner_last(n: int, sign: int, tb: int, scale: float = 1.0,
 def _vt_cap(n: int) -> int:
     """Lane-tile width for a mid-axis n-point kernel.
 
-    Measured (512^3 mid pass, v5e): vt=128 is the FASTEST tile at n>=512
-    (8.0 ms vs 8.1 at vt=256, 9.0 at vt=512) even though the envelope now
-    admits n*vt up to 256K elements — wider tiles add VMEM pressure
-    without improving the column DMA.  Small n (four-step first factors)
-    widen toward 512 lanes to keep blocks a sensible size.
+    Honest-timer sweeps (512^3, v5e): vt=128/256 tie within noise and
+    vt=512 is ~5% worse on the leading-axis pass (11.6/11.6/12.1 ms)
+    even though the envelope admits n*vt up to 256K elements — wider
+    tiles add VMEM pressure without improving anything.  Small n
+    (four-step first factors) widen toward 512 lanes to keep blocks a
+    sensible size.
     """
     return max(LANE_TILE, min(512, (65536 // max(n, 1)) // 128 * 128))
 
