@@ -294,6 +294,9 @@ class R2RPlan:
                             f"kinds=[{desc_kinds}] unnormalized)")
 
     def __call__(self, x):
+        """Execute on a real array.  Compute is float32 (the TPU-native
+        path); float64 input is accepted and downcast, mirroring the
+        numpy-style API's behavior when x64 is disabled."""
         if self._destroyed:
             raise RuntimeError("plan was destroyed")
         x = jnp.asarray(x)
@@ -313,12 +316,20 @@ class R2RPlan:
         self._exec = None
 
 
+# Plan cache: one-shot helpers (r2r/dct/dst/dht) reuse compiled plans —
+# without it every repeated call re-traces and re-jits (~100-1000x the
+# cached cost); the wisdom analog of plan.py's _PLAN_CACHE.
+_R2R_CACHE: dict = {}
+
+
 def plan_r2r(shape, kinds, axes=None, max_radix: int = _factor.DEFAULT_MAX_RADIX,
              precision: str = "highest") -> R2RPlan:
     """Plan an N-D r2r transform (``fftw_plan_r2r`` analog).
 
     ``kinds``: one :class:`R2RKind` (applied to every transformed axis)
     or a sequence with one kind per axis.  ``axes`` defaults to all axes.
+    Plans are cached per (shape, kinds, axes, max_radix, precision);
+    ``destroy()`` evicts from the cache.
     """
     shape = tuple(shape)
     if axes is None:
@@ -329,12 +340,18 @@ def plan_r2r(shape, kinds, axes=None, max_radix: int = _factor.DEFAULT_MAX_RADIX
     kinds = tuple(R2RKind(k) for k in kinds)
     if len(kinds) != len(axes):
         raise ValueError(f"{len(kinds)} kinds for {len(axes)} axes")
-    return R2RPlan(shape, kinds, axes, max_radix, precision)
+    key = (shape, kinds, axes, int(max_radix), precision)
+    hit = _R2R_CACHE.get(key)
+    if hit is not None and not hit._destroyed:
+        return hit
+    plan = R2RPlan(shape, kinds, axes, max_radix, precision)
+    _R2R_CACHE[key] = plan
+    return plan
 
 
 def r2r(x, kind, axis: int = -1):
     """One-shot 1-D r2r transform along ``axis`` (unnormalized FFTW
-    semantics)."""
+    semantics); plans are cached across calls."""
     x = jnp.asarray(x)
     plan = plan_r2r(x.shape, (R2RKind(kind),), axes=(axis,))
     return plan(x)

@@ -762,10 +762,15 @@ def candidate_strategies(shape, n_devices: int,
         p1, p2 = _default_pencil_shape(p)
         if p1 > 1:  # a 1xP pencil is just a worse slab
             z, y, x = shape
-            if not (z % p1 or y % p1 or y % p2 or x % p2):
+            # near-square mesh first, then its transpose — divisibility
+            # is orientation-sensitive (P1 | Z but P2 | X), so a shape a
+            # (p2, p1) mesh handles must not be rejected.
+            for q1, q2 in dict.fromkeys([(p1, p2), (p2, p1)]):
+                if z % q1 or y % q1 or y % q2 or x % q2:
+                    continue
                 for c in chunk_candidates:
-                    if c == 1 or c <= z // p1:
-                        out.append({"mode": "pencil", "mesh_shape": (p1, p2),
+                    if c == 1 or c <= z // q1:
+                        out.append({"mode": "pencil", "mesh_shape": (q1, q2),
                                     "pipeline_chunks": int(c)})
     return out
 
@@ -805,6 +810,8 @@ def build_strategy(strategy: dict, shape, direction=Direction.FORWARD,
         ms = s.pop("mesh_shape", None)
         if ms is not None:
             ms = tuple(ms)  # make_pencil_mesh takes the first p1*p2 devices
+        elif n_devices is not None:
+            ms = _default_pencil_shape(int(n_devices))
         return make_plan_pencil(shape, direction=direction, norm=norm,
                                 mesh_shape=ms, **s, **kw)
     if mode == "shards":
@@ -838,10 +845,16 @@ def make_plan_distributed(shape, direction=Direction.FORWARD,
     key = _distrib_key(shape, p, direction, norm, kind)
     if planner == "measure":
         from ..utils.measure import measure_distributed
+        plans = {}
         winner, _ = measure_distributed(
             shape, direction=direction, norm=norm, n_devices=p, kind=kind,
             chunk_candidates=chunk_candidates, iters=measure_iters,
-            install=True, **kw)
+            install=True, plans_out=plans, **kw)
+        # Reuse the raced plan (its executor is already compiled) rather
+        # than rebuilding the identical one.
+        hit = plans.get(strategy_name(winner))
+        if hit is not None:
+            return hit
         return build_strategy(winner, shape, direction, norm, n_devices=p,
                               kind=kind, **kw)
     hit = _DISTRIB_WISDOM.get(key)

@@ -182,7 +182,7 @@ def measure_distributed(shape, direction=None, norm=None,
                         n_devices: Optional[int] = None, kind=None,
                         chunk_candidates: Sequence[int] = (1, 2, 4),
                         iters: int = 3, reps: int = 2,
-                        install: bool = True, **build_kw):
+                        install: bool = True, plans_out=None, **build_kw):
     """Race feasible distributed C2C strategies on the actual mesh.
 
     The missing half of measure mode (VERDICT r1 weak #6: "distributed
@@ -259,6 +259,7 @@ def measure_distributed(shape, direction=None, norm=None,
 
     timings = {}
     by_name = {}
+    errors = {}
     for strat in cands:
         name = _dist.strategy_name(strat)
         by_name[name] = strat
@@ -268,11 +269,18 @@ def measure_distributed(shape, direction=None, norm=None,
                                         kind=kind, **build_kw)
             timings[name] = _timing.time_chain(make_step(plan), make_carry,
                                                iters, reps)
-        except Exception:
+            if plans_out is not None:
+                plans_out[name] = plan
+        except Exception as e:
             timings[name] = float("inf")
+            errors[name] = repr(e)
     winner_name = min(timings, key=timings.get)
+    if timings[winner_name] == float("inf"):
+        raise RuntimeError(
+            f"every distributed strategy failed to build/run for "
+            f"{tuple(shape)} ({kind}) on {n_devices} devices: {errors}")
     winner = by_name[winner_name]
-    if install and timings[winner_name] < float("inf"):
+    if install:
         key = _dist._distrib_key(shape, n_devices, direction, norm, kind)
         _dist._DISTRIB_WISDOM[key] = dict(winner)
     return winner, timings

@@ -154,8 +154,8 @@ def test_measure_distributed_and_wisdom(tmp_path):
 
     # the auto plan built from wisdom computes the right answer
     p = dist.make_plan_distributed(shape, n_devices=8)
-    assert dist.strategy_name(
-        {**winner}) in p.description or True  # description is informative
+    # the wisdom winner's mode must be what the auto plan actually built
+    assert winner["mode"] in p.description
     rng = np.random.default_rng(0)
     x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
          ).astype(np.complex64)
