@@ -1,0 +1,25 @@
+"""The shipped examples must keep running (they double as integration
+tests of the public API: convolution, Poisson solve, distributed filter,
+and the reference-parity walkthrough)."""
+import importlib.util
+import os
+import sys
+
+import pytest
+
+_EX = os.path.join(os.path.dirname(__file__), "..", "examples")
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(_EX, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_spectral_workflows():
+    m = _load("spectral_workflows")
+    m.fft_convolution()
+    m.poisson_solve()
+    m.distributed_filter()
