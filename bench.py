@@ -135,6 +135,12 @@ def bench_3d_c2c(size: int, iters: int, precision: str = "highest"):
             "roofline_fraction_vs_measured_bw": round(
                 t_1pass_measured / t_ours, 3),
             "implied_hbm_passes": round(t_ours / t_1pass_measured, 2),
+            # A 3-D FFT too large for VMEM needs >= 2 HBM passes (the
+            # fused two-axis kernel covers two axes per pass); fraction
+            # of THAT bound is the achievable-roofline number.
+            "min_hbm_passes": 2,
+            "fraction_of_2pass_bound": round(
+                2 * t_1pass_measured / t_ours, 3),
             "device": str(hw.name),
             "precision": precision,
         },
