@@ -561,6 +561,15 @@ def r2c_last_supported(n: int) -> bool:
     return 2 <= n <= MAX_STOCKHAM_N and n % 2 == 0 and (n & (n - 1)) == 0
 
 
+def _tb_real(n: int, w_out: int) -> int:
+    """Row tile for the real-transform kernels whose OUTPUT block is
+    (2*tb, w_out) and input block (tb, n): both must fit the validated
+    MAX_BLOCK_ELEMS envelope (n=2048 unpacked would otherwise emit a
+    524288-element block — 2x the Mosaic crash threshold)."""
+    tb = min(LANE_TILE, MAX_BLOCK_ELEMS // (2 * w_out), MAX_BLOCK_ELEMS // n)
+    return max(8, tb // 8 * 8)
+
+
 def r2c_half_supported(n: int) -> bool:
     """Can the HALF-LENGTH kernel r2c/c2r path run a last axis of length n?
 
@@ -758,7 +767,7 @@ def fft_last_r2c_stockham(x, interpret: bool = False, padded: bool = False,
     b = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
     zr, zi = _pair_rows(x.reshape(b, n))
     b2 = zr.shape[0]
-    tb = LANE_TILE
+    tb = _tb_real(n, n // 2 if packed else n)
     pad = (-b2) % tb
     if pad:
         zr = jnp.pad(zr, ((0, pad), (0, 0)))
@@ -801,7 +810,7 @@ def ifft_last_c2r_stockham(xr, xi, n: int, interpret: bool = False,
         assert shape[-1] == m, (shape, m)
         xr2 = xr.reshape(b, m)
         xi2 = xi.reshape(b, m)
-        tb = LANE_TILE
+        tb = _tb_real(n, n)
         pad = (-b) % (2 * tb)
         if pad:
             xr2 = jnp.pad(xr2, ((0, pad), (0, 0)))
@@ -815,7 +824,7 @@ def ifft_last_c2r_stockham(xr, xi, n: int, interpret: bool = False,
     if shape[-1] != n:  # lane-pad the half spectrum (values ignored)
         xr2 = jnp.pad(xr2, ((0, 0), (0, n - h)))
         xi2 = jnp.pad(xi2, ((0, 0), (0, n - h)))
-    tb = LANE_TILE
+    tb = _tb_real(n, n)
     pad = (-b) % (2 * tb)
     if pad:
         xr2 = jnp.pad(xr2, ((0, pad), (0, 0)))

@@ -587,7 +587,9 @@ class Plan:
                 # rader: 2 smooth FFTs of size n-1 + one cmul pass;
                 # bluestein: 2 smooth FFTs of size m >= 2n-1 + 3 cmuls.
                 m = info
-                _, mf = _factor.plan_factors(m, self.spec.max_radix)
+                kind2, mf = _factor.plan_factors(m, self.spec.max_radix)
+                if kind2 == "direct":
+                    mf = (m,)  # plan_factors returns the int size here
                 cmuls = 1 if kind == "rader" else 3
                 per = 2 * _factor.stage_flops(m, mf) + 6 * cmuls * m
                 total += (n_all // n) * (per // n if n else 0) * n

@@ -212,3 +212,24 @@ def test_packed_nyquist_r2c_c2r_roundtrip():
                        backend="stockham")
     back = np.asarray(pi(got))
     assert np.linalg.norm(back - x) / np.linalg.norm(x) < 1e-5
+
+
+def test_real_kernel_n2048_block_envelope():
+    # ADVICE r2: at n=2048 a fixed tb=128 row tile emits (2*128, 2048) =
+    # 524288-element blocks, 2x the validated Mosaic envelope.  The tile
+    # must shrink so every block fits.
+    for packed in (False, True):
+        w_out = 1024 if packed else 2048
+        tb = ps._tb_real(2048, w_out)
+        assert tb * 2048 <= ps.MAX_BLOCK_ELEMS
+        assert 2 * tb * w_out <= ps.MAX_BLOCK_ELEMS
+    # correctness at the capped tile (interpret mode)
+    n = 2048
+    x = RNG.standard_normal((8, n)).astype(np.float32)
+    yr, yi = ps.fft_last_r2c_stockham(jnp.asarray(x), interpret=True)
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.rfft(x, axis=-1)
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < tolerance(n)
+    back = ps.ifft_last_c2r_stockham(yr, yi, n, interpret=True)
+    assert np.linalg.norm(np.asarray(back) / n - x) / np.linalg.norm(x) \
+        < tolerance(n)

@@ -102,3 +102,14 @@ def test_print_plan_names_rader(capsys):
                     direction=Direction.FORWARD, norm=Norm.NONE)
     make_plan(spec).print_plan()
     assert "rader(509" in capsys.readouterr().out
+
+
+def test_rader_flops_accounting_small_convolution():
+    # ADVICE r2: p=17 with max_radix=16 -> rader convolution length m=16
+    # hits plan_factors' ('direct', int) branch; algorithm_flops must not
+    # iterate the int.
+    from regent_fft_tpu import make_plan, PlanSpec, Kind, Direction
+    plan = make_plan(PlanSpec(shape=(17,), axes=(0,), kind=Kind.C2C,
+                              direction=Direction.FORWARD, max_radix=16))
+    assert plan.algorithm_flops > 0
+    assert "rader" in plan.describe() or plan.describe()
