@@ -33,12 +33,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax import shard_map
+from jax import shard_map as _jax_shard_map
+
+# Pallas calls inside shard_map cannot declare varying-mesh-axes metadata
+# (jax would reject the kernels' ShapeDtypeStructs), so the executor bodies
+# run with the vma check off.
+shard_map = partial(_jax_shard_map, check_vma=False)
 
 from ..dtypes import Direction, Kind, Norm, SplitComplex, as_split, from_split
-from ..ops import nd as _nd
-from ..ops import real as _real
-from ..ops.stockham import build_c2c_1d
 from .mesh import make_fft_mesh
 
 _PRECISIONS = {
@@ -46,6 +48,33 @@ _PRECISIONS = {
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
 }
+
+
+def _local_core(local_shape, axes, direction=Direction.FORWARD,
+                kind=Kind.C2C, precision: str = "highest",
+                use_3m: bool = False, max_radix: int = 128,
+                backend: str = "auto"):
+    """Local-stage transform through the SAME dispatch as single-chip plans.
+
+    Builds an unscaled (norm=NONE) plan core for the shard-local shape, so
+    every distributed phase inherits the Stockham/fused2 butterfly kernels
+    on TPU (einsum on other backends) instead of the raw einsum path —
+    the analog of FFTW's MPI solvers reusing the serial solver registry
+    (``/root/reference/fftw-3.3.8/mpi/dft-rank-geq2.c:30-60``).  The
+    returned core is shape-polymorphic over batch extents (only the
+    transformed-axis lengths and rank are baked in), so pipeline chunks
+    reuse one core.
+    """
+    from ..plan import PlanSpec, _build_core
+    if kind == Kind.R2C:
+        direction = Direction.FORWARD
+    elif kind == Kind.C2R:
+        direction = Direction.BACKWARD
+    spec = PlanSpec(shape=tuple(local_shape), axes=tuple(axes), kind=kind,
+                    direction=direction, norm=Norm.NONE, dtype="complex64",
+                    precision=precision, use_3m=use_3m, max_radix=max_radix,
+                    backend=backend)
+    return _build_core(spec)
 
 
 def _norm_scale(n: int, direction: Direction, norm: Norm) -> float:
@@ -150,6 +179,7 @@ def make_plan_shards(shape, kind=Kind.C2C, direction=Direction.FORWARD,
                      norm=Norm.NONE, dtype="complex64", mesh: Optional[Mesh] = None,
                      axis_name: str = "fft", precision: str = "highest",
                      use_3m: bool = False, max_radix: int = 128,
+                     backend: str = "auto",
                      donate: bool = False) -> DistributedFFTPlan:
     """Reference-parity distributed mode: independent per-shard transforms.
 
@@ -161,9 +191,15 @@ def make_plan_shards(shape, kind=Kind.C2C, direction=Direction.FORWARD,
     partitioned axis is transformed at its LOCAL length).  A 1-D plan is
     therefore P independent length-(n/P) FFTs, matching
     ``test/fft_test.rg:282-305``.
+
+    ``kind=R2C``/``C2R`` mirror the reference's real interfaces, whose
+    ``make_plan_task`` dispatches into ``fftw_plan_dft_r2c`` per node
+    (``src/fft.rg:311-313,533-536``): each shard runs a local
+    rfftn/irfftn-equivalent, the last axis halved at its LOCAL length.
+    For C2R, ``shape`` is the REAL output shape.
     """
-    if kind != Kind.C2C:
-        raise NotImplementedError("shards mode currently supports C2C")
+    if kind not in (Kind.C2C, Kind.R2C, Kind.C2R):
+        raise ValueError(f"shards mode supports C2C/R2C/C2R, got {kind}")
     mesh = mesh or make_fft_mesh(axis_name=axis_name)
     axis_name = mesh.axis_names[0]
     p = int(mesh.shape[axis_name])
@@ -175,24 +211,100 @@ def make_plan_shards(shape, kind=Kind.C2C, direction=Direction.FORWARD,
     local_shape = (shape[0] // p,) + shape[1:]
     axes = tuple(range(len(shape)))
     n_local = int(np.prod(local_shape))
+    if kind == Kind.R2C:
+        direction = Direction.FORWARD
+    elif kind == Kind.C2R:
+        direction = Direction.BACKWARD
     scale = _norm_scale(n_local, direction, norm)
-    prec = _PRECISIONS[precision]
-    fns = [(a, build_c2c_1d(local_shape[a], direction, max_radix, prec, use_3m))
-           for a in sorted(axes, reverse=True)]
-
-    def local_fn(xr, xi):
-        yr, yi = _nd.c2c_nd(fns, xr, xi)
-        return _apply_scale(yr, yi, scale)
-
+    core = _local_core(local_shape, axes, direction, kind=kind,
+                       precision=precision, use_3m=use_3m,
+                       max_radix=max_radix, backend=backend)
     pspec = P(axis_name, *([None] * (len(shape) - 1)))
+    # Each shard's half axis (the LAST transformed axis for real kinds) is
+    # halved at its LOCAL length — reference semantics: make_plan_task
+    # plans fftw_plan_dft_r2c against each node's slab
+    # (``src/fft.rg:311-313,533-536``), so for dim=1 the output is P
+    # stacked local half-spectra.
+    local_half = local_shape[:-1] + (local_shape[-1] // 2 + 1,)
+    half_global = ((p * local_half[0],) + local_half[1:]
+                   if len(shape) == 1 else (shape[0],) + local_half[1:])
+    mesh_desc = dict(zip(mesh.axis_names, mesh.devices.shape))
+    flops_conv = 2.5 if kind != Kind.C2C else 5.0
+    flops = p * flops_conv * n_local * max(1.0, math.log2(max(n_local, 2)))
+
+    if kind == Kind.C2C:
+        def local_fn(xr, xi):
+            yr, yi = core(xr, xi)
+            return _apply_scale(yr, yi, scale)
+
+        fn = shard_map(local_fn, mesh=mesh, in_specs=(pspec, pspec),
+                       out_specs=(pspec, pspec))
+        desc = (f"(plan-distrib-shards shape={shape} mesh={mesh_desc} "
+                f"independent {len(shape)}D FFT of each local {local_shape} "
+                f"slab, no collectives)")
+        return DistributedFFTPlan(desc, mesh, pspec, pspec, fn, shape, dtype,
+                                  flops, donate)
+
+    if kind == Kind.R2C:
+        def local_fn(x):
+            yr, yi = core(x)
+            return _apply_scale(yr, yi, scale)
+
+        fn = shard_map(local_fn, mesh=mesh, in_specs=(pspec,),
+                       out_specs=(pspec, pspec))
+        desc = (f"(plan-distrib-shards-r2c real-shape={shape} "
+                f"mesh={mesh_desc} independent local rfftn of each "
+                f"{local_shape} slab -> local half {local_half}, "
+                f"no collectives)")
+
+        class _ShardsR2C(DistributedFFTPlan):
+            _donate_argnums = (0,)
+
+            def __call__(self, x):
+                if self._destroyed:
+                    raise RuntimeError("plan was destroyed")
+                x = jnp.asarray(x)
+                if x.shape != shape:
+                    raise ValueError(
+                        f"input shape {x.shape} != planned {shape}")
+                x = jax.lax.with_sharding_constraint(
+                    x.astype(jnp.float32), self.in_sharding)
+                yr, yi = self._fn(x)
+                return from_split(SplitComplex(yr, yi), jnp.complex64)
+            execute = __call__
+
+        return _ShardsR2C(desc, mesh, pspec, pspec, fn, half_global, dtype,
+                          flops, donate)
+
+    # C2R: ``shape`` is the REAL output shape; input is the stacked
+    # per-shard local half-spectrum layout produced by the R2C plan above.
+    def local_fn(xr, xi):
+        y = core(xr, xi)
+        if scale != 1.0:
+            y = y * jnp.asarray(scale, y.dtype)
+        return y
+
     fn = shard_map(local_fn, mesh=mesh, in_specs=(pspec, pspec),
-                   out_specs=(pspec, pspec))
-    desc = (f"(plan-distrib-shards shape={shape} mesh={dict(zip(mesh.axis_names, mesh.devices.shape))} "
-            f"independent {len(shape)}D FFT of each local {local_shape} slab, "
+                   out_specs=pspec)
+    desc = (f"(plan-distrib-shards-c2r real-shape={shape} mesh={mesh_desc} "
+            f"independent local irfftn of each {local_half} half slab, "
             f"no collectives)")
-    flops = p * 5.0 * n_local * max(1.0, math.log2(max(n_local, 2)))
-    return DistributedFFTPlan(desc, mesh, pspec, pspec, fn, shape, dtype,
-                              flops, donate)
+
+    class _ShardsC2R(DistributedFFTPlan):
+        def __call__(self, x):
+            if self._destroyed:
+                raise RuntimeError("plan was destroyed")
+            sx = as_split(x, jnp.float32)
+            if sx.re.shape != half_global:
+                raise ValueError(f"input shape {sx.re.shape} != planned "
+                                 f"half layout {half_global}")
+            xr = jax.lax.with_sharding_constraint(sx.re, self.in_sharding)
+            xi = jax.lax.with_sharding_constraint(sx.im, self.in_sharding)
+            return self._fn(xr, xi)
+        execute = __call__
+
+    return _ShardsC2R(desc, mesh, pspec, pspec, fn, shape, dtype, flops,
+                      donate)
 
 
 def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
@@ -200,7 +312,7 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
                    axis_name: str = "fft", transposed_out: bool = False,
                    transposed_in: bool = False,
                    precision: str = "highest", use_3m: bool = False,
-                   max_radix: int = 128,
+                   max_radix: int = 128, backend: str = "auto",
                    pipeline_chunks: int = 1,
                    donate: bool = False) -> DistributedFFTPlan:
     """Single global N-D C2C FFT, slab-decomposed over the first axis.
@@ -240,20 +352,24 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
         raise ValueError(f"axes 0 and -1 must be divisible by mesh size {p}: {shape}")
     n_total = int(np.prod(shape))
     scale = _norm_scale(n_total, direction, norm)
-    prec = _PRECISIONS[precision]
-    local_axes = list(range(1, nd_))
-    fns = [(a, build_c2c_1d(shape[a], direction, max_radix, prec, use_3m))
-           for a in sorted(local_axes, reverse=True)]
-    fn0 = build_c2c_1d(shape[0], direction, max_radix, prec, use_3m)
+    core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
+                   backend=backend)
+    # Local stages through the plan core (kernel path on TPU): all
+    # locally-complete axes as ONE multi-axis core (fused trailing-pair
+    # kernels apply), the slab axis as a single-axis core.
+    core_local = _local_core((shape[0] // p,) + shape[1:], range(1, nd_),
+                             direction, **core_kw)
+    core_ax0 = _local_core((shape[0],) + shape[1:-1] + (shape[-1] // p,),
+                           (0,), direction, **core_kw)
     chunks = pipeline_chunks if nd_ >= 3 else 1
 
     if transposed_in:
         # Reversed pipeline: (Z, ..., X/P) in -> fft(Z) -> one a2a back
         # to slabs -> fft(local axes) -> (Z/P, ..., X) out.
         def local_fn(xr, xi):
-            xr, xi = _nd.apply_along_axis(fn0, 0, xr, xi)
+            xr, xi = core_ax0(xr, xi)
             xr, xi = _a2a(xr, xi, axis_name, 0, nd_ - 1)
-            xr, xi = _nd.c2c_nd(fns, xr, xi)
+            xr, xi = core_local(xr, xi)
             return _apply_scale(xr, xi, scale)
 
         slab_spec = P(axis_name, *([None] * (nd_ - 1)))
@@ -271,14 +387,14 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
         # Distributed transpose over ICI: gather axis 0, scatter axis -1,
         # transform the former slab axis, optionally transpose back.
         cr, ci = _a2a(cr, ci, axis_name, nd_ - 1, 0)
-        cr, ci = _nd.apply_along_axis(fn0, 0, cr, ci)
+        cr, ci = core_ax0(cr, ci)
         if not transposed_out:
             cr, ci = _a2a(cr, ci, axis_name, 0, nd_ - 1)
         return cr, ci
 
     def local_fn(xr, xi):
         # (Z/P, ..., X): all locally-complete axes first.
-        xr, xi = _nd.c2c_nd(fns, xr, xi)
+        xr, xi = core_local(xr, xi)
         if chunks <= 1:
             xr, xi = _phase2(xr, xi)
         else:
@@ -307,7 +423,7 @@ def make_plan_slab_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
                        mesh: Optional[Mesh] = None, axis_name: str = "fft",
                        transposed_out: bool = False, precision: str = "highest",
                        use_3m: bool = False, max_radix: int = 128,
-                       donate: bool = False):
+                       backend: str = "auto", donate: bool = False):
     """Global real-input N-D FFT, slab-decomposed over the first axis.
 
     Real packing happens on the LAST axis locally (conjugate-even, halving
@@ -328,18 +444,22 @@ def make_plan_slab_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
         raise ValueError(f"axes 0 and 1 must be divisible by mesh size {p}: {shape}")
     n_total = int(np.prod(shape))
     scale = _norm_scale(n_total, Direction.FORWARD, norm)
-    prec = _PRECISIONS[precision]
-    rfn = _real.build_r2c_1d(shape[-1], max_radix, prec, use_3m)
-    mid_axes = list(range(1, nd_ - 1))
-    cfns = [(a, build_c2c_1d(shape[a], Direction.FORWARD, max_radix, prec, use_3m))
-            for a in sorted(mid_axes, reverse=True)]
-    fn0 = build_c2c_1d(shape[0], Direction.FORWARD, max_radix, prec, use_3m)
+    core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
+                   backend=backend)
+    local_real = (shape[0] // p,) + shape[1:]
+    xh = shape[-1] // 2 + 1
+    core_r2c = _local_core(local_real, (nd_ - 1,), kind=Kind.R2C, **core_kw)
+    mid_axes = tuple(range(1, nd_ - 1))
+    core_mid = _local_core(local_real[:-1] + (xh,), mid_axes,
+                           Direction.FORWARD, **core_kw)
+    core_z = _local_core((shape[0],) + (shape[1] // p,) + shape[2:-1] + (xh,),
+                         (0,), Direction.FORWARD, **core_kw)
 
     def local_fn(x):
-        xr, xi = _nd.apply_along_axis_real_in(rfn, nd_ - 1, x)   # halve X
-        xr, xi = _nd.c2c_nd(cfns, xr, xi)                        # mid axes
+        xr, xi = core_r2c(x)                                     # halve X
+        xr, xi = core_mid(xr, xi)                                # mid axes
         xr, xi = _a2a(xr, xi, axis_name, 1, 0)
-        xr, xi = _nd.apply_along_axis(fn0, 0, xr, xi)            # slab axis
+        xr, xi = core_z(xr, xi)                                  # slab axis
         if not transposed_out:
             xr, xi = _a2a(xr, xi, axis_name, 0, 1)
         return _apply_scale(xr, xi, scale)
@@ -378,7 +498,7 @@ def make_plan_slab_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
                        mesh: Optional[Mesh] = None, axis_name: str = "fft",
                        transposed_in: bool = False, precision: str = "highest",
                        use_3m: bool = False, max_radix: int = 128,
-                       donate: bool = False):
+                       backend: str = "auto", donate: bool = False):
     """Inverse of :func:`make_plan_slab_r2c`: half-spectrum -> real field.
 
     ``shape`` is the REAL output shape.  With ``transposed_in`` the input
@@ -399,21 +519,25 @@ def make_plan_slab_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
         raise ValueError(f"axes 0 and 1 must be divisible by mesh size {p}: {shape}")
     n_total = int(np.prod(shape))
     scale = _norm_scale(n_total, Direction.BACKWARD, norm)
-    prec = _PRECISIONS[precision]
-    cfn = _real.build_c2r_1d(shape[-1], max_radix, prec, use_3m)
-    mid_axes = list(range(1, nd_ - 1))
-    cfns = [(a, build_c2c_1d(shape[a], Direction.BACKWARD, max_radix, prec, use_3m))
-            for a in sorted(mid_axes, reverse=True)]
-    fn0 = build_c2c_1d(shape[0], Direction.BACKWARD, max_radix, prec, use_3m)
+    core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
+                   backend=backend)
+    local_real = (shape[0] // p,) + shape[1:]
+    xh = shape[-1] // 2 + 1
+    core_c2r = _local_core(local_real, (nd_ - 1,), kind=Kind.C2R, **core_kw)
+    mid_axes = tuple(range(1, nd_ - 1))
+    core_mid = _local_core(local_real[:-1] + (xh,), mid_axes,
+                           Direction.BACKWARD, **core_kw)
+    core_z = _local_core((shape[0],) + (shape[1] // p,) + shape[2:-1] + (xh,),
+                         (0,), Direction.BACKWARD, **core_kw)
 
     def local_fn(xr, xi):
         if not transposed_in:
             # (Z/P, Y, Xh) -> gather Z, shard Y
             xr, xi = _a2a(xr, xi, axis_name, 1, 0)
-        xr, xi = _nd.apply_along_axis(fn0, 0, xr, xi)            # inverse Z
+        xr, xi = core_z(xr, xi)                                  # inverse Z
         xr, xi = _a2a(xr, xi, axis_name, 0, 1)
-        xr, xi = _nd.c2c_nd(cfns, xr, xi)                        # inverse mid
-        y = _nd.apply_along_axis_real_out(cfn, nd_ - 1, xr, xi)  # unpack X
+        xr, xi = core_mid(xr, xi)                                # inverse mid
+        y = core_c2r(xr, xi)                                     # unpack X
         if scale != 1.0:
             y = y * jnp.asarray(scale, y.dtype)
         return y
@@ -451,7 +575,7 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
                      axis_names: Tuple[str, str] = ("fy", "fz"),
                      transposed_out: bool = False,
                      precision: str = "highest", use_3m: bool = False,
-                     max_radix: int = 128,
+                     max_radix: int = 128, backend: str = "auto",
                      pipeline_chunks: int = 1,
                      donate: bool = False) -> DistributedFFTPlan:
     """Single global 3-D C2C FFT, pencil-decomposed over a 2-D mesh.
@@ -491,17 +615,18 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
             f"need P1|Z, P1|Y, P2|Y, P2|X")
     n_total = z * y * x
     scale = _norm_scale(n_total, direction, norm)
-    prec = _PRECISIONS[precision]
-    fz = build_c2c_1d(z, direction, max_radix, prec, use_3m)
-    fy = build_c2c_1d(y, direction, max_radix, prec, use_3m)
-    fx = build_c2c_1d(x, direction, max_radix, prec, use_3m)
+    core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
+                   backend=backend)
+    core_x = _local_core((z // p1, y // p2, x), (2,), direction, **core_kw)
+    core_y = _local_core((z // p1, y, x // p2), (1,), direction, **core_kw)
+    core_z = _local_core((z, y // p1, x // p2), (0,), direction, **core_kw)
 
     def _seg1(cr, ci):
         cr, ci = _a2a(cr, ci, a2, 2, 1)                       # X <-> Y
-        return _nd.apply_along_axis(fy, 1, cr, ci)
+        return core_y(cr, ci)
 
     def local_fn(xr, xi):
-        xr, xi = _nd.apply_along_axis(fx, 2, xr, xi)          # (Z/P1, Y/P2, X)
+        xr, xi = core_x(xr, xi)                               # (Z/P1, Y/P2, X)
         if pipeline_chunks <= 1:
             xr, xi = _seg1(xr, xi)                            # (Z/P1, Y, X/P2)
         else:
@@ -510,7 +635,7 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
             xr = jnp.concatenate([o[0] for o in outs], axis=0)
             xi = jnp.concatenate([o[1] for o in outs], axis=0)
         xr, xi = _a2a(xr, xi, a1, 1, 0)
-        xr, xi = _nd.apply_along_axis(fz, 0, xr, xi)          # (Z, Y/P1, X/P2)
+        xr, xi = core_z(xr, xi)                               # (Z, Y/P1, X/P2)
         if not transposed_out:
             xr, xi = _a2a(xr, xi, a1, 0, 1)
             xr, xi = _a2a(xr, xi, a2, 1, 2)
@@ -533,7 +658,8 @@ def make_plan_pencil_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
                          mesh_shape: Optional[Tuple[int, int]] = None,
                          axis_names: Tuple[str, str] = ("fy", "fz"),
                          precision: str = "highest", use_3m: bool = False,
-                         max_radix: int = 128, donate: bool = False):
+                         max_radix: int = 128, backend: str = "auto",
+                         donate: bool = False):
     """Global 3-D real-input FFT, pencil-decomposed over a 2-D mesh.
 
     Input (Z, Y, X) real, distributed (Z/P1, Y/P2, X).  The halved axis
@@ -570,18 +696,23 @@ def make_plan_pencil_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
             f"need P1*P2 | Z and P1*P2 | Y")
     n_total = z * y * x
     scale = _norm_scale(n_total, Direction.FORWARD, norm)
-    prec = _PRECISIONS[precision]
-    rfn = _real.build_r2c_1d(x, max_radix, prec, use_3m)
-    fy = build_c2c_1d(y, Direction.FORWARD, max_radix, prec, use_3m)
-    fz = build_c2c_1d(z, Direction.FORWARD, max_radix, prec, use_3m)
+    xh = x // 2 + 1
+    core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
+                   backend=backend)
+    core_r2c = _local_core((z // p1, y // p2, x), (2,), kind=Kind.R2C,
+                           **core_kw)
+    core_z = _local_core((z, y // (p1 * p2), xh), (0,), Direction.FORWARD,
+                         **core_kw)
+    core_y = _local_core((z // (p1 * p2), y, xh), (1,), Direction.FORWARD,
+                         **core_kw)
 
     def local_fn(v):
-        xr, xi = _nd.apply_along_axis_real_in(rfn, 2, v)     # (Z/P1, Y/P2, Xh)
+        xr, xi = core_r2c(v)                                # (Z/P1, Y/P2, Xh)
         xr, xi = _a2a(xr, xi, a1, 1, 0)                     # (Z, Y/(P1P2), Xh)
-        xr, xi = _nd.apply_along_axis(fz, 0, xr, xi)
+        xr, xi = core_z(xr, xi)
         xr, xi = _a2a(xr, xi, a1, 0, 1)                     # (Z/P1, Y/P2, Xh)
         xr, xi = _a2a(xr, xi, a2, 0, 1)                     # (Z/(P1P2), Y, Xh)
-        xr, xi = _nd.apply_along_axis(fy, 1, xr, xi)
+        xr, xi = core_y(xr, xi)
         return _apply_scale(xr, xi, scale)
 
     in_spec = P(a1, a2, None)
@@ -618,7 +749,8 @@ def make_plan_pencil_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
                          mesh_shape: Optional[Tuple[int, int]] = None,
                          axis_names: Tuple[str, str] = ("fy", "fz"),
                          precision: str = "highest", use_3m: bool = False,
-                         max_radix: int = 128, donate: bool = False):
+                         max_radix: int = 128, backend: str = "auto",
+                         donate: bool = False):
     """Inverse of :func:`make_plan_pencil_r2c`: half-spectrum -> real field.
 
     ``shape`` is the REAL output shape; input layout is the r2c plan's
@@ -645,19 +777,24 @@ def make_plan_pencil_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
             f"need P1*P2 | Z and P1*P2 | Y")
     n_total = z * y * x
     scale = _norm_scale(n_total, Direction.BACKWARD, norm)
-    prec = _PRECISIONS[precision]
-    cfn = _real.build_c2r_1d(x, max_radix, prec, use_3m)
-    fy = build_c2c_1d(y, Direction.BACKWARD, max_radix, prec, use_3m)
-    fz = build_c2c_1d(z, Direction.BACKWARD, max_radix, prec, use_3m)
+    xh = x // 2 + 1
+    core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
+                   backend=backend)
+    core_c2r = _local_core((z // p1, y // p2, x), (2,), kind=Kind.C2R,
+                           **core_kw)
+    core_y = _local_core((z // (p1 * p2), y, xh), (1,), Direction.BACKWARD,
+                         **core_kw)
+    core_z = _local_core((z, y // (p1 * p2), xh), (0,), Direction.BACKWARD,
+                         **core_kw)
 
     def local_fn(xr, xi):
         # exact reverse of pencil-r2c
-        xr, xi = _nd.apply_along_axis(fy, 1, xr, xi)         # (Z/(P1P2), Y, Xh)
+        xr, xi = core_y(xr, xi)                             # (Z/(P1P2), Y, Xh)
         xr, xi = _a2a(xr, xi, a2, 1, 0)                     # (Z/P1, Y/P2, Xh)
         xr, xi = _a2a(xr, xi, a1, 1, 0)                     # (Z, Y/(P1P2), Xh)
-        xr, xi = _nd.apply_along_axis(fz, 0, xr, xi)
+        xr, xi = core_z(xr, xi)
         xr, xi = _a2a(xr, xi, a1, 0, 1)                     # (Z/P1, Y/P2, Xh)
-        v = _nd.apply_along_axis_real_out(cfn, 2, xr, xi)    # (Z/P1, Y/P2, X)
+        v = core_c2r(xr, xi)                                # (Z/P1, Y/P2, X)
         if scale != 1.0:
             v = v * jnp.asarray(scale, v.dtype)
         return v
