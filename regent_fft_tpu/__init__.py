@@ -34,10 +34,15 @@ from .utils.wisdom import (export_wisdom_to_string, export_wisdom_to_filename,
                            import_wisdom_from_string, import_wisdom_from_filename,
                            forget_wisdom)
 from .utils.calibrate import calibrate, Calibration
-from .guru import IODim, GuruPlan, plan_guru, plan_many
+from .guru import (IODim, GuruPlan, GuruR2RPlan, plan_guru, plan_guru_r2r,
+                   plan_many)
 from .ops.r2r import R2RKind, R2RPlan, plan_r2r, r2r, dct, dst, dht
 
 __version__ = "0.1.0"
+
+# System-wisdom autoload (fftw import-system-wisdom analog): calibration
+# and tuned winners persist across processes via $REGENT_FFT_WISDOM.
+wisdom.autoload_system_wisdom()
 
 FORWARD = Direction.FORWARD
 BACKWARD = Direction.BACKWARD

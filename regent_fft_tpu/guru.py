@@ -212,6 +212,91 @@ def plan_guru(dims, howmany_dims=(), kind: Kind = Kind.C2C,
                     norm=norm, dtype=dtype, out_size=out_size, **plan_opts)
 
 
+class GuruR2RPlan:
+    """Guru-layout real-to-real plan (``fftw_plan_guru_r2r`` analog,
+    ``/root/reference/fftw-3.3.8/api/plan-guru-r2r.c``): one r2r kind per
+    transform dimension, arbitrary element strides over flat REAL buffers.
+
+    r2r transforms preserve extents (no halving), so the input and output
+    layouts are both ``howmany_dims + dims``.  Unnormalized FFTW
+    semantics, like :class:`~regent_fft_tpu.ops.r2r.R2RPlan`.
+    """
+
+    def __init__(self, dims, kinds, howmany_dims=(), dtype: str = "float32",
+                 out_size: Optional[int] = None, max_radix: int = 128,
+                 precision: str = "highest"):
+        from .ops.r2r import R2RKind, plan_r2r
+        self.dims = _as_iodims(dims)
+        self.howmany_dims = _as_iodims(howmany_dims)
+        if not self.dims:
+            raise ValueError("at least one transform dimension required")
+        if isinstance(kinds, (int,)) or not isinstance(kinds, Sequence):
+            kinds = (kinds,) * len(self.dims)
+        self.kinds = tuple(R2RKind(k) for k in kinds)
+        if len(self.kinds) != len(self.dims):
+            raise ValueError(f"{len(self.kinds)} kinds for "
+                             f"{len(self.dims)} dims")
+
+        shape = tuple(d.n for d in self.howmany_dims) + tuple(
+            d.n for d in self.dims)
+        axes = tuple(range(len(self.howmany_dims), len(shape)))
+        self._plan = plan_r2r(shape, self.kinds, axes=axes,
+                              max_radix=max_radix, precision=precision)
+
+        all_dims = self.howmany_dims + self.dims
+        idx_in = _index_map(all_dims, "in")
+        idx_out = _index_map(all_dims, "out")
+        self.in_size = _check_layout(idx_in, "input", require_unique=False)
+        min_out = _check_layout(idx_out, "output", require_unique=True)
+        self.out_size = out_size if out_size is not None else min_out
+        if self.out_size < min_out:
+            raise ValueError(f"out_size {self.out_size} < layout span {min_out}")
+        idx_in_flat = jnp.asarray(idx_in.ravel())
+        idx_out_flat = jnp.asarray(idx_out.ravel())
+        in_shape = idx_in.shape
+        core = self._plan._core
+        size = self.out_size
+
+        @jax.jit
+        def _exec(flat):
+            y = core(jnp.take(flat, idx_in_flat).reshape(in_shape))
+            out = jnp.zeros((size,), y.dtype)
+            return out.at[idx_out_flat].set(y.reshape(-1))
+        self._exec = _exec
+        self._destroyed = False
+
+    def __call__(self, x):
+        if self._destroyed:
+            raise RuntimeError("plan was destroyed (destroy_plan); re-plan first")
+        x = jnp.asarray(x)
+        if x.ndim != 1:
+            raise ValueError(f"guru plans take FLAT buffers; got shape {x.shape}")
+        if x.shape[0] < self.in_size:
+            raise ValueError(f"input buffer length {x.shape[0]} < "
+                             f"layout span {self.in_size}")
+        return self._exec(x.astype(jnp.float32))
+
+    execute = __call__
+
+    def describe(self) -> str:
+        dims = " ".join(f"(n={d.n} is={d.ins} os={d.outs})" for d in self.dims)
+        hm = " ".join(f"(n={d.n} is={d.ins} os={d.outs})"
+                      for d in self.howmany_dims)
+        kinds = ",".join(k.name for k in self.kinds)
+        return (f"(guru-r2r kinds=[{kinds}] dims=[{dims}] howmany=[{hm}] "
+                f"in_size={self.in_size} out_size={self.out_size})\n"
+                + self._plan.description)
+
+
+def plan_guru_r2r(dims, kinds, howmany_dims=(), **opts) -> GuruR2RPlan:
+    """``fftw_plan_guru_r2r`` analog over flat real device buffers.
+
+    ``dims``/``howmany_dims``: ``IODim`` or (n, is, os) tuples; ``kinds``:
+    one :class:`R2RKind` per transform dim (or one applied to all).
+    """
+    return GuruR2RPlan(dims, kinds, howmany_dims, **opts)
+
+
 def plan_many(n: Sequence[int], howmany: int = 1, *,
               istride: int = 1, idist: Optional[int] = None,
               ostride: int = 1, odist: Optional[int] = None,

@@ -287,6 +287,7 @@ class R2RPlan:
                 xr = jnp.moveaxis(y, -1, ax) if ax != ndim - 1 else y
             return xr
 
+        self._core = core  # unjitted (guru layer composes gather/scatter)
         self._exec = jax.jit(core)
         self._destroyed = False
         desc_kinds = ",".join(k.name for k in self.kinds)

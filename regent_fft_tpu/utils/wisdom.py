@@ -139,3 +139,27 @@ def forget_wisdom() -> None:
 def default_wisdom_path() -> str:
     return os.environ.get("REGENT_FFT_WISDOM",
                           os.path.expanduser("~/.regent_fft_tpu.wisdom.json"))
+
+
+def autoload_system_wisdom() -> int:
+    """Import-time system-wisdom load — the analog of FFTW consulting
+    ``/etc/fftw/`` wisdom implicitly
+    (``/root/reference/fftw-3.3.8/api/import-system-wisdom.c:21-40``).
+
+    Consults ``$REGENT_FFT_WISDOM`` (or ``~/.regent_fft_tpu.wisdom.json``)
+    so calibration, tuned schedules, backend winners, and distributed
+    strategy winners from ``scripts/calibrate_tpu.py`` / measure-mode runs
+    survive into fresh processes without an explicit import call.  Plans
+    themselves are NOT built eagerly (``build=False``) — import stays
+    cheap.  Silent no-op when the file is absent or unreadable; disabled
+    entirely by ``REGENT_FFT_NO_WISDOM=1`` (hermetic tests/benchmarks).
+    """
+    if os.environ.get("REGENT_FFT_NO_WISDOM"):
+        return 0
+    path = default_wisdom_path()
+    if not os.path.exists(path):
+        return 0
+    try:
+        return import_wisdom_from_filename(path, build=False)
+    except Exception:
+        return 0  # corrupt/stale wisdom must never break import

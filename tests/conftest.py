@@ -13,6 +13,9 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Hermetic tests: never pick up a user/system wisdom file at import
+# (the autoload test overrides this in its subprocesses).
+os.environ.setdefault("REGENT_FFT_NO_WISDOM", "1")
 
 import jax
 

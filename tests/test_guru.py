@@ -142,3 +142,38 @@ def test_guru_describe_mentions_layout():
     p = plan_guru([IODim(16, 2, 2)], [IODim(2, 1, 1)])
     d = p.describe()
     assert "guru-c2c" in d and "is=2" in d
+
+
+# ---------------------------------------------------------------------------
+# guru r2r (fftw_plan_guru_r2r analog) — VERDICT r2 missing #2
+# ---------------------------------------------------------------------------
+def test_guru_r2r_strided_dct_matches_dense():
+    import scipy.fft as sfft
+    from regent_fft_tpu import plan_guru_r2r, R2RKind
+    n, b = 32, 8
+    # transform dim strided by b (transposed layout), batch dim stride 1
+    p = plan_guru_r2r(dims=[(n, b, b)], kinds=R2RKind.REDFT10,
+                      howmany_dims=[(b, 1, 1)])
+    x = np.asarray(np.random.default_rng(5).standard_normal(n * b), np.float32)
+    y = np.asarray(p(x))
+    ref = sfft.dct(x.reshape(n, b).astype(np.float64), type=2, axis=0)
+    assert np.linalg.norm(y.reshape(n, b) - ref) / np.linalg.norm(ref) < 1e-4
+
+
+def test_guru_r2r_mixed_kinds_2d():
+    import scipy.fft as sfft
+    from regent_fft_tpu import plan_guru_r2r, R2RKind
+    n1, n2 = 8, 16
+    p = plan_guru_r2r(dims=[(n1, n2, n2), (n2, 1, 1)],
+                      kinds=(R2RKind.REDFT10, R2RKind.RODFT10))
+    x = np.random.default_rng(5).standard_normal((n1, n2)).astype(np.float32)
+    y = np.asarray(p(x.ravel())).reshape(n1, n2)
+    ref = sfft.dst(sfft.dct(x.astype(np.float64), type=2, axis=0),
+                   type=2, axis=1)
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-4
+
+
+def test_guru_r2r_overlapping_output_rejected():
+    from regent_fft_tpu import plan_guru_r2r, R2RKind
+    with pytest.raises(ValueError):
+        plan_guru_r2r(dims=[(8, 1, 0)], kinds=R2RKind.DHT)
