@@ -67,12 +67,16 @@ constexpr double kFlatMult = 12.0;
 
 // Lane-padding blowup of a radix-r stage's layout: the executor's
 // Cooley-Tukey reshape puts the split sub-axis on a tiled dimension and
-// the vector unit pads non-pow2 extents to 8-sublane multiples (pow2
-// extents collapse into neighboring dims for free).
+// non-pow2 extents pay relayout padding (pow2 extents collapse into
+// neighboring dims for free).  Granularity 16, fitted to the measured
+// schedule rankings (docs/tpu_notes.md): at n=640 (80,8) [blowup 1.0]
+// beats (40,16) [48/40=1.2] by 4%, and at n=1000 (125,8) [128/125] beats
+// (40,25) [1.2 + 32/25] by 6% — an 8-granularity term ranked both pairs
+// backwards (the round-2 regression).
 double pad_blowup(uint64_t r) {
   if ((r & (r - 1)) == 0) return 1.0;  // pow2: layout-free
-  double pad8 = (double)((r + 7) / 8 * 8);
-  return pad8 / (double)r;
+  double pad16 = (double)((r + 15) / 16 * 16);
+  return pad16 / (double)r;
 }
 
 // One radix-r contraction stage applied to the whole length-n problem:
@@ -260,6 +264,6 @@ void rftp_set_cost_params(double mxu_edge, double mxu_rate, double vpu_rate,
   g_memo.best.clear();
 }
 
-int rftp_version() { return 3; }
+int rftp_version() { return 4; }
 
 }  // extern "C"
