@@ -177,3 +177,44 @@ def test_guru_r2r_overlapping_output_rejected():
     from regent_fft_tpu import plan_guru_r2r, R2RKind
     with pytest.raises(ValueError):
         plan_guru_r2r(dims=[(8, 1, 0)], kinds=R2RKind.DHT)
+
+
+def test_guru_transposed_layout_uses_relayout_fast_path():
+    # (n, is=b, os=b) x howmany (b, 1, 1): a transposed view of a dense
+    # (n, b) buffer — must compile as reshape+transpose, not gather.
+    n, b = 64, 32
+    p = plan_guru(dims=[IODim(n, b, b)], howmany_dims=[IODim(b, 1, 1)],
+                  norm=Norm.NONE)
+    assert p.in_is_transpose_view and p.out_is_transpose_view
+    x = _rand_c(n * b)
+    y = np.asarray(p(x))
+    ref = np.fft.fft(np.asarray(x, np.complex128).reshape(n, b), axis=0)
+    assert np.linalg.norm(y.reshape(n, b) - ref) / np.linalg.norm(ref) < 1e-4
+
+
+def test_guru_nondense_layout_takes_gather_path():
+    # stride-2 spacing leaves holes -> not a transpose view
+    p = plan_guru(dims=[IODim(16, 2, 2)], norm=Norm.NONE)
+    assert not p.in_is_transpose_view and not p.out_is_transpose_view
+    x = _rand_c(32)
+    y = np.asarray(p(x))
+    ref = np.fft.fft(np.asarray(x, np.complex128)[0:32:2])
+    assert np.linalg.norm(y[0:32:2] - ref) / np.linalg.norm(ref) < 1e-4
+
+
+def test_guru_zero_copy_buffer_layout():
+    # identical transpose view on both sides -> the inner plan runs on the
+    # buffer layout directly (no gather, no relayout).
+    n, b = 64, 32
+    p = plan_guru(dims=[IODim(n, b, b)], howmany_dims=[IODim(b, 1, 1)],
+                  norm=Norm.NONE)
+    assert p.is_zero_copy
+    # mismatched views cannot be zero-copy
+    q = plan_guru(dims=[IODim(n, b, 1)], howmany_dims=[IODim(b, 1, n)],
+                  norm=Norm.NONE)
+    assert not q.is_zero_copy
+    x = _rand_c(n * b)
+    y = np.asarray(q(x))
+    ref = np.fft.fft(np.asarray(x, np.complex128).reshape(n, b),
+                     axis=0).T.reshape(-1)
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-4
