@@ -370,6 +370,21 @@ def _runner_cols(n: int, sign: int, vt: int, scale: float = 1.0,
 MAX_FUSED2_ELEMS = MAX_BLOCK_ELEMS
 
 
+def _default_strips(n1: int, n2: int) -> int:
+    """Strip count for the two-butterfly kernels: cap each butterfly's
+    working strip at 64K elements so peak live VPU temporaries leave VMEM
+    for the grid pipeline to double-buffer block DMAs.  Measured (512^3,
+    v5e, honest timer, r3): whole-block fused2 ran with ~5 ms of UNHIDDEN
+    compute (11.7 ms total); strips=4 overlaps it (9.6 ms), strips=2 is
+    intermediate (11.0).  Both factor extents must admit >= 128-lane
+    strips."""
+    strips = max(1, (n1 * n2) // 65536)
+    strips = min(strips, n2 // LANE_TILE, n1 // LANE_TILE)
+    while strips > 1 and (n1 % strips or n2 % strips):
+        strips //= 2
+    return max(1, strips)
+
+
 @functools.lru_cache(maxsize=256)
 def _runner_fused2(n1: int, n2: int, sign: int, scale: float = 1.0,
                    interpret: bool = False, io: str = "f32"):
@@ -389,9 +404,41 @@ def _runner_fused2(n1: int, n2: int, sign: int, scale: float = 1.0,
     odt = _odt(io)
     import os as _os
     use_scratch = _os.environ.get("REGENT_FFT_F2_SCRATCH") == "1"
+    strips = int(_os.environ.get("REGENT_FFT_F2_STRIPS",
+                                 str(_default_strips(n1, n2))))
+
+    def kernel_strips(xr_ref, xi_ref, w1r_ref, w1i_ref, w2r_ref, w2i_ref,
+                      yr_ref, yi_ref, sr, si):
+        # Strip-mined variant: each butterfly runs on (n, sw)-lane strips
+        # through a VMEM scratch, cutting peak live temporaries ~strips x
+        # so the grid pipeline has VMEM left to double-buffer the block
+        # DMAs (overlap probe: fused2's compute was ~5 ms UNHIDDEN with
+        # whole-block temporaries, docs/tpu_notes.md).
+        sw1 = n2 // strips
+        for k in range(strips):
+            sl = slice(k * sw1, (k + 1) * sw1)
+            ar, ai = _stockham_tile(xr_ref[:, sl].astype(jnp.float32),
+                                    xi_ref[:, sl].astype(jnp.float32),
+                                    n1, sign, w1r_ref[:], w1i_ref[:])
+            sr[sl, :] = ar.T
+            si[sl, :] = ai.T
+        sw2 = n1 // strips
+        for k in range(strips):
+            sl = slice(k * sw2, (k + 1) * sw2)
+            br, bi = _stockham_tile(sr[:, sl], si[:, sl], n2, sign,
+                                    w2r_ref[:], w2i_ref[:])
+            if scale != 1.0:
+                br = br * s
+                bi = bi * s
+            yr_ref[sl, :] = br.T.astype(odt)
+            yi_ref[sl, :] = bi.T.astype(odt)
 
     def kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w2r_ref, w2i_ref,
                yr_ref, yi_ref, *scratch):
+        if strips > 1:
+            kernel_strips(xr_ref, xi_ref, w1r_ref, w1i_ref, w2r_ref,
+                          w2i_ref, yr_ref, yi_ref, *scratch)
+            return
         ar, ai = _stockham_tile(xr_ref[:].astype(jnp.float32),
                                 xi_ref[:].astype(jnp.float32), n1, sign,
                                 w1r_ref[:], w1i_ref[:])
@@ -425,7 +472,7 @@ def _runner_fused2(n1: int, n2: int, sign: int, scale: float = 1.0,
         w2s = pl.BlockSpec(w2r_np.shape, lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
         scratch_shapes = ([pltpu.VMEM((n2, n1), jnp.float32)] * 2
-                          if use_scratch else [])
+                          if (use_scratch or strips > 1) else [])
         return pl.pallas_call(
             kernel, grid=(p,),
             in_specs=[bs, bs, w1s, w1s, w2s, w2s], out_specs=[bs, bs],
@@ -574,9 +621,33 @@ def _runner_fused2_gap(n1: int, n2: int, sign: int, scale: float = 1.0,
     w2r_np, w2i_np, _ = _packed_tables(n2, sign)
     s = np.float32(scale)
     odt = _odt(io)
+    import os as _os
+    strips = int(_os.environ.get("REGENT_FFT_GAP_STRIPS",
+                                 str(_default_strips(n1, n2))))
 
     def kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w2r_ref, w2i_ref,
-               yr_ref, yi_ref):
+               yr_ref, yi_ref, *scratch):
+        if strips > 1:
+            sr, si = scratch
+            sw1 = n2 // strips
+            for k in range(strips):
+                sl = slice(k * sw1, (k + 1) * sw1)
+                ar, ai = _stockham_tile(xr_ref[:, sl].astype(jnp.float32),
+                                        xi_ref[:, sl].astype(jnp.float32),
+                                        n1, sign, w1r_ref[:], w1i_ref[:])
+                sr[sl, :] = ar.T
+                si[sl, :] = ai.T
+            sw2 = n1 // strips
+            for k in range(strips):
+                sl = slice(k * sw2, (k + 1) * sw2)
+                br, bi = _stockham_tile(sr[:, sl], si[:, sl], n2, sign,
+                                        w2r_ref[:], w2i_ref[:])
+                if scale != 1.0:
+                    br = br * s
+                    bi = bi * s
+                yr_ref[sl, :] = br.T.astype(odt)
+                yi_ref[sl, :] = bi.T.astype(odt)
+            return
         ar, ai = _stockham_tile(xr_ref[:].astype(jnp.float32),
                                 xi_ref[:].astype(jnp.float32), n1, sign,
                                 w1r_ref[:], w1i_ref[:])
@@ -600,9 +671,12 @@ def _runner_fused2_gap(n1: int, n2: int, sign: int, scale: float = 1.0,
                            memory_space=pltpu.VMEM)
         w2s = pl.BlockSpec(w2r_np.shape, lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
+        scratch_shapes = ([pltpu.VMEM((n2, n1), jnp.float32)] * 2
+                          if strips > 1 else [])
         return pl.pallas_call(
             kernel, grid=(b, ncols),
             in_specs=[bs, bs, w1s, w1s, w2s, w2s], out_specs=[bs, bs],
+            scratch_shapes=scratch_shapes,
             out_shape=[jax.ShapeDtypeStruct((rows, vdim), odt)] * 2,
             cost_estimate=pl.CostEstimate(
                 flops=int(10 * n1 * n2 * np.log2(n1 * n2) * b * ncols),

@@ -67,7 +67,9 @@ def main():
         dt = "complex32" if what == "c32" else "complex64"
         spec = PlanSpec(shape=shape, axes=axes, kind=kind,
                         direction=Direction.FORWARD, norm=Norm.NONE,
-                        use_3m=(dt != "complex32"), dtype=dt)
+                        use_3m=(dt != "complex32"), dtype=dt,
+                        backend=os.environ.get("REGENT_FFT_PROBE_BACKEND",
+                                               "auto"))
         core = _build_core(spec)
         if kind == Kind.R2C:
             def step(c):
