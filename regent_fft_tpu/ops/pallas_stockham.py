@@ -774,6 +774,168 @@ def _runner_last(n: int, sign: int, tb: int, scale: float = 1.0,
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
+                      scale: float = 1.0, strips: int = 4, pre: int = 1):
+    """Manual K-deep DMA-pipelined LEADING-axis FFT for big-stride reads.
+
+    The automatic grid pipeline sustains only ~190-210 GB/s on the
+    axis-0 gather pattern (rows a full plane apart), while a manual ring
+    of K in-flight slab DMAs measures ~330 GB/s (scripts/probe_r3.py
+    dmadeep; XLA's transpose of the same data sustains ~670, so the old
+    "hardware floor" was really Mosaic's 2-deep pipelining).  One kernel
+    instance loops over the Y slabs: wait slab i, butterfly it IN PLACE
+    (strip-mined to keep temporaries small), DMA it back out, with reads
+    running K slabs ahead.  This is the buffered-solver analog of
+    ``/root/reference/fftw-3.3.8/dft/buffered.c``.
+
+    Operands stay in ANY (HBM); ``x`` is the slab width in lanes and
+    ``ncols`` the number of slabs (= trailing extent // x).
+    """
+    wr_np, wi_np, _ = _packed_tables(n, sign)
+    s = np.float32(scale)
+    sw = x // strips if strips > 1 else x
+
+    def kernel(xr_hbm, xi_hbm, wr_ref, wi_ref, yr_hbm, yi_hbm,
+               vr, vi, ur, ui, sin_r, sin_i, sout_r, sout_i):
+        # separate in-ring (vr/vi) and out-ring (ur/ui) buffers: no
+        # synchronous DMA wait sits between compute steps — out-writes
+        # from iteration i are waited only at i+k, just before that out
+        # slot is refilled, so slab reads/writes stream K-deep behind the
+        # butterflies (the first cut waited each write inline and ran at
+        # read+compute+write SERIAL: 12.6 ms vs the grid pipeline's 11.4).
+        total = pre * ncols
+
+        def _off(i):
+            # slab i covers batch block i // ncols, column block i % ncols
+            p_idx = i // ncols if ncols > 1 else i
+            c_idx = jax.lax.rem(i, ncols) if ncols > 1 else 0
+            if pre == 1:
+                return 0, c_idx * x
+            return p_idx * n, c_idx * x
+
+        def start_in(slot, i):
+            r0, c0 = _off(i)
+            pltpu.make_async_copy(
+                xr_hbm.at[pl.ds(r0, n), pl.ds(c0, x)], vr.at[slot],
+                sin_r.at[slot]).start()
+            pltpu.make_async_copy(
+                xi_hbm.at[pl.ds(r0, n), pl.ds(c0, x)], vi.at[slot],
+                sin_i.at[slot]).start()
+
+        def wait_out(slot, i):
+            r0, c0 = _off(i)
+            pltpu.make_async_copy(
+                ur.at[slot], yr_hbm.at[pl.ds(r0, n), pl.ds(c0, x)],
+                sout_r.at[slot]).wait()
+            pltpu.make_async_copy(
+                ui.at[slot], yi_hbm.at[pl.ds(r0, n), pl.ds(c0, x)],
+                sout_i.at[slot]).wait()
+
+        for i in range(min(k, total)):
+            start_in(i, i)
+
+        def body(i, _):
+            slot = jax.lax.rem(i, k)
+            r0, c0 = _off(i)
+            pltpu.make_async_copy(
+                xr_hbm.at[pl.ds(r0, n), pl.ds(c0, x)], vr.at[slot],
+                sin_r.at[slot]).wait()
+            pltpu.make_async_copy(
+                xi_hbm.at[pl.ds(r0, n), pl.ds(c0, x)], vi.at[slot],
+                sin_i.at[slot]).wait()
+
+            @pl.when(i >= k)
+            def _():
+                wait_out(slot, i - k)
+            for t in range(strips):
+                sl = slice(t * sw, (t + 1) * sw)
+                fr, fi = _stockham_tile(vr[slot, :, sl], vi[slot, :, sl],
+                                        n, sign, wr_ref[:], wi_ref[:])
+                if scale != 1.0:
+                    fr = fr * s
+                    fi = fi * s
+                ur[slot, :, sl] = fr
+                ui[slot, :, sl] = fi
+            pltpu.make_async_copy(
+                ur.at[slot], yr_hbm.at[pl.ds(r0, n), pl.ds(c0, x)],
+                sout_r.at[slot]).start()
+            pltpu.make_async_copy(
+                ui.at[slot], yi_hbm.at[pl.ds(r0, n), pl.ds(c0, x)],
+                sout_i.at[slot]).start()
+
+            @pl.when(i + k < total)
+            def _():
+                start_in(slot, i + k)
+            return 0
+
+        jax.lax.fori_loop(0, total, body, 0)
+        # drain the last k out-writes
+        for j in range(min(k, total)):
+            i = total - min(k, total) + j
+            wait_out(i % k, i)
+
+    def run(xr2, xi2):
+        """xr2, xi2: (pre*n, ncols*x) 2-D views."""
+        return pl.pallas_call(
+            kernel,
+            grid=(),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((pre * n, ncols * x),
+                                            jnp.float32)] * 2,
+            scratch_shapes=[
+                pltpu.VMEM((k, n, x), jnp.float32),
+                pltpu.VMEM((k, n, x), jnp.float32),
+                pltpu.VMEM((k, n, x), jnp.float32),
+                pltpu.VMEM((k, n, x), jnp.float32),
+                pltpu.SemaphoreType.DMA((k,)),
+                pltpu.SemaphoreType.DMA((k,)),
+                pltpu.SemaphoreType.DMA((k,)),
+                pltpu.SemaphoreType.DMA((k,)),
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            cost_estimate=pl.CostEstimate(
+                flops=int(10 * n * np.log2(n) * ncols * x),
+                bytes_accessed=4 * n * ncols * x * 4, transcendentals=0),
+        )(xr2, xi2, jnp.asarray(wr_np), jnp.asarray(wi_np))
+    return run
+
+
+def axis0_dma_supported(n: int, post: int) -> bool:
+    """Can the manual-DMA leading-axis runner handle (n, post) planes?"""
+    return (n >= 2 and (n & (n - 1)) == 0 and 16 <= n <= MAX_STOCKHAM_N
+            and post % 512 == 0 and post >= 2048
+            and (n * 512) <= MAX_BLOCK_ELEMS)
+
+
+def fft_axis_dma(xr, xi, axis: int, direction: Direction,
+                 scale: float = 1.0, k: int = 2):
+    """FFT along ``axis`` (any leading/mid axis) via the manual K-deep
+    DMA ring (TPU only); trailing batch dims fold into the slab columns,
+    leading batch dims into the ring's slab schedule."""
+    shape = xr.shape
+    axis = axis % xr.ndim
+    n = shape[axis]
+    pre = int(np.prod(shape[:axis])) if axis else 1
+    post = int(np.prod(shape[axis + 1:]))
+    if not axis0_dma_supported(n, post):
+        raise ValueError(f"axis-dma unsupported for {shape} axis {axis}")
+    x = 512
+    ncols = post // x
+    run = _runner_axis0_dma(n, x, ncols, int(direction), k, float(scale),
+                            pre=pre)
+    yr, yi = run(xr.reshape(pre * n, post), xi.reshape(pre * n, post))
+    return yr.reshape(shape), yi.reshape(shape)
+
+
+# kept name for the probe script / external callers
+def fft_axis0_dma(xr, xi, direction: Direction, scale: float = 1.0,
+                  k: int = 2):
+    return fft_axis_dma(xr, xi, 0, direction, scale, k)
+
+
 def _vt_cap(n: int) -> int:
     """Lane-tile width for a mid-axis n-point kernel.
 

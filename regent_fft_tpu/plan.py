@@ -359,8 +359,25 @@ def _build_core(spec: PlanSpec):
             elif kind_ == "stockham":
                 from .ops import pallas_stockham as _ps
                 interp = jax.default_backend() != "tpu"
-                xr, xi = _ps.fft_axis_stockham(
-                    xr, xi, a, Direction(s), scale=ksc, interpret=interp)
+                import os as _os
+                _post = 1
+                for _d in xr.shape[a + 1:]:
+                    _post *= _d
+                _dma_min = int(_os.environ.get("REGENT_FFT_DMA_MIN_POST",
+                                               "131072"))
+                if (not interp and a != xr.ndim - 1
+                        and xr.dtype == jnp.float32
+                        and _post >= _dma_min
+                        and _ps.axis0_dma_supported(arg, _post)):
+                    # big-stride leading axis: the manual K-deep DMA ring
+                    # beats the grid pipeline's gather floor
+                    # (docs/tpu_notes.md round-3 probes)
+                    xr, xi = _ps.fft_axis_dma(xr, xi, a, Direction(s),
+                                              scale=ksc)
+                else:
+                    xr, xi = _ps.fft_axis_stockham(
+                        xr, xi, a, Direction(s), scale=ksc,
+                        interpret=interp)
             elif kind_ == "stockham2":
                 from .ops import pallas_stockham as _ps
                 interp = jax.default_backend() != "tpu"

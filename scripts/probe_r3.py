@@ -112,6 +112,111 @@ def main():
         out = {"probe": what, "ms": round(t * 1e3, 3), "dtype": dt}
         print(json.dumps(out))
         return
+    elif what == "axis0dma":
+        k = int(os.environ.get("PROBE_DMA_K", "4"))
+        # correctness first (small)
+        rng = np.random.default_rng(0)
+        small = rng.standard_normal((256, 8, 512)).astype(np.float32) \
+            + 1j * 0
+        xr = jnp.asarray(np.real(small).astype(np.float32))
+        xi = jnp.asarray(np.imag(small).astype(np.float32))
+        yr, yi = jax.jit(lambda a, b: ps.fft_axis0_dma(
+            a, b, Direction.FORWARD, k=k))(xr, xi)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        ref = np.fft.fft(np.asarray(small, np.complex128), axis=0)
+        rel = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
+        assert rel < 1e-5, rel
+
+        def fn2(a, b):
+            return ps.fft_axis0_dma(a, b, Direction.FORWARD, k=k)
+
+        def step(c):
+            return fn2(*c)
+
+        def make_carry(seed):
+            kr, ki = jax.random.split(jax.random.PRNGKey(seed))
+            return (jax.random.normal(kr, shape, jnp.float32),
+                    jax.random.normal(ki, shape, jnp.float32))
+        t = timing.time_chain(step, make_carry, iters, 2, 100)
+        print(json.dumps({"probe": what, "K": k, "ms": round(t * 1e3, 3),
+                          "rel_small": rel}))
+        return
+    elif what == "dmadeep":
+        # K-deep manual DMA ring over the axis-0 strided-read pattern:
+        # read (Z, X) slabs (rows 1 MB apart) into VMEM, write each back
+        # to a CONTIGUOUS destination block — the (Z,Y,X)->(Y,Z,X)
+        # transpose.  Tests whether deep DMA pipelining lifts the ~210
+        # GB/s Mosaic gather floor (XLA's own transpose sustains ~670).
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        K = int(os.environ.get("PROBE_DMA_K", "8"))
+        Z = Y = X = size
+
+        def kernel(src_ref, dst_ref, vmem, insems, outsems):
+            def start_in(slot, i):
+                pltpu.make_async_copy(
+                    src_ref.at[:, pl.ds(i * X, X)], vmem.at[slot],
+                    insems.at[slot]).start()
+
+            for i in range(K):
+                start_in(i, i)
+
+            def body(i, _):
+                slot = jax.lax.rem(i, K)
+                pltpu.make_async_copy(
+                    src_ref.at[:, pl.ds(i * X, X)], vmem.at[slot],
+                    insems.at[slot]).wait()
+                if os.environ.get("PROBE_DMA_OUT") == "strided":
+                    out = pltpu.make_async_copy(
+                        vmem.at[slot], dst_ref.at[:, pl.ds(i * X, X)],
+                        outsems.at[slot])
+                else:
+                    out = pltpu.make_async_copy(
+                        vmem.at[slot], dst_ref.at[pl.ds(i * Z, Z), :],
+                        outsems.at[slot])
+                out.start()
+                out.wait()
+
+                @pl.when(i + K < Y)
+                def _():
+                    start_in(slot, i + K)
+                return 0
+
+            jax.lax.fori_loop(0, Y, body, 0)
+
+        def copy_one(a2):
+            return pl.pallas_call(
+                kernel,
+                grid=(),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                out_shape=jax.ShapeDtypeStruct(
+                    (Z, Y * X) if os.environ.get("PROBE_DMA_OUT") == "strided"
+                    else (Y * Z, X), jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((K, Z, X), jnp.float32),
+                    pltpu.SemaphoreType.DMA((K,)),
+                    pltpu.SemaphoreType.DMA((K,)),
+                ],
+                compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            )(a2)
+
+        def fn2(a, b):
+            y0 = copy_one(a.reshape(Z, Y * X))
+            return y0.reshape(shape), b
+
+        def make_carry(seed):
+            kr, ki = jax.random.split(jax.random.PRNGKey(seed))
+            return (jax.random.normal(kr, shape, jnp.float32),
+                    jax.random.normal(ki, shape, jnp.float32))
+
+        def step(c):
+            return fn2(*c)
+        t = timing.time_chain(step, make_carry, iters, 2, 100)
+        nbytes = Z * Y * X * 4 * 2  # one read + one write of one plane
+        print(json.dumps({"probe": what, "K": K, "ms": round(t * 1e3, 3),
+                          "gbps": round(nbytes / t / 1e9, 1)}))
+        return
     else:
         raise SystemExit(f"unknown probe {what}")
 
