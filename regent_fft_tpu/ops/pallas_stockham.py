@@ -776,7 +776,8 @@ def _runner_last(n: int, sign: int, tb: int, scale: float = 1.0,
 
 @functools.lru_cache(maxsize=64)
 def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
-                      scale: float = 1.0, strips: int = 4, pre: int = 1):
+                      scale: float = 1.0, strips: int = 4, pre: int = 1,
+                      interpret: bool = False):
     """Manual K-deep DMA-pipelined LEADING-axis FFT for big-stride reads.
 
     The automatic grid pipeline sustains only ~190-210 GB/s on the
@@ -899,6 +900,7 @@ def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
             cost_estimate=pl.CostEstimate(
                 flops=int(10 * n * np.log2(n) * ncols * x),
                 bytes_accessed=4 * n * ncols * x * 4, transcendentals=0),
+            interpret=interpret,
         )(xr2, xi2, jnp.asarray(wr_np), jnp.asarray(wi_np))
     return run
 
@@ -911,7 +913,7 @@ def axis0_dma_supported(n: int, post: int) -> bool:
 
 
 def fft_axis_dma(xr, xi, axis: int, direction: Direction,
-                 scale: float = 1.0, k: int = 2):
+                 scale: float = 1.0, k: int = 2, interpret: bool = False):
     """FFT along ``axis`` (any leading/mid axis) via the manual K-deep
     DMA ring (TPU only); trailing batch dims fold into the slab columns,
     leading batch dims into the ring's slab schedule."""
@@ -925,7 +927,7 @@ def fft_axis_dma(xr, xi, axis: int, direction: Direction,
     x = 512
     ncols = post // x
     run = _runner_axis0_dma(n, x, ncols, int(direction), k, float(scale),
-                            pre=pre)
+                            pre=pre, interpret=interpret)
     yr, yi = run(xr.reshape(pre * n, post), xi.reshape(pre * n, post))
     return yr.reshape(shape), yi.reshape(shape)
 

@@ -233,3 +233,17 @@ def test_real_kernel_n2048_block_envelope():
     back = ps.ifft_last_c2r_stockham(yr, yi, n, interpret=True)
     assert np.linalg.norm(np.asarray(back) / n - x) / np.linalg.norm(x) \
         < tolerance(n)
+
+
+def test_axis_dma_ring_interpret():
+    # manual K-deep DMA-ring leading-axis kernel (round 3): correctness
+    # in interpret mode, incl. batched (pre > 1) slab scheduling.
+    for shape, axis in [((64, 8, 512), 0), ((2, 64, 2048), 1)]:
+        x = crand(shape)
+        yr, yi = ps.fft_axis_dma(
+            jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32),
+            axis, Direction.FORWARD, k=2, interpret=True)
+        y = np.asarray(yr) + 1j * np.asarray(yi)
+        ref = np.fft.fft(x, axis=axis)
+        assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < tolerance(
+            shape[axis]), (shape, axis)
