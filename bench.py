@@ -147,13 +147,24 @@ def bench_3d_c2c(size: int, iters: int, precision: str = "highest"):
     }
 
 
-def bench_suite(iters: int = 6):
-    """BASELINE.md config families, one chained-device measurement each."""
+def bench_suite(iters: int = 6, deadline: float = None):
+    """BASELINE.md config families, one chained-device measurement each.
+
+    ``deadline`` (monotonic timestamp): rows starting after it are
+    recorded as skipped, so the driver's hard timeout can never truncate
+    the artifact mid-write — BASELINE families run first, the round-3
+    extra rows (prime/guru) are the ones that drop under pressure.
+    """
     from regent_fft_tpu.plan import PlanSpec, make_plan
     from regent_fft_tpu.dtypes import Direction, Kind, Norm
     from regent_fft_tpu.utils import timing
 
+    def past_deadline():
+        return deadline is not None and time.monotonic() > deadline
+
     def entry(name, spec):
+        if past_deadline():
+            return name, {"skipped": "bench deadline"}
         plan = make_plan(spec)
         t = timing.time_plan(plan, iters=iters, reps=3)
         gf = plan.flops / t / 1e9
@@ -194,6 +205,8 @@ def bench_suite(iters: int = 6):
         direction=Direction.FORWARD, norm=Norm.NONE)))
 
     def prow(name, fn2):
+        if past_deadline():
+            return name, {"skipped": "bench deadline"}
         t = _timed_pairfn(fn2, pshape, iters)
         return name, {"time_ms": round(t * 1e3, 3),
                       "gflops": round(pflops / t / 1e9, 1)}
@@ -224,6 +237,8 @@ def bench_suite(iters: int = 6):
     fams.append(dense)
 
     def grow(name, gplan):
+        if past_deadline() or "time_ms" not in dense[1]:
+            return name, {"skipped": "bench deadline"}
         t = _timed_pairfn(gplan._exec, (gn * gb,), iters)
         return name, {"time_ms": round(t * 1e3, 3),
                       "gflops": round(gflops_guru / t / 1e9, 1),
@@ -239,6 +254,27 @@ def bench_suite(iters: int = 6):
         dims=[IODim(gn, gb, 1)], howmany_dims=[IODim(gb, 1, gn)],
         norm=Norm.NONE, use_3m=True)))
     return dict(fams)
+
+
+_T0 = time.monotonic()
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: the headline section alone
+    costs ~7 min of compiles cold; warm runs leave the whole 540 s
+    budget to the measurement suite."""
+    if os.environ.get("REGENT_FFT_NO_COMPCACHE"):
+        return
+    try:
+        import jax
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def main():
@@ -266,6 +302,7 @@ def main():
         except OSError as e:  # never sink the headline, but say so
             print(json.dumps({"detail_out_error": repr(e)}), file=sys.stderr)
 
+    _enable_compilation_cache()
     res = bench_3d_c2c(args.size, args.iters, args.precision)
     extra = res.pop("extra")
     print(json.dumps(res))
@@ -275,7 +312,8 @@ def main():
     write_artifact(artifact)
     if not args.no_suite:
         try:
-            suite = bench_suite(args.iters)
+            suite = bench_suite(args.iters, deadline=_T0 + float(
+                os.environ.get("BENCH_BUDGET_S", "540")))
             print(json.dumps({"suite": suite}), file=sys.stderr)
             artifact["suite"] = suite
         except Exception as e:  # suite must never sink the headline

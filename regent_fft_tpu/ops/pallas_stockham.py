@@ -746,16 +746,30 @@ def _runner_last(n: int, sign: int, tb: int, scale: float = 1.0,
     wr_np, wi_np, _ = _packed_tables(n, sign)
     s = np.float32(scale)
     odt = _odt(io)
+    # Row-group strips: each strip's butterflies are independent, so no
+    # scratch is needed; smaller live temporaries let the grid pipeline
+    # double-buffer the block DMAs (same reasoning as _default_strips).
+    import os as _os
+    # strip rows become LANES after the in-kernel transpose, so each
+    # strip must keep >= 128 rows
+    strips = int(_os.environ.get(
+        "REGENT_FFT_LAST_STRIPS",
+        str(max(1, min(tb // 128, (tb * n) // 65536)))))
+    while strips > 1 and tb % strips:
+        strips //= 2
+    sb = tb // strips
 
     def kernel(xr_ref, xi_ref, wr_ref, wi_ref, yr_ref, yi_ref):
-        yr, yi = _stockham_tile(xr_ref[:].astype(jnp.float32).T,
-                                xi_ref[:].astype(jnp.float32).T, n, sign,
-                                wr_ref[:], wi_ref[:])
-        if scale != 1.0:
-            yr = yr * s
-            yi = yi * s
-        yr_ref[:] = yr.T.astype(odt)
-        yi_ref[:] = yi.T.astype(odt)
+        for t in range(strips):
+            rs = slice(t * sb, (t + 1) * sb)
+            yr, yi = _stockham_tile(xr_ref[rs, :].astype(jnp.float32).T,
+                                    xi_ref[rs, :].astype(jnp.float32).T,
+                                    n, sign, wr_ref[:], wi_ref[:])
+            if scale != 1.0:
+                yr = yr * s
+                yi = yi * s
+            yr_ref[rs, :] = yr.T.astype(odt)
+            yi_ref[rs, :] = yi.T.astype(odt)
 
     def run(xr, xi):
         b = xr.shape[0]
