@@ -40,8 +40,14 @@ import time
 import numpy as np
 
 
-def _timed_pairfn(fn2, shape, iters: int, reps: int = 3, seed0: int = 100):
-    """Honest seconds/iteration for a split-pair fn (utils.timing chain)."""
+def _timed_pairfn(fn2, shape, iters: int, reps: int = 3, seed0: int = 100,
+                  unroll: int = 8):
+    """Honest seconds/iteration for a split-pair fn (utils.timing chain).
+
+    ``unroll=1`` is valid (and much cheaper to compile) for pure-XLA
+    functions: the while-carry copy inflation the 8-step unroll amortizes
+    is specific to Pallas custom-call outputs, which XLA cannot alias
+    into the loop carry (utils/timing.py)."""
     import jax
     import jax.numpy as jnp
     from regent_fft_tpu.utils import timing
@@ -54,7 +60,8 @@ def _timed_pairfn(fn2, shape, iters: int, reps: int = 3, seed0: int = 100):
         return (jax.random.normal(kr, shape, jnp.float32),
                 jax.random.normal(ki, shape, jnp.float32))
 
-    return timing.time_chain(step, make_carry, iters, reps, seed0)
+    return timing.time_chain(step, make_carry, iters, reps, seed0,
+                             inner_unroll=unroll)
 
 
 def bench_3d_c2c(size: int, iters: int, precision: str = "highest"):
@@ -106,7 +113,7 @@ def bench_3d_c2c(size: int, iters: int, precision: str = "highest"):
     assert rel_xla < 1e-5, f"cross-check vs XLA fftn failed: {rel_xla}"
 
     t_ours = _timed_pairfn(core, shape, iters)
-    t_xla = _timed_pairfn(xla_fftn_pair, shape, iters)
+    t_xla = _timed_pairfn(xla_fftn_pair, shape, iters, unroll=1)
 
     # --- measured-bandwidth baseline (same methodology) ---
     # Probe with the same working-set size as one split-complex operand.
@@ -204,10 +211,10 @@ def bench_suite(iters: int = 6, deadline: float = None):
         shape=pshape, axes=(1,), kind=Kind.C2C,
         direction=Direction.FORWARD, norm=Norm.NONE)))
 
-    def prow(name, fn2):
+    def prow(name, fn2, unroll=8):
         if past_deadline():
             return name, {"skipped": "bench deadline"}
-        t = _timed_pairfn(fn2, pshape, iters)
+        t = _timed_pairfn(fn2, pshape, iters, unroll=unroll)
         return name, {"time_ms": round(t * 1e3, 3),
                       "gflops": round(pflops / t / 1e9, 1)}
 
@@ -219,7 +226,8 @@ def bench_suite(iters: int = 6, deadline: float = None):
     def jnp_fft_pair(a, b):
         z = jnp.fft.fft(jax.lax.complex(a, b), axis=1)
         return jnp.real(z), jnp.imag(z)
-    fams.append(prow("1d_c2c_prime1009_batch512_jnp", jnp_fft_pair))
+    fams.append(prow("1d_c2c_prime1009_batch512_jnp", jnp_fft_pair,
+                     unroll=1))
 
     # non-smooth composite (640 = 2^7 * 5) exercises the mixed-radix /
     # calibrated-model path
