@@ -188,6 +188,93 @@ def _pair_cmul(br, bi, wr, wi):
     return (br * wr - bi * wi, br * wi + bi * wr)
 
 
+def _mxu_split(n: int):
+    """Near-square pow2 factorization (n1 <= n2) for the all-MXU tile."""
+    n1 = 1 << ((n.bit_length() - 1) // 2)
+    return n1, n // n1
+
+
+def mxu_tile_supported(n: int) -> bool:
+    n1, n2 = _mxu_split(n)
+    return (n & (n - 1)) == 0 and n1 >= 8 and n2 >= 8 and n >= 64
+
+
+@functools.lru_cache(maxsize=256)
+def _mxu_tables(n: int, sign: int):
+    """Packed DFT_n1 / DFT_n2 / inter-factor twiddle planes for
+    :func:`_mxu_tile`: rows [0,n1) = W1, [n1,n1+n2) = W2,
+    [n1+n2, 2*n1+n2) = twiddle(k1, j2); width max(n1, n2)."""
+    n1, n2 = _mxu_split(n)
+    w = max(n1, n2)
+    k1 = np.arange(n1)
+    k2 = np.arange(n2)
+    th1 = 2.0 * np.pi * float(sign) * np.outer(k1, k1) / n1
+    th2 = 2.0 * np.pi * float(sign) * np.outer(k2, k2) / n2
+    tht = 2.0 * np.pi * float(sign) * np.outer(k1, k2) / n
+
+    def pad(a):
+        return np.pad(a, ((0, 0), (0, w - a.shape[1])))
+    wr = np.concatenate([pad(np.cos(th1)), pad(np.cos(th2)),
+                         pad(np.cos(tht))]).astype(np.float32)
+    wi = np.concatenate([pad(np.sin(th1)), pad(np.sin(th2)),
+                         pad(np.sin(tht))]).astype(np.float32)
+    return wr, wi
+
+
+def _mxu_tile(xr, xi, n: int, sign: int, wr_all, wi_all,
+              precision=jax.lax.Precision.DEFAULT):
+    """All-MXU in-VMEM four-step FFT over axis 0 of (n, v) values.
+
+    out[k2*n1 + k1] = sum_{j2} W2[k2,j2] * tw[k1,j2]
+                      * sum_{j1} W1[k1,j1] x[j1*n2 + j2]
+    Two dot_general stages (rhs leading-axis and middle-axis contractions
+    — both Mosaic-native) + one broadcast twiddle multiply; zero VPU
+    butterflies.  At HIGHEST precision this measured SLOWER than the VPU
+    hybrid (r2 negative result: small-matrix f32-emulation passes), but
+    at DEFAULT (one bf16 MXU pass) compute collapses ~25x — the
+    complex32 fast path (error ~3e-3, within the complex32 tolerance).
+    """
+    n1, n2 = _mxu_split(n)
+    v = xr.shape[-1]
+    w1r, w1i = wr_all[:n1, :n1], wi_all[:n1, :n1]
+    w2r, w2i = wr_all[n1:n1 + n2, :n2], wi_all[n1:n1 + n2, :n2]
+    twr = wr_all[n1 + n2:, :n2]
+    twi = wi_all[n1 + n2:, :n2]
+    ar = xr.reshape(n1, n2, v)
+    ai = xi.reshape(n1, n2, v)
+
+    def dg0(m_, a_):  # contract rhs axis 0 -> (k, n2, v)
+        return jax.lax.dot_general(
+            m_, a_, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    def dg1(m_, a_):  # contract rhs axis 1 -> (k, n1, v)
+        return jax.lax.dot_general(
+            m_, a_, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    def cdot(dg, mr, mi, vr_, vi_):
+        t1 = dg(mr, vr_)
+        t2 = dg(mi, vi_)
+        t3 = dg(mr + mi, vr_ + vi_)
+        return t1 - t2, t3 - t1 - t2
+
+    br, bi = cdot(dg0, w1r, w1i, ar, ai)           # (k1, n2, v)
+    cr = br * twr[:, :, None] - bi * twi[:, :, None]
+    ci = br * twi[:, :, None] + bi * twr[:, :, None]
+    dr, di = cdot(dg1, w2r, w2i, cr, ci)           # (k2, n1, v)
+    return dr.reshape(n, v), di.reshape(n, v)
+
+
+def _tile_impl(io: str, n: int):
+    """(tile_fn, tables_fn) per block I/O dtype: bf16 (complex32) blocks
+    use the all-MXU DEFAULT tile when the length admits it — the VPU
+    butterfly cost doesn't shrink at bf16, the MXU's does."""
+    if io == "bf16" and mxu_tile_supported(n):
+        return _mxu_tile, _mxu_tables
+    return _stockham_tile, (lambda n_, s_: _packed_tables(n_, s_)[:2])
+
+
 def _tail_precision():
     """MXU precision of the tail contractions (A/B experiment knob)."""
     import os
@@ -329,14 +416,15 @@ def _runner_cols(n: int, sign: int, vt: int, scale: float = 1.0,
     gone).  ``scale`` (static) is fused into the output write — the norm
     multiply costs zero HBM passes.
     """
-    wr_np, wi_np, _ = _packed_tables(n, sign)
+    tile, tabs = _tile_impl(io, n)
+    wr_np, wi_np = tabs(n, sign)
     s = np.float32(scale)
     odt = _odt(io)
 
     def kernel(xr_ref, xi_ref, wr_ref, wi_ref, yr_ref, yi_ref):
-        yr, yi = _stockham_tile(xr_ref[:].astype(jnp.float32),
-                                xi_ref[:].astype(jnp.float32), n, sign,
-                                wr_ref[:], wi_ref[:])
+        yr, yi = tile(xr_ref[:].astype(jnp.float32),
+                      xi_ref[:].astype(jnp.float32), n, sign,
+                      wr_ref[:], wi_ref[:])
         if scale != 1.0:
             yr = yr * s
             yi = yi * s
@@ -398,8 +486,10 @@ def _runner_fused2(n1: int, n2: int, sign: int, scale: float = 1.0,
     (``fftw-3.3.8/dft/rank-geq2.c``), at half the HBM traffic of two
     separate passes.
     """
-    w1r_np, w1i_np, _ = _packed_tables(n1, sign)
-    w2r_np, w2i_np, _ = _packed_tables(n2, sign)
+    tile1, tabs1 = _tile_impl(io, n1)
+    tile2, tabs2 = _tile_impl(io, n2)
+    w1r_np, w1i_np = tabs1(n1, sign)
+    w2r_np, w2i_np = tabs2(n2, sign)
     s = np.float32(scale)
     odt = _odt(io)
     import os as _os
@@ -417,16 +507,16 @@ def _runner_fused2(n1: int, n2: int, sign: int, scale: float = 1.0,
         sw1 = n2 // strips
         for k in range(strips):
             sl = slice(k * sw1, (k + 1) * sw1)
-            ar, ai = _stockham_tile(xr_ref[:, sl].astype(jnp.float32),
-                                    xi_ref[:, sl].astype(jnp.float32),
-                                    n1, sign, w1r_ref[:], w1i_ref[:])
+            ar, ai = tile1(xr_ref[:, sl].astype(jnp.float32),
+                           xi_ref[:, sl].astype(jnp.float32),
+                           n1, sign, w1r_ref[:], w1i_ref[:])
             sr[sl, :] = ar.T
             si[sl, :] = ai.T
         sw2 = n1 // strips
         for k in range(strips):
             sl = slice(k * sw2, (k + 1) * sw2)
-            br, bi = _stockham_tile(sr[:, sl], si[:, sl], n2, sign,
-                                    w2r_ref[:], w2i_ref[:])
+            br, bi = tile2(sr[:, sl], si[:, sl], n2, sign,
+                           w2r_ref[:], w2i_ref[:])
             if scale != 1.0:
                 br = br * s
                 bi = bi * s
@@ -439,9 +529,9 @@ def _runner_fused2(n1: int, n2: int, sign: int, scale: float = 1.0,
             kernel_strips(xr_ref, xi_ref, w1r_ref, w1i_ref, w2r_ref,
                           w2i_ref, yr_ref, yi_ref, *scratch)
             return
-        ar, ai = _stockham_tile(xr_ref[:].astype(jnp.float32),
-                                xi_ref[:].astype(jnp.float32), n1, sign,
-                                w1r_ref[:], w1i_ref[:])
+        ar, ai = tile1(xr_ref[:].astype(jnp.float32),
+                       xi_ref[:].astype(jnp.float32), n1, sign,
+                       w1r_ref[:], w1i_ref[:])
         if use_scratch:
             # Force a canonical value layout for the second butterfly by
             # round-tripping the transposed intermediate through VMEM
@@ -452,7 +542,7 @@ def _runner_fused2(n1: int, n2: int, sign: int, scale: float = 1.0,
             ar, ai = sr[:], si[:]
         else:
             ar, ai = ar.T, ai.T
-        br, bi = _stockham_tile(ar, ai, n2, sign, w2r_ref[:], w2i_ref[:])
+        br, bi = tile2(ar, ai, n2, sign, w2r_ref[:], w2i_ref[:])
         br, bi = br.T, bi.T
         if scale != 1.0:
             br = br * s
@@ -743,7 +833,8 @@ def _runner_last(n: int, sign: int, tb: int, scale: float = 1.0,
     axis on sublanes; transposed back on write.  ``scale`` is fused into
     the write.
     """
-    wr_np, wi_np, _ = _packed_tables(n, sign)
+    tile, tabs = _tile_impl(io, n)
+    wr_np, wi_np = tabs(n, sign)
     s = np.float32(scale)
     odt = _odt(io)
     # Row-group strips: each strip's butterflies are independent, so no
@@ -762,9 +853,9 @@ def _runner_last(n: int, sign: int, tb: int, scale: float = 1.0,
     def kernel(xr_ref, xi_ref, wr_ref, wi_ref, yr_ref, yi_ref):
         for t in range(strips):
             rs = slice(t * sb, (t + 1) * sb)
-            yr, yi = _stockham_tile(xr_ref[rs, :].astype(jnp.float32).T,
-                                    xi_ref[rs, :].astype(jnp.float32).T,
-                                    n, sign, wr_ref[:], wi_ref[:])
+            yr, yi = tile(xr_ref[rs, :].astype(jnp.float32).T,
+                          xi_ref[rs, :].astype(jnp.float32).T,
+                          n, sign, wr_ref[:], wi_ref[:])
             if scale != 1.0:
                 yr = yr * s
                 yi = yi * s
