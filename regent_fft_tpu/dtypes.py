@@ -108,10 +108,11 @@ def as_split(x, compute_dtype=jnp.float32) -> SplitComplex:
         )
     if isinstance(x, np.ndarray) and np.issubdtype(x.dtype, np.complexfloating):
         np_real = np.float64 if compute_dtype == jnp.float64 else np.float32
-        return SplitComplex(
-            jnp.asarray(np.asarray(x.real, dtype=np_real)),
-            jnp.asarray(np.asarray(x.imag, dtype=np_real)),
-        )
+        re = jnp.asarray(np.asarray(x.real, dtype=np_real))
+        im = jnp.asarray(np.asarray(x.imag, dtype=np_real))
+        if jnp.dtype(compute_dtype) not in (jnp.float32, jnp.float64):
+            re, im = re.astype(compute_dtype), im.astype(compute_dtype)
+        return SplitComplex(re, im)
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         re, im = _split_complex_jit()(x)
