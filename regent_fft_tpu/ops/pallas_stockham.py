@@ -1254,7 +1254,7 @@ def _pair_rows(x2):
 
 @functools.lru_cache(maxsize=256)
 def _runner_last_r2c(n: int, tb: int, interpret: bool = False,
-                     packed: bool = False):
+                     packed: bool = False, narrow: bool = False):
     """Fully-fused r2c kernel over a (B, n) REAL array, one HBM pass.
 
     Row-block pairing via BlockSpec index maps: grid step i loads row
@@ -1287,7 +1287,10 @@ def _runner_last_r2c(n: int, tb: int, interpret: bool = False,
         wbr_np, wbi_np, _ = _packed_tables(n, +1)
     h = n // 2 + 1
     m = n // 2
-    w_out = m if packed else n
+    # narrow (rank-1): write only the lane-rounded half spectrum — the
+    # full-n padded width exists for pad-free mid-axis kernel feeds,
+    # which a 1-D transform doesn't have
+    w_out = m if packed else (min(n, -(-h // 128) * 128) if narrow else n)
 
     def untangle_write(ar, ai, br, bi, yr_ref, yi_ref):
         x1r = 0.5 * (ar + br)
@@ -1304,10 +1307,10 @@ def _runner_last_r2c(n: int, tb: int, interpret: bool = False,
             k = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 0)
             keep = k < h
             z = jnp.float32(0.0)
-            x1r = jnp.where(keep, x1r, z)
-            x1i = jnp.where(keep, x1i, z)
-            x2r = jnp.where(keep, x2r, z)
-            x2i = jnp.where(keep, x2i, z)
+            x1r = jnp.where(keep, x1r, z)[:w_out]
+            x1i = jnp.where(keep, x1i, z)[:w_out]
+            x2r = jnp.where(keep, x2r, z)[:w_out]
+            x2i = jnp.where(keep, x2i, z)[:w_out]
         # the two row blocks store to the two halves of the output block
         # (original row order — no interleave relayout)
         yr_ref[0:tb, :] = x1r.T
@@ -1463,7 +1466,10 @@ def fft_last_r2c_stockham(x, interpret: bool = False, padded: bool = False,
     h = n // 2 + 1
     b = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
     x2 = x.reshape(b, n)
-    tb = _tb_real(n, n // 2 if packed else n)
+    narrow = not padded and not packed
+    w_out = (n // 2 if packed
+             else (min(n, -(-h // 128) * 128) if narrow else n))
+    tb = _tb_real(n, w_out)
     pad = (-b) % (2 * tb)
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
@@ -1476,7 +1482,7 @@ def fft_last_r2c_stockham(x, interpret: bool = False, padded: bool = False,
         m = n // 2
         return (yr[:b].reshape(shape[:-1] + (m,)),
                 yi[:b].reshape(shape[:-1] + (m,)))
-    run = _runner_last_r2c(n, tb, interpret)
+    run = _runner_last_r2c(n, tb, interpret, narrow=narrow)
     yr, yi = run(x2)
     yr, yi = yr[:b], yi[:b]
     if padded:
