@@ -363,8 +363,10 @@ def _build_core(spec: PlanSpec):
                 _post = 1
                 for _d in xr.shape[a + 1:]:
                     _post *= _d
+                # measured: the ring wins at 512^3 (post=256K: 11.4 ->
+                # 11.15) and 256^3x4 (post=64K: plan 11.57 -> 10.81)
                 _dma_min = int(_os.environ.get("REGENT_FFT_DMA_MIN_POST",
-                                               "131072"))
+                                               "65536"))
                 if (not interp and a != xr.ndim - 1
                         and xr.dtype == jnp.float32
                         and _post >= _dma_min
