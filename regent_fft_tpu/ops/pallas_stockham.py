@@ -51,6 +51,21 @@ MAX_LAST_N = 2048          # last-axis kernels (narrower row tiles)
 MAX_CALL_ELEMS = 4 * 1024 * 1024
 
 
+
+# Env knobs that alter a compiled runner's body; their values join every
+# runner factory's cache key so flipping one mid-process builds a fresh
+# kernel instead of silently serving the stale cached variant.
+_ENV_KNOBS = ("REGENT_FFT_TILE_IMPL", "REGENT_FFT_F2_SCRATCH",
+              "REGENT_FFT_F2_STRIPS", "REGENT_FFT_GAP_STRIPS",
+              "REGENT_FFT_LAST_STRIPS", "REGENT_FFT_R2C_IMPL",
+              "REGENT_FFT_TAIL_PREC")
+
+
+def _env_key() -> str:
+    import os
+    return "|".join(os.environ.get(k, "") for k in _ENV_KNOBS)
+
+
 def _tb_for(n: int) -> int:
     """Row-tile height for a last-axis n-point kernel.
 
@@ -306,58 +321,16 @@ def _stockham_tile(xr, xi, n: int, sign: int, wr_all, wi_all):
     if os.environ.get("REGENT_FFT_TILE_IMPL") == "flat":
         return _stockham_tile_flat(xr, xi, n, sign, wr_all, wi_all)
     v = xr.shape[-1]
-    ar = xr.reshape(1, n, v)
-    ai = xi.reshape(1, n, v)
-    L = 1
-    s = float(sign)
-    _, _, offsets = _packed_tables(n, sign)
-    for (r, m), offs in zip(_plan_stages(n), offsets):
-        h = m // r
-        ws = []
-        for (start, hh) in offs:
-            ws.append(wr_all[start:start + hh, :1])
-            ws.append(wi_all[start:start + hh, :1])
-        w1r, w1i = ws[0][None], ws[1][None]
-        w2r, w2i = ws[2][None], ws[3][None]
-        w3r, w3i = ws[4][None], ws[5][None]
-        q0r, q0i = ar[:, 0*h:1*h, :], ai[:, 0*h:1*h, :]
-        q1r, q1i = ar[:, 1*h:2*h, :], ai[:, 1*h:2*h, :]
-        q2r, q2i = ar[:, 2*h:3*h, :], ai[:, 2*h:3*h, :]
-        q3r, q3i = ar[:, 3*h:4*h, :], ai[:, 3*h:4*h, :]
-        t0r, t0i = q0r + q2r, q0i + q2i
-        t1r, t1i = q0r - q2r, q0i - q2i
-        t2r, t2i = q1r + q3r, q1i + q3i
-        t3r, t3i = q1r - q3r, q1i - q3i
-        # i_ * t3 with i_ = sign*i: re = -s*t3i, im = s*t3r
-        it3r, it3i = -s * t3i, s * t3r
-        y0r, y0i = t0r + t2r, t0i + t2i
-        y1r, y1i = _cmul(t1r + it3r, t1i + it3i, w1r, w1i)
-        y2r, y2i = _cmul(t0r - t2r, t0i - t2i, w2r, w2i)
-        y3r, y3i = _cmul(t1r - it3r, t1i - it3i, w3r, w3i)
-        ar = jnp.stack([y0r, y1r, y2r, y3r], axis=0).reshape(4 * L, h, v)
-        ai = jnp.stack([y0i, y1i, y2i, y3i], axis=0).reshape(4 * L, h, v)
-        L *= 4
+    hr, hi = _stockham_head(xr, xi, n, sign, wr_all, wi_all)
     mt = _tail_mt(n)
     T = wr_all.shape[0] - mt
-    tr = wr_all[T:, :mt]
-    ti = wi_all[T:, :mt]
-    a3r = ar.reshape(L, mt, v)
-    a3i = ai.reshape(L, mt, v)
-
-    def dg(m_, a_):
-        return jax.lax.dot_general(
-            m_, a_, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-
-    t1 = dg(tr, a3r)
-    t2 = dg(ti, a3i)
-    t3 = dg(tr + ti, a3r + a3i)
-    return (t1 - t2).reshape(n, v), (t3 - t1 - t2).reshape(n, v)
+    ar, ai = _dg_3m(wr_all[T:, :mt], wi_all[T:, :mt], hr, hi)
+    return ar.reshape(n, v), ai.reshape(n, v)
 
 
 @functools.lru_cache(maxsize=256)
-def _runner_axis0(n: int, sign: int, vt: int, interpret: bool = False):
+def _runner_axis0(n: int, sign: int, vt: int, interpret: bool = False,
+                  envkey: str = ""):
     """Kernel over (n, V) arrays: FFT along axis 0, grid over lane tiles.
 
     Packed twiddle planes enter as two operands with constant index maps
@@ -405,7 +378,8 @@ def _plane_io(xr, n_second_minor: int = 128) -> str:
 
 @functools.lru_cache(maxsize=256)
 def _runner_cols(n: int, sign: int, vt: int, scale: float = 1.0,
-                 interpret: bool = False, io: str = "f32"):
+                 interpret: bool = False, io: str = "f32",
+                 envkey: str = ""):
     """Kernel for FFT along the MIDDLE axis of (P, n, V) data.
 
     The array is viewed 2-D as (P*n, V); 2-D grid (P, V/vt) with block
@@ -466,16 +440,25 @@ def _default_strips(n1: int, n2: int) -> int:
     compute (11.7 ms total); strips=4 overlaps it (9.6 ms), strips=2 is
     intermediate (11.0).  Both factor extents must admit >= 128-lane
     strips."""
-    strips = max(1, (n1 * n2) // 65536)
-    strips = min(strips, n2 // LANE_TILE, n1 // LANE_TILE)
-    while strips > 1 and (n1 % strips or n2 % strips):
-        strips //= 2
+    return _sane_strips(max(1, (n1 * n2) // 65536), n1, n2)
+
+
+def _sane_strips(strips: int, n1: int, n2: int) -> int:
+    """Clamp a strip count (incl. env overrides) to one that divides both
+    extents into whole >= 128-lane strips — a bad override must degrade
+    to fewer strips, never to partially-written output blocks."""
+    strips = max(1, min(int(strips), n2 // LANE_TILE, n1 // LANE_TILE))
+    while strips > 1 and (n1 % strips or n2 % strips
+                          or (n1 // strips) % LANE_TILE
+                          or (n2 // strips) % LANE_TILE):
+        strips -= 1
     return max(1, strips)
 
 
 @functools.lru_cache(maxsize=256)
 def _runner_fused2(n1: int, n2: int, sign: int, scale: float = 1.0,
-                   interpret: bool = False, io: str = "f32"):
+                   interpret: bool = False, io: str = "f32",
+                   envkey: str = ""):
     """Fused TWO-AXIS FFT kernel over (n1, n2) blocks: one HBM pass for
     both trailing axes.
 
@@ -494,8 +477,8 @@ def _runner_fused2(n1: int, n2: int, sign: int, scale: float = 1.0,
     odt = _odt(io)
     import os as _os
     use_scratch = _os.environ.get("REGENT_FFT_F2_SCRATCH") == "1"
-    strips = int(_os.environ.get("REGENT_FFT_F2_STRIPS",
-                                 str(_default_strips(n1, n2))))
+    strips = _sane_strips(int(_os.environ.get(
+        "REGENT_FFT_F2_STRIPS", str(_default_strips(n1, n2)))), n1, n2)
 
     def kernel_strips(xr_ref, xi_ref, w1r_ref, w1i_ref, w2r_ref, w2i_ref,
                       yr_ref, yi_ref, sr, si):
@@ -579,7 +562,7 @@ def _runner_fused2(n1: int, n2: int, sign: int, scale: float = 1.0,
 
 @functools.lru_cache(maxsize=256)
 def _runner_cols_tw(n1: int, big_n: int, sign: int, vt: int,
-                    interpret: bool = False):
+                    interpret: bool = False, envkey: str = ""):
     """Column-tiled mid-axis butterfly with the four-step twiddle
     W_bigN^{k1 * j2} fused into the output write.
 
@@ -676,14 +659,15 @@ def fft_last_four_step(xr, xi, direction: Direction, scale: float = 1.0,
         xr2 = jnp.pad(xr2, ((0, padb), (0, 0)))
         xi2 = jnp.pad(xi2, ((0, padb), (0, 0)))
     vt = min(_vt_cap(n1), n2)
-    run1 = _runner_cols_tw(n1, n, sign, vt, interpret)
+    run1 = _runner_cols_tw(n1, n, sign, vt, interpret, envkey=_env_key())
     ar, ai = run1(xr2, xi2)
     tb = _tb_for(n2)
     pad = (-(b * n1)) % tb
     if pad:
         ar = jnp.pad(ar, ((0, pad), (0, 0)))
         ai = jnp.pad(ai, ((0, pad), (0, 0)))
-    run2 = _runner_last(n2, sign, tb, float(scale), interpret)
+    run2 = _runner_last(n2, sign, tb, float(scale), interpret,
+                        envkey=_env_key())
     br, bi = _chunk_rows_map(run2, ar, ai, tb)
     br = br[:b * n1].reshape(b, n1, n2)
     bi = bi[:b * n1].reshape(b, n1, n2)
@@ -695,7 +679,8 @@ def fft_last_four_step(xr, xi, direction: Direction, scale: float = 1.0,
 
 @functools.lru_cache(maxsize=256)
 def _runner_fused2_gap(n1: int, n2: int, sign: int, scale: float = 1.0,
-                       interpret: bool = False, io: str = "f32"):
+                       interpret: bool = False, io: str = "f32",
+                       envkey: str = ""):
     """Fused LEADING-axis + LAST-axis FFT kernel over (n1, n2) blocks.
 
     The indirect-transpose solver analog
@@ -712,8 +697,8 @@ def _runner_fused2_gap(n1: int, n2: int, sign: int, scale: float = 1.0,
     s = np.float32(scale)
     odt = _odt(io)
     import os as _os
-    strips = int(_os.environ.get("REGENT_FFT_GAP_STRIPS",
-                                 str(_default_strips(n1, n2))))
+    strips = _sane_strips(int(_os.environ.get(
+        "REGENT_FFT_GAP_STRIPS", str(_default_strips(n1, n2)))), n1, n2)
 
     def kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w2r_ref, w2i_ref,
                yr_ref, yi_ref, *scratch):
@@ -794,7 +779,7 @@ def fft_axes_gap_stockham(xr, xi, direction: Direction, scale: float = 1.0,
     sign = int(direction)
     b = int(np.prod(shape[:-3])) if len(shape) > 3 else 1
     run = _runner_fused2_gap(z, x, sign, float(scale), interpret,
-                             _plane_io(xr, z))
+                             _plane_io(xr, z), envkey=_env_key())
     yr, yi = run(xr.reshape(b * z, y * x), xi.reshape(b * z, y * x))
     return yr.reshape(shape), yi.reshape(shape)
 
@@ -818,14 +803,15 @@ def fft_axes2_stockham(xr, xi, direction: Direction, scale: float = 1.0,
     sign = int(direction)
     pre = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
     run = _runner_fused2(n1, n2, sign, float(scale), interpret,
-                         _plane_io(xr, n1))
+                         _plane_io(xr, n1), envkey=_env_key())
     yr, yi = run(xr.reshape(pre * n1, n2), xi.reshape(pre * n1, n2))
     return yr.reshape(shape), yi.reshape(shape)
 
 
 @functools.lru_cache(maxsize=256)
 def _runner_last(n: int, sign: int, tb: int, scale: float = 1.0,
-                 interpret: bool = False, io: str = "f32"):
+                 interpret: bool = False, io: str = "f32",
+                 envkey: str = ""):
     """Kernel over (B, n) arrays: FFT along the LAST axis.
 
     Blocks (tb, n) are transposed IN VMEM (2-D transposes are
@@ -882,7 +868,7 @@ def _runner_last(n: int, sign: int, tb: int, scale: float = 1.0,
 @functools.lru_cache(maxsize=64)
 def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
                       scale: float = 1.0, strips: int = 4, pre: int = 1,
-                      interpret: bool = False):
+                      interpret: bool = False, envkey: str = ""):
     """Manual K-deep DMA-pipelined LEADING-axis FFT for big-stride reads.
 
     The automatic grid pipeline sustains only ~190-210 GB/s on the
@@ -1032,7 +1018,8 @@ def fft_axis_dma(xr, xi, axis: int, direction: Direction,
     x = 512
     ncols = post // x
     run = _runner_axis0_dma(n, x, ncols, int(direction), k, float(scale),
-                            pre=pre, interpret=interpret)
+                            pre=pre, interpret=interpret,
+                            envkey=_env_key())
     yr, yi = run(xr.reshape(pre * n, post), xi.reshape(pre * n, post))
     return yr.reshape(shape), yi.reshape(shape)
 
@@ -1073,7 +1060,8 @@ def _mid_apply(xr3, xi3, n: int, sign: int, scale: float, interpret: bool,
     vt = min(_vt_cap(n), postp)
     while postp % vt:
         vt -= 128
-    run = _runner_cols(n, sign, vt, scale, interpret, io)
+    run = _runner_cols(n, sign, vt, scale, interpret, io,
+                       envkey=_env_key())
     yr, yi = run(xr3.reshape(pre * n, postp), xi3.reshape(pre * n, postp))
     yr = yr.reshape(pre, n, postp)
     yi = yi.reshape(pre, n, postp)
@@ -1242,19 +1230,10 @@ def _fwd_and_rev_spectra(zr, zi, n: int, wr_full, wi_full, tb: int):
     return ar, ai, br3.reshape(n, tb), bi3.reshape(n, tb)
 
 
-def _pair_rows(x2):
-    """(B, n) -> even rows, odd rows ((B/2, n) each), padding B to even."""
-    b = x2.shape[0]
-    if b % 2:
-        x2 = jnp.pad(x2, ((0, 1), (0, 0)))
-        b += 1
-    x3 = x2.reshape(b // 2, 2, x2.shape[1])
-    return x3[:, 0, :], x3[:, 1, :]
-
-
 @functools.lru_cache(maxsize=256)
 def _runner_last_r2c(n: int, tb: int, interpret: bool = False,
-                     packed: bool = False, narrow: bool = False):
+                     packed: bool = False, narrow: bool = False,
+                     envkey: str = ""):
     """Fully-fused r2c kernel over a (B, n) REAL array, one HBM pass.
 
     Row-block pairing via BlockSpec index maps: grid step i loads row
@@ -1368,7 +1347,7 @@ def _runner_last_r2c(n: int, tb: int, interpret: bool = False,
 
 @functools.lru_cache(maxsize=256)
 def _runner_last_c2r(n: int, tb: int, interpret: bool = False,
-                     packed: bool = False):
+                     packed: bool = False, envkey: str = ""):
     """Fully-fused c2r kernel: (2*tb, n) padded half-spectrum block ->
     (2*tb, n) real block, unscaled (times N) inverse.
 
@@ -1477,12 +1456,14 @@ def fft_last_r2c_stockham(x, interpret: bool = False, padded: bool = False,
         if not r2c_packed_supported(n):
             raise ValueError(f"packed r2c path needs n/2 to be a lane "
                              f"multiple, got n={n}")
-        run = _runner_last_r2c(n, tb, interpret, packed=True)
+        run = _runner_last_r2c(n, tb, interpret, packed=True,
+                               envkey=_env_key())
         yr, yi = run(x2)
         m = n // 2
         return (yr[:b].reshape(shape[:-1] + (m,)),
                 yi[:b].reshape(shape[:-1] + (m,)))
-    run = _runner_last_r2c(n, tb, interpret, narrow=narrow)
+    run = _runner_last_r2c(n, tb, interpret, narrow=narrow,
+                           envkey=_env_key())
     yr, yi = run(x2)
     yr, yi = yr[:b], yi[:b]
     if padded:
@@ -1516,7 +1497,8 @@ def ifft_last_c2r_stockham(xr, xi, n: int, interpret: bool = False,
         if pad:
             xr2 = jnp.pad(xr2, ((0, pad), (0, 0)))
             xi2 = jnp.pad(xi2, ((0, pad), (0, 0)))
-        run = _runner_last_c2r(n, tb, interpret, packed=True)
+        run = _runner_last_c2r(n, tb, interpret, packed=True,
+                               envkey=_env_key())
         y = run(xr2, xi2)
         return y[:b].reshape(shape[:-1] + (n,))
     assert shape[-1] in (h, n), (shape, h, n)
@@ -1530,7 +1512,7 @@ def ifft_last_c2r_stockham(xr, xi, n: int, interpret: bool = False,
     if pad:
         xr2 = jnp.pad(xr2, ((0, pad), (0, 0)))
         xi2 = jnp.pad(xi2, ((0, pad), (0, 0)))
-    run = _runner_last_c2r(n, tb, interpret)
+    run = _runner_last_c2r(n, tb, interpret, envkey=_env_key())
     y = run(xr2, xi2)
     return y[:b].reshape(shape[:-1] + (n,))
 
@@ -1565,7 +1547,8 @@ def fft_axis_stockham(xr, xi, axis: int, direction: Direction,
         if pad:
             xr2 = jnp.pad(xr2, ((0, pad), (0, 0)))
             xi2 = jnp.pad(xi2, ((0, pad), (0, 0)))
-        run = _runner_last(n, sign, tb, scale, interpret, io)
+        run = _runner_last(n, sign, tb, scale, interpret, io,
+                           envkey=_env_key())
         yr, yi = _chunk_rows_map(run, xr2, xi2, tb)
         return yr[:b].reshape(shape), yi[:b].reshape(shape)
     pre = int(np.prod(shape[:axis])) if axis else 1

@@ -77,6 +77,15 @@ def _local_core(local_shape, axes, direction=Direction.FORWARD,
     return _build_core(spec)
 
 
+
+def _require_real(x, what: str):
+    """R2C plans take REAL input; silently dropping an imaginary part via
+    astype would return a plausible-looking wrong spectrum."""
+    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.complexfloating):
+        raise TypeError(f"{what} takes real input, got {jnp.asarray(x).dtype}")
+    return x
+
+
 def _norm_scale(n: int, direction: Direction, norm: Norm) -> float:
     if norm == Norm.NONE:
         return 1.0
@@ -263,7 +272,7 @@ def make_plan_shards(shape, kind=Kind.C2C, direction=Direction.FORWARD,
             def __call__(self, x):
                 if self._destroyed:
                     raise RuntimeError("plan was destroyed")
-                x = jnp.asarray(x)
+                x = jnp.asarray(_require_real(x, "shards R2C plan"))
                 if x.shape != shape:
                     raise ValueError(
                         f"input shape {x.shape} != planned {shape}")
@@ -481,7 +490,7 @@ def make_plan_slab_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
         def __call__(self, x):
             if self._destroyed:
                 raise RuntimeError("plan was destroyed")
-            x = jnp.asarray(x)
+            x = jnp.asarray(_require_real(x, "slab R2C plan"))
             if x.shape != shape:
                 raise ValueError(f"input shape {x.shape} != planned {shape}")
             x = jax.lax.with_sharding_constraint(
@@ -731,7 +740,7 @@ def make_plan_pencil_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
         def __call__(self, v):
             if self._destroyed:
                 raise RuntimeError("plan was destroyed")
-            v = jnp.asarray(v)
+            v = jnp.asarray(_require_real(v, "pencil R2C plan"))
             if v.shape != shape:
                 raise ValueError(f"input shape {v.shape} != planned {shape}")
             v = jax.lax.with_sharding_constraint(v.astype(jnp.float32),
