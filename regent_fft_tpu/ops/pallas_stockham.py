@@ -868,7 +868,8 @@ def _runner_last(n: int, sign: int, tb: int, scale: float = 1.0,
 @functools.lru_cache(maxsize=64)
 def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
                       scale: float = 1.0, strips: int = 4, pre: int = 1,
-                      interpret: bool = False, envkey: str = ""):
+                      interpret: bool = False, io: str = "f32",
+                      envkey: str = ""):
     """Manual K-deep DMA-pipelined LEADING-axis FFT for big-stride reads.
 
     The automatic grid pipeline sustains only ~190-210 GB/s on the
@@ -884,8 +885,10 @@ def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
     Operands stay in ANY (HBM); ``x`` is the slab width in lanes and
     ``ncols`` the number of slabs (= trailing extent // x).
     """
-    wr_np, wi_np, _ = _packed_tables(n, sign)
+    tile, tabs = _tile_impl(io, n)
+    wr_np, wi_np = tabs(n, sign)
     s = np.float32(scale)
+    odt = _odt(io)
     sw = x // strips if strips > 1 else x
 
     def kernel(xr_hbm, xi_hbm, wr_ref, wi_ref, yr_hbm, yi_hbm,
@@ -942,13 +945,14 @@ def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
                 wait_out(slot, i - k)
             for t in range(strips):
                 sl = slice(t * sw, (t + 1) * sw)
-                fr, fi = _stockham_tile(vr[slot, :, sl], vi[slot, :, sl],
-                                        n, sign, wr_ref[:], wi_ref[:])
+                fr, fi = tile(vr[slot, :, sl].astype(jnp.float32),
+                              vi[slot, :, sl].astype(jnp.float32),
+                              n, sign, wr_ref[:], wi_ref[:])
                 if scale != 1.0:
                     fr = fr * s
                     fi = fi * s
-                ur[slot, :, sl] = fr
-                ui[slot, :, sl] = fi
+                ur[slot, :, sl] = fr.astype(odt)
+                ui[slot, :, sl] = fi.astype(odt)
             pltpu.make_async_copy(
                 ur.at[slot], yr_hbm.at[pl.ds(r0, n), pl.ds(c0, x)],
                 sout_r.at[slot]).start()
@@ -976,12 +980,12 @@ def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
             out_shape=[jax.ShapeDtypeStruct((pre * n, ncols * x),
-                                            jnp.float32)] * 2,
+                                            odt)] * 2,
             scratch_shapes=[
-                pltpu.VMEM((k, n, x), jnp.float32),
-                pltpu.VMEM((k, n, x), jnp.float32),
-                pltpu.VMEM((k, n, x), jnp.float32),
-                pltpu.VMEM((k, n, x), jnp.float32),
+                pltpu.VMEM((k, n, x), odt),
+                pltpu.VMEM((k, n, x), odt),
+                pltpu.VMEM((k, n, x), odt),
+                pltpu.VMEM((k, n, x), odt),
                 pltpu.SemaphoreType.DMA((k,)),
                 pltpu.SemaphoreType.DMA((k,)),
                 pltpu.SemaphoreType.DMA((k,)),
@@ -1019,7 +1023,7 @@ def fft_axis_dma(xr, xi, axis: int, direction: Direction,
     ncols = post // x
     run = _runner_axis0_dma(n, x, ncols, int(direction), k, float(scale),
                             pre=pre, interpret=interpret,
-                            envkey=_env_key())
+                            io=_plane_io(xr, n), envkey=_env_key())
     yr, yi = run(xr.reshape(pre * n, post), xi.reshape(pre * n, post))
     return yr.reshape(shape), yi.reshape(shape)
 

@@ -368,7 +368,7 @@ def _build_core(spec: PlanSpec):
                 _dma_min = int(_os.environ.get("REGENT_FFT_DMA_MIN_POST",
                                                "65536"))
                 if (not interp and a != xr.ndim - 1
-                        and xr.dtype == jnp.float32
+                        and xr.dtype in (jnp.float32, jnp.bfloat16)
                         and _post >= _dma_min
                         and _ps.axis0_dma_supported(arg, _post)):
                     # big-stride leading axis: the manual K-deep DMA ring
