@@ -123,6 +123,25 @@ def _a2a(xr, xi, axis_name: str, split: int, concat: int):
     return xr, xi
 
 
+def _rev_freq_sharded(x, axis: int, axis_name: str, p: int):
+    """Global modular frequency reversal x[k] -> x[(-k) mod n] along a
+    SHARDED axis, inside shard_map.
+
+    flip(local) + shard-order ppermute gives g with g[k] = x[n-1-k]; one
+    global roll by +1 row (boundary ppermute) turns that into the modular
+    reversal — including bin 0, which lands from the last shard's flipped
+    block automatically.  Two collectives, one of them a single row.
+    """
+    c = x.shape[axis]
+    g = jnp.flip(x, axis=axis)
+    g = lax.ppermute(g, axis_name, [(q, (p - 1 - q) % p) for q in range(p)])
+    last = jax.lax.slice_in_dim(g, c - 1, c, axis=axis)
+    prev_last = lax.ppermute(last, axis_name,
+                             [(q, (q + 1) % p) for q in range(p)])
+    rest = jax.lax.slice_in_dim(g, 0, c - 1, axis=axis)
+    return jnp.concatenate([prev_last, rest], axis=axis)
+
+
 def _chunked(n_chunks: int, extent: int):
     """Chunk slices along an axis for the overlap pipeline (1 = off)."""
     c = max(1, min(n_chunks, extent))
@@ -457,21 +476,67 @@ def make_plan_slab_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
                    backend=backend)
     local_real = (shape[0] // p,) + shape[1:]
     xh = shape[-1] // 2 + 1
-    core_r2c = _local_core(local_real, (nd_ - 1,), kind=Kind.R2C, **core_kw)
     mid_axes = tuple(range(1, nd_ - 1))
-    core_mid = _local_core(local_real[:-1] + (xh,), mid_axes,
-                           Direction.FORWARD, **core_kw)
-    core_z = _local_core((shape[0],) + (shape[1] // p,) + shape[2:-1] + (xh,),
-                         (0,), Direction.FORWARD, **core_kw)
+    from ..ops import pallas_stockham as _ps
+    packed = _ps.r2c_packed_supported(shape[-1])
+    if packed:
+        # Nyquist-packed transport (STATUS r2 limitation 4 closed): the
+        # half spectrum crosses every collective at n/2 lanes (lane-
+        # aligned) instead of n/2+1; the packed-lane untangle runs at the
+        # END, with the reversal over the then-sharded axis done by
+        # :func:`_rev_freq_sharded` (flip + 2 ppermutes).
+        from ..plan import _rev_freq
+        m = shape[-1] // 2
+        core_mid_p = _local_core(local_real[:-1] + (m,), mid_axes,
+                                 Direction.FORWARD, **core_kw)
+        core_z_p = _local_core(
+            (shape[0],) + (shape[1] // p,) + shape[2:-1] + (m,), (0,),
+            Direction.FORWARD, **core_kw)
 
-    def local_fn(x):
-        xr, xi = core_r2c(x)                                     # halve X
-        xr, xi = core_mid(xr, xi)                                # mid axes
-        xr, xi = _a2a(xr, xi, axis_name, 1, 0)
-        xr, xi = core_z(xr, xi)                                  # slab axis
-        if not transposed_out:
-            xr, xi = _a2a(xr, xi, axis_name, 0, 1)
-        return _apply_scale(xr, xi, scale)
+        def local_fn(x):
+            interp = jax.default_backend() != "tpu"
+            yr, yi = _ps.fft_last_r2c_stockham(x, interpret=interp,
+                                               packed=True)
+            yr, yi = core_mid_p(yr, yi)
+            yr, yi = _a2a(yr, yi, axis_name, 1, 0)
+            yr, yi = core_z_p(yr, yi)
+            if not transposed_out:
+                yr, yi = _a2a(yr, yi, axis_name, 0, 1)   # (Z/P, Y, m)
+                sh_axis, loc_axes = 0, list(range(1, nd_ - 1))
+            else:                                        # (Z, Y/P, m)
+                sh_axis, loc_axes = 1, [0] + list(range(2, nd_ - 1))
+            zr = yr[..., 0]
+            zi = yi[..., 0]
+            rr = _rev_freq_sharded(_rev_freq(zr, loc_axes), sh_axis,
+                                   axis_name, p)
+            ri = _rev_freq_sharded(_rev_freq(zi, loc_axes), sh_axis,
+                                   axis_name, p)
+            x0r = 0.5 * (zr + rr)
+            x0i = 0.5 * (zi - ri)
+            nqr = 0.5 * (zi + ri)
+            nqi = -0.5 * (zr - rr)
+            yr = jnp.concatenate([x0r[..., None], yr[..., 1:],
+                                  nqr[..., None]], axis=-1)
+            yi = jnp.concatenate([x0i[..., None], yi[..., 1:],
+                                  nqi[..., None]], axis=-1)
+            return _apply_scale(yr, yi, scale)
+    else:
+        core_r2c = _local_core(local_real, (nd_ - 1,), kind=Kind.R2C,
+                               **core_kw)
+        core_mid = _local_core(local_real[:-1] + (xh,), mid_axes,
+                               Direction.FORWARD, **core_kw)
+        core_z = _local_core(
+            (shape[0],) + (shape[1] // p,) + shape[2:-1] + (xh,), (0,),
+            Direction.FORWARD, **core_kw)
+
+        def local_fn(x):
+            xr, xi = core_r2c(x)                                 # halve X
+            xr, xi = core_mid(xr, xi)                            # mid axes
+            xr, xi = _a2a(xr, xi, axis_name, 1, 0)
+            xr, xi = core_z(xr, xi)                              # slab axis
+            if not transposed_out:
+                xr, xi = _a2a(xr, xi, axis_name, 0, 1)
+            return _apply_scale(xr, xi, scale)
 
     in_spec = P(axis_name, *([None] * (nd_ - 1)))
     out_spec = (P(None, axis_name, *([None] * (nd_ - 2)))

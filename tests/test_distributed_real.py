@@ -160,3 +160,23 @@ def test_slab_kernel_backend_interpret_under_shard_map():
     y = p(x)
     ref = np.fft.fftn(np.asarray(x, np.complex128))
     assert rel_l2(y, ref) < tolerance(x.size)
+
+
+def test_slab_r2c_packed_transport_matches_numpy():
+    # X = 256 -> n/2 = 128 is a lane multiple -> the packed Nyquist
+    # transport pipeline runs (incl. the cross-shard frequency reversal).
+    shape = (16, 8, 256)
+    x = RNG.standard_normal(shape).astype(np.float32)
+    plan = dist.make_plan_slab_r2c(shape, norm=Norm.NONE)
+    y = plan(x)
+    ref = np.fft.rfftn(np.asarray(x, np.float64))
+    assert rel_l2(y, ref) < tolerance(x.size)
+
+
+def test_slab_r2c_packed_transposed_out():
+    shape = (8, 8, 256)
+    x = RNG.standard_normal(shape).astype(np.float32)
+    plan = dist.make_plan_slab_r2c(shape, norm=Norm.NONE, transposed_out=True)
+    y = plan(x)
+    ref = np.fft.rfftn(np.asarray(x, np.float64))
+    assert rel_l2(y, ref) < tolerance(x.size)
