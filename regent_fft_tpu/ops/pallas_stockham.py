@@ -58,7 +58,9 @@ MAX_CALL_ELEMS = 4 * 1024 * 1024
 _ENV_KNOBS = ("REGENT_FFT_TILE_IMPL", "REGENT_FFT_F2_SCRATCH",
               "REGENT_FFT_F2_STRIPS", "REGENT_FFT_GAP_STRIPS",
               "REGENT_FFT_LAST_STRIPS", "REGENT_FFT_R2C_IMPL",
-              "REGENT_FFT_TAIL_PREC")
+              "REGENT_FFT_TAIL_PREC", "REGENT_FFT_A0FS_NOC",
+              "REGENT_FFT_A0FS_WA", "REGENT_FFT_A0FS_WB",
+              "REGENT_FFT_A0FS_VPU")
 
 
 def _env_key() -> str:
@@ -1000,11 +1002,27 @@ def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
     return run
 
 
+def _dma_slab_x(n: int, post: int) -> int:
+    """Slab lane width for the manual-DMA ring: the WHOLE trailing
+    extent when the (n, post) slab fits the VMEM envelope — then every
+    slab is ONE contiguous n*post*4-byte run (the mid-axis "plane slab"
+    mode: both ring sides stream at the contiguous rate instead of the
+    small-run strided floor) — else 512-lane column slabs."""
+    if post <= 2048 and n * post <= MAX_BLOCK_ELEMS and post % 128 == 0:
+        return post
+    return 512
+
+
 def axis0_dma_supported(n: int, post: int) -> bool:
-    """Can the manual-DMA leading-axis runner handle (n, post) planes?"""
-    return (n >= 2 and (n & (n - 1)) == 0 and 16 <= n <= MAX_STOCKHAM_N
-            and post % 512 == 0 and post >= 2048
-            and (n * 512) <= MAX_BLOCK_ELEMS)
+    """Can the manual-DMA leading/mid-axis runner handle (n, post)
+    planes?  Two slab modes: strided 512-lane columns (big post) or
+    whole contiguous (n, post) planes (post <= 2048)."""
+    if not (n >= 2 and (n & (n - 1)) == 0 and 16 <= n <= MAX_STOCKHAM_N):
+        return False
+    if post % 512 == 0 and post >= 2048 and (n * 512) <= MAX_BLOCK_ELEMS:
+        return True
+    return (post % 128 == 0 and post >= 128
+            and n * post <= MAX_BLOCK_ELEMS)
 
 
 def fft_axis_dma(xr, xi, axis: int, direction: Direction,
@@ -1019,7 +1037,7 @@ def fft_axis_dma(xr, xi, axis: int, direction: Direction,
     post = int(np.prod(shape[axis + 1:]))
     if not axis0_dma_supported(n, post):
         raise ValueError(f"axis-dma unsupported for {shape} axis {axis}")
-    x = 512
+    x = _dma_slab_x(n, post)
     ncols = post // x
     run = _runner_axis0_dma(n, x, ncols, int(direction), k, float(scale),
                             pre=pre, interpret=interpret,
@@ -1032,6 +1050,266 @@ def fft_axis_dma(xr, xi, axis: int, direction: Direction,
 def fft_axis0_dma(xr, xi, direction: Direction, scale: float = 1.0,
                   k: int = 2):
     return fft_axis_dma(xr, xi, 0, direction, scale, k)
+
+
+def _a0fs_split(n: int):
+    """Near-square pow2 split (r1 <= r2) for the two-pass leading-axis
+    four-step: stage A transforms over r1 rows spaced r2 apart, stage B
+    over r2 contiguous-group rows."""
+    r1 = 1 << ((n.bit_length() - 1) // 2)
+    return r1, n // r1
+
+
+def _a0fs_g(r: int, x: int, mid: int, env: str) -> int:
+    """Row-group size g of a four-step stage slab (r, g, x): the DMA
+    moves g*x*4-byte contiguous runs (the whole point — the measured
+    "strided floor" is a function of the contiguous run size: 2 KB runs
+    sustain ~225 GB/s, 32-64 KB runs ~660-700, docs/tpu_notes.md), so g
+    is as large as the VMEM slab budget allows.  g stays a multiple of 8
+    dividing ``mid`` so the 5-D operand view splits the array's
+    second-minor dim ON (8, 128)-tile boundaries — any other view shape
+    makes XLA materialize a relayout copy per pass boundary (measured:
+    +9.7 ms at 512^3 for (…, 8, 2048)-minor views)."""
+    import os
+    g = int(os.environ.get(env, "0")) or (MAX_BLOCK_ELEMS // (r * x))
+    g = max(8, min(g, mid) // 8 * 8)
+    while g > 8 and mid % g:
+        g -= 8
+    return g
+
+
+def axis0_fourstep_supported(n: int, post: int, x: int) -> bool:
+    """Can the two-pass four-step handle a leading axis of length n over
+    arrays whose trailing (minor) dim is x?"""
+    if n & (n - 1) or n < 64:
+        return False
+    r1, r2 = _a0fs_split(n)
+    mid = post // x if x else 0
+    return (r1 >= 8 and 8 <= r2 <= 64
+            and x % 128 == 0 and 128 <= x <= 2048
+            and post % x == 0 and mid >= 8 and mid % 8 == 0)
+
+
+@functools.lru_cache(maxsize=64)
+def _dft_mat(r: int, sign: int):
+    """Direct (r, r) DFT matrix, f64-generated, split planes."""
+    k = np.arange(r)
+    th = 2.0 * np.pi * float(sign) * np.outer(k, k) / r
+    return np.cos(th).astype(np.float32), np.sin(th).astype(np.float32)
+
+
+def _dg0_3m(mr, mi, ar, ai):
+    """3M complex contraction of an (r, r) matrix with (r, 8, w) slabs
+    over the LEADING rhs axis (Mosaic-native; see _mxu_tile.dg0)."""
+    def dg(m_, a_):
+        return jax.lax.dot_general(
+            m_, a_, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    t1 = dg(mr, ar)
+    t2 = dg(mi, ai)
+    t3 = dg(mr + mi, ar + ai)
+    return t1 - t2, t3 - t1 - t2
+
+
+@functools.lru_cache(maxsize=64)
+def _runner_a0fs(stage: str, n: int, r1: int, r2: int, g: int, x: int,
+                 nc: int, pre: int, sign: int, k: int,
+                 scale: float = 1.0, interpret: bool = False,
+                 io: str = "f32", envkey: str = ""):
+    """One stage of the two-pass leading-axis four-step, as a manual
+    K-deep DMA ring (same deferred-wait ring as :func:`_runner_axis0_dma`).
+
+    The single-pass leading-axis kernels read/write rows of only a few
+    hundred bytes at full-plane stride and sit on the measured ~225 GB/s
+    small-run floor.  Splitting n = r1 * r2 into two passes makes every
+    DMA run g*x*4 bytes (tens of KB) contiguous: slabs are (r, g, x)
+    cuts of a 5-D view whose int-indexed dims are UNTILED leading axes
+    (Mosaic rejects sub-8 slices of tiled dims) and whose (g, x)
+    trailing pair preserves the array's natural minor dim x and splits
+    its second-minor on an (8,)-tile boundary, so every reshape at the
+    pass interfaces is a free bitcast (see :func:`_a0fs_g`):
+
+    stage "a": view (pre*r1, r2, mid/g, g, x); slab [p*r1:+r1, b, c] =
+        rows spaced r2 apart; r1-point DFT over the slab's leading axis
+        (3M HIGHEST ``dot_general`` on the (r1, r1) matrix — leading-axis
+        contraction of a 3-D operand is Mosaic-native); the four-step
+        twiddle W_n^{k1 * b} is synthesized in-kernel from the slab's b
+        (per-row scalars — zero table traffic); written back to the SAME
+        rows.
+    stage "b": view (pre*n, mid/g, g, x); slab [p*n + k1*r2:+r2, c] =
+        one contiguous group, r2-point DFT over the leading axis; rows
+        written to the 5-D view (pre*r2, r1, mid/g, g, x) at
+        [p*r2:+r2, k1, c] — the digit-reversal transpose of the
+        four-step absorbed into the strided write, so the output is in
+        natural order.
+
+    This is the transposed-intermediate solver FFTW ships as
+    ``dft/indirect-transpose.c`` + the MPI rank-1 big-vector scheme
+    (``mpi/dft-rank1-bigvec.c``), re-shaped for DMA run granularity.
+    """
+    r = r1 if stage == "a" else r2
+    wr_np, wi_np = _dft_mat(r, sign)
+    s = np.float32(scale)
+    odt = _odt(io)
+    s2pi = 2.0 * np.pi * float(sign) / float(n)
+    per = (r2 if stage == "a" else r1) * nc
+
+    def kernel(xr_hbm, xi_hbm, wr_ref, wi_ref, yr_hbm, yi_hbm,
+               vr, vi, ur, ui, sin_r, sin_i, sout_r, sout_i):
+        total = pre * per
+
+        def _idx(i):
+            p = i // per if pre > 1 else 0
+            rem = jax.lax.rem(i, per) if pre > 1 else i
+            b = rem // nc if nc > 1 else rem
+            c = jax.lax.rem(rem, nc) if nc > 1 else 0
+            return p, b, c
+
+        def _src(ref, i):
+            p, b, c = _idx(i)
+            if stage == "a":
+                return ref.at[pl.ds(p * r1, r1), b, c]
+            return ref.at[pl.ds(p * n + b * r2, r2), c]
+
+        def _dst(ref, i):
+            if stage == "a":
+                return _src(ref, i)
+            p, k1, c = _idx(i)
+            return ref.at[pl.ds(p * r2, r2), k1, c]
+
+        def start_in(slot, i):
+            pltpu.make_async_copy(_src(xr_hbm, i), vr.at[slot],
+                                  sin_r.at[slot]).start()
+            pltpu.make_async_copy(_src(xi_hbm, i), vi.at[slot],
+                                  sin_i.at[slot]).start()
+
+        def wait_out(slot, i):
+            pltpu.make_async_copy(ur.at[slot], _dst(yr_hbm, i),
+                                  sout_r.at[slot]).wait()
+            pltpu.make_async_copy(ui.at[slot], _dst(yi_hbm, i),
+                                  sout_i.at[slot]).wait()
+
+        for i in range(min(k, total)):
+            start_in(i, i)
+
+        def body(i, _):
+            slot = jax.lax.rem(i, k)
+            pltpu.make_async_copy(_src(xr_hbm, i), vr.at[slot],
+                                  sin_r.at[slot]).wait()
+            pltpu.make_async_copy(_src(xi_hbm, i), vi.at[slot],
+                                  sin_i.at[slot]).wait()
+
+            @pl.when(i >= k)
+            def _():
+                wait_out(slot, i - k)
+            import os as _os
+            if _os.environ.get("REGENT_FFT_A0FS_NOC") == "1":
+                # DMA-floor probe variant: the ring is a manual copy, so
+                # (unlike grid kernels, which Mosaic re-tiles) this IS a
+                # valid floor for the slab pattern
+                ur[slot] = vr[slot]
+                ui[slot] = vi[slot]
+            else:
+                _, b, _ = _idx(i)
+                # four-step twiddle W_n^{row * b} (stage a) — synthesized
+                # per slab; f32-exact (row*b/n < r1, see _runner_cols_tw)
+                kv = jax.lax.broadcasted_iota(
+                    jnp.int32, (r, 1, 1), 0).astype(jnp.float32)
+                th = jnp.float32(s2pi) * kv * b.astype(jnp.float32)
+                twr = jnp.cos(th)
+                twi = jnp.sin(th)
+                fr, fi = _dg0_3m(wr_ref[:], wi_ref[:],
+                                 vr[slot].astype(jnp.float32),
+                                 vi[slot].astype(jnp.float32))
+                if stage == "a":
+                    fr, fi = fr * twr - fi * twi, fr * twi + fi * twr
+                elif scale != 1.0:
+                    fr = fr * s
+                    fi = fi * s
+                ur[slot] = fr.astype(odt)
+                ui[slot] = fi.astype(odt)
+            pltpu.make_async_copy(ur.at[slot], _dst(yr_hbm, i),
+                                  sout_r.at[slot]).start()
+            pltpu.make_async_copy(ui.at[slot], _dst(yi_hbm, i),
+                                  sout_i.at[slot]).start()
+
+            @pl.when(i + k < total)
+            def _():
+                start_in(slot, i + k)
+            return 0
+
+        jax.lax.fori_loop(0, total, body, 0)
+        for j in range(min(k, total)):
+            i = total - min(k, total) + j
+            wait_out(i % k, i)
+
+    # views keep every int-indexed dim UNTILED (rank >= 3 from the end)
+    # and the tiled (g, x) trailing pair always fully sliced
+    in_shape = ((pre * r1, r2, nc, g, x) if stage == "a"
+                else (pre * n, nc, g, x))
+    out_shape = ((pre * r1, r2, nc, g, x) if stage == "a"
+                 else (pre * r2, r1, nc, g, x))
+
+    def run(xr2, xi2):
+        assert xr2.shape == in_shape, (xr2.shape, in_shape)
+        return pl.pallas_call(
+            kernel,
+            grid=(),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+            out_shape=[jax.ShapeDtypeStruct(out_shape, odt)] * 2,
+            scratch_shapes=[
+                pltpu.VMEM((k, r, g, x), odt),
+                pltpu.VMEM((k, r, g, x), odt),
+                pltpu.VMEM((k, r, g, x), odt),
+                pltpu.VMEM((k, r, g, x), odt),
+                pltpu.SemaphoreType.DMA((k,)),
+                pltpu.SemaphoreType.DMA((k,)),
+                pltpu.SemaphoreType.DMA((k,)),
+                pltpu.SemaphoreType.DMA((k,)),
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            cost_estimate=pl.CostEstimate(
+                flops=int(6 * r * pre * n * nc * g * x),
+                bytes_accessed=4 * pre * n * nc * g * x * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(xr2, xi2, jnp.asarray(wr_np), jnp.asarray(wi_np))
+    return run
+
+
+def fft_axis0_fourstep(xr, xi, axis: int, direction: Direction,
+                       scale: float = 1.0, k: int = 2,
+                       interpret: bool = False):
+    """FFT along a leading/mid ``axis`` as TWO wide-run DMA-ring passes
+    (see :func:`_runner_a0fs`); output in natural order."""
+    import os
+    shape = xr.shape
+    axis = axis % xr.ndim
+    n = shape[axis]
+    pre = int(np.prod(shape[:axis])) if axis else 1
+    post = int(np.prod(shape[axis + 1:]))
+    x = shape[-1]
+    if not axis0_fourstep_supported(n, post, x):
+        raise ValueError(f"axis0-fourstep unsupported for {shape} ax {axis}")
+    mid = post // x
+    r1, r2 = _a0fs_split(n)
+    sign = int(direction)
+    io = _plane_io(xr, r1)
+    k = int(os.environ.get("REGENT_FFT_A0FS_K", str(k)))
+    ga = _a0fs_g(r1, x, mid, "REGENT_FFT_A0FS_WA")
+    gb = _a0fs_g(r2, x, mid, "REGENT_FFT_A0FS_WB")
+    runa = _runner_a0fs("a", n, r1, r2, ga, x, mid // ga, pre, sign,
+                        k, 1.0, interpret, io, envkey=_env_key())
+    runb = _runner_a0fs("b", n, r1, r2, gb, x, mid // gb, pre, sign,
+                        k, float(scale), interpret, io, envkey=_env_key())
+    ar, ai = runa(xr.reshape(pre * r1, r2, mid // ga, ga, x),
+                  xi.reshape(pre * r1, r2, mid // ga, ga, x))
+    yr, yi = runb(ar.reshape(pre * n, mid // gb, gb, x),
+                  ai.reshape(pre * n, mid // gb, gb, x))
+    return yr.reshape(shape), yi.reshape(shape)
 
 
 def _vt_cap(n: int) -> int:

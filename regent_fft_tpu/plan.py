@@ -367,13 +367,28 @@ def _build_core(spec: PlanSpec):
                 # 11.15) and 256^3x4 (post=64K: plan 11.57 -> 10.81)
                 _dma_min = int(_os.environ.get("REGENT_FFT_DMA_MIN_POST",
                                                "65536"))
+                _a0impl = _os.environ.get("REGENT_FFT_AXIS0_IMPL", "auto")
                 if (not interp and a != xr.ndim - 1
+                        and _a0impl in ("auto", "fourstep")
+                        and xr.dtype in (jnp.float32, jnp.bfloat16)
+                        and _post >= _dma_min
+                        and _ps.axis0_fourstep_supported(
+                            arg, _post, xr.shape[-1])):
+                    # big-stride leading axis: TWO wide-run DMA-ring
+                    # passes beat the small-run strided floor the
+                    # single-pass kernels sit on (512^3: 11.15 -> ~9.6,
+                    # docs/tpu_notes.md round-3 four-step probes)
+                    xr, xi = _ps.fft_axis0_fourstep(xr, xi, a,
+                                                    Direction(s),
+                                                    scale=ksc)
+                elif (not interp and a != xr.ndim - 1
+                        and _a0impl in ("auto", "dma")
                         and xr.dtype in (jnp.float32, jnp.bfloat16)
                         and _post >= _dma_min
                         and _ps.axis0_dma_supported(arg, _post)):
-                    # big-stride leading axis: the manual K-deep DMA ring
-                    # beats the grid pipeline's gather floor
-                    # (docs/tpu_notes.md round-3 probes)
+                    # the manual K-deep DMA ring still beats the grid
+                    # pipeline's gather floor where the four-step's view
+                    # constraints don't hold
                     xr, xi = _ps.fft_axis_dma(xr, xi, a, Direction(s),
                                               scale=ksc)
                 else:

@@ -141,6 +141,73 @@ def main():
         print(json.dumps({"probe": what, "K": k, "ms": round(t * 1e3, 3),
                           "rel_small": rel}))
         return
+    elif what in ("a0fsA", "a0fsB"):
+        # one stage of the four-step ring alone (REGENT_FFT_A0FS_NOC=1
+        # turns the compute off -> valid manual-DMA floor)
+        k = int(os.environ.get("PROBE_DMA_K", "2"))
+        n = size
+        x = size
+        mid = size
+        r1, r2 = ps._a0fs_split(n)
+        stage = "a" if what.endswith("A") else "b"
+        r = r1 if stage == "a" else r2
+        wv = ps._a0fs_g(r, x, mid, "REGENT_FFT_A0FS_W" + stage.upper())
+        nc = mid // wv
+        run = ps._runner_a0fs(stage, n, r1, r2, wv, x, nc, 1, -1, k,
+                              envkey=ps._env_key())
+        in_shape = ((r1, r2, nc, wv, x) if stage == "a"
+                    else (n, nc, wv, x))
+
+        def fn2(a, b):
+            yr, yi = run(a, b)
+            return yr.reshape(in_shape), yi.reshape(in_shape)
+
+        def step(c):
+            return fn2(*c)
+
+        def make_carry(seed):
+            kr, ki = jax.random.split(jax.random.PRNGKey(seed))
+            return (jax.random.normal(kr, in_shape, jnp.float32),
+                    jax.random.normal(ki, in_shape, jnp.float32))
+        t = timing.time_chain(step, make_carry, iters, 2, 100)
+        nbytes = n * post * 4 * 2 * 2
+        print(json.dumps({"probe": what, "K": k, "ms": round(t * 1e3, 3),
+                          "w": wv, "gbps": round(nbytes / t / 1e9, 1),
+                          "noc": os.environ.get("REGENT_FFT_A0FS_NOC", "0")}))
+        return
+    elif what == "a0fs":
+        k = int(os.environ.get("PROBE_DMA_K", "2"))
+        # correctness first (small, on hardware)
+        rng = np.random.default_rng(0)
+        small = rng.standard_normal((256, 8, 512)).astype(np.float32)
+        xr = jnp.asarray(small)
+        xi = jnp.asarray(rng.standard_normal((256, 8, 512)).astype(np.float32))
+        yr, yi = jax.jit(lambda a, b: ps.fft_axis0_fourstep(
+            a, b, 0, Direction.FORWARD, k=k))(xr, xi)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        ref = np.fft.fft(np.asarray(small, np.complex128)
+                         + 1j * np.asarray(xi, np.complex128), axis=0)
+        rel = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
+        assert rel < 1e-5, rel
+
+        def fn2(a, b):
+            return ps.fft_axis0_fourstep(a, b, 0, Direction.FORWARD, k=k)
+
+        def step(c):
+            return fn2(*c)
+
+        def make_carry(seed):
+            kr, ki = jax.random.split(jax.random.PRNGKey(seed))
+            return (jax.random.normal(kr, shape, jnp.float32),
+                    jax.random.normal(ki, shape, jnp.float32))
+        t = timing.time_chain(step, make_carry, iters, 2, 100)
+        print(json.dumps({"probe": what, "K": k, "ms": round(t * 1e3, 3),
+                          "rel_small": rel,
+                          "wa": os.environ.get("REGENT_FFT_A0FS_WA", "auto"),
+                          "wb": os.environ.get("REGENT_FFT_A0FS_WB", "auto"),
+                          "strips": os.environ.get("REGENT_FFT_A0FS_STRIPS",
+                                                   "auto")}))
+        return
     elif what == "dmadeep":
         # K-deep manual DMA ring over the axis-0 strided-read pattern:
         # read (Z, X) slabs (rows 1 MB apart) into VMEM, write each back

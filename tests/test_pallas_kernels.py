@@ -247,3 +247,35 @@ def test_axis_dma_ring_interpret():
         ref = np.fft.fft(x, axis=axis)
         assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < tolerance(
             shape[axis]), (shape, axis)
+
+
+def test_axis0_fourstep_interpret():
+    # two-pass wide-run four-step leading-axis kernel (round 3):
+    # forward + scaled inverse, batched (pre > 1) and mid-axis cases,
+    # natural output order (the digit-reversal transpose is absorbed
+    # into stage b's strided writes).
+    for shape, axis in [((64, 8, 512), 0), ((256, 16, 128), 0),
+                        ((2, 64, 16, 256), 1)]:
+        n = shape[axis]
+        post = int(np.prod(shape[axis + 1:]))
+        assert ps.axis0_fourstep_supported(n, post, shape[-1]), shape
+        x = crand(shape)
+        yr, yi = ps.fft_axis0_fourstep(
+            jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32),
+            axis, Direction.FORWARD, k=2, interpret=True)
+        y = np.asarray(yr) + 1j * np.asarray(yi)
+        ref = np.fft.fft(x, axis=axis)
+        assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < tolerance(
+            shape[axis]), (shape, axis)
+    # inverse with fused norm scale
+    shape = (64, 8, 512)
+    x = crand(shape)
+    yr, yi = ps.fft_axis0_fourstep(
+        jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32),
+        0, Direction.BACKWARD, scale=1.0 / 64, k=2, interpret=True)
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.ifft(x, axis=0)
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < tolerance(64)
+    # unsupported shapes raise (non-square-admissible / bad minor)
+    assert not ps.axis0_fourstep_supported(32, 65536, 512)
+    assert not ps.axis0_fourstep_supported(512, 512, 512)
