@@ -60,7 +60,8 @@ _ENV_KNOBS = ("REGENT_FFT_TILE_IMPL", "REGENT_FFT_F2_SCRATCH",
               "REGENT_FFT_LAST_STRIPS", "REGENT_FFT_R2C_IMPL",
               "REGENT_FFT_TAIL_PREC", "REGENT_FFT_A0FS_NOC",
               "REGENT_FFT_A0FS_WA", "REGENT_FFT_A0FS_WB",
-              "REGENT_FFT_A0FS_VPU")
+              "REGENT_FFT_A0FS_VPU", "REGENT_FFT_F2_IMPL",
+              "REGENT_FFT_A0FS_PREC", "REGENT_FFT_TAIL_MT")
 
 
 def _env_key() -> str:
@@ -79,7 +80,14 @@ def _tb_for(n: int) -> int:
 
 
 # Largest tail sub-transform finished on the MXU (see _stockham_tile).
+# REGENT_FFT_TAIL_MT overrides for A/B probes (one config per process:
+# _packed_tables is lru-cached on (n, sign) only).
 TAIL_MT = 32
+
+
+def _tail_mt_cap() -> int:
+    import os
+    return int(os.environ.get("REGENT_FFT_TAIL_MT", "0")) or TAIL_MT
 
 
 def _plan_stages(n: int):
@@ -87,17 +95,19 @@ def _plan_stages(n: int):
     sub-length exceeds TAIL_MT (every head stage keeps its butterfly span
     h = m/4 >= 16, i.e. full sublane tiles — the padded sub-8-row stages
     that used to dominate kernel time are gone)."""
+    cap = _tail_mt_cap()
     stages = []
     m = n
-    while m > TAIL_MT:
+    while m > cap:
         stages.append((4, m))
         m //= 4
     return stages
 
 
 def _tail_mt(n: int) -> int:
+    cap = _tail_mt_cap()
     m = n
-    while m > TAIL_MT:
+    while m > cap:
         m //= 4
     return m
 
@@ -188,17 +198,8 @@ def _stockham_tile_flat(xr, xi, n: int, sign: int, wr_all, wi_all):
     ti = wi_all[T:, :mt]
     a3r = jnp.stack([sr for sr, _ in slabs], axis=0)   # (L, mt, v)
     a3i = jnp.stack([si for _, si in slabs], axis=0)
-
-    def dg(m_, a_):
-        return jax.lax.dot_general(
-            m_, a_, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_tail_precision())
-
-    t1 = dg(tr, a3r)
-    t2 = dg(ti, a3i)
-    t3 = dg(tr + ti, a3r + a3i)
-    return (t1 - t2).reshape(n, v), (t3 - t1 - t2).reshape(n, v)
+    yr, yi = _dg_3m(tr, ti, a3r, a3i)
+    return yr.reshape(n, v), yi.reshape(n, v)
 
 
 def _pair_cmul(br, bi, wr, wi):
@@ -292,13 +293,44 @@ def _tile_impl(io: str, n: int):
     return _stockham_tile, (lambda n_, s_: _packed_tables(n_, s_)[:2])
 
 
-def _tail_precision():
-    """MXU precision of the tail contractions (A/B experiment knob)."""
+def _tail_precision() -> str:
+    """MXU scheme of the tail contractions: 'highest' (6-pass f32
+    emulation), 'b3' (manual bf16x3: split hi/lo, ONE K-concatenated
+    DEFAULT dot per product — Mosaic rejects Precision.HIGH so the
+    3-pass scheme must be hand-built), 'b32' (bf16x3 folded into TWO
+    shared-rhs 4M dots), or 'default' (single bf16 pass, complex32-grade
+    error)."""
     import os
-    p = os.environ.get("REGENT_FFT_TAIL_PREC", "highest")
-    return {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH,
-            "default": jax.lax.Precision.DEFAULT}[p]
+    return os.environ.get("REGENT_FFT_TAIL_PREC", "highest")
+
+
+def _bf16_hl(x):
+    """Exact-leading-bits split x ~= hi + lo into two bf16 planes (the
+    classic bf16x3 decomposition: hi carries the top 8 mantissa bits, lo
+    the next 8; the dropped lo*lo term is ~2^-16 relative)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _bf16_hml(x):
+    """3-way split x ~= h + m + l covering the full f32 mantissa (8 bits
+    per bf16 plane; keeping products down to weight 2^-16 reproduces
+    f32-grade ~1e-7 accuracy — the 'b6' scheme)."""
+    h = x.astype(jnp.bfloat16)
+    r = x - h.astype(jnp.float32)
+    m = r.astype(jnp.bfloat16)
+    l = (r - m.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h, m, l
+
+
+def _b6_operands(catm, cata, m3, a3):
+    """lhs/rhs K-concats for one b6 product: all hi/mid/lo cross terms
+    of weight >= 2^-16 (h*h, h*m, m*h, h*l, m*m, l*h), K = 6*mt."""
+    mh, mm, ml = m3
+    ah, am, al = a3
+    return (catm([mh, mh, mm, mh, mm, ml]),
+            cata([ah, am, ah, al, am, ah]))
 
 
 def _stockham_tile(xr, xi, n: int, sign: int, wr_all, wi_all):
@@ -871,7 +903,7 @@ def _runner_last(n: int, sign: int, tb: int, scale: float = 1.0,
 def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
                       scale: float = 1.0, strips: int = 4, pre: int = 1,
                       interpret: bool = False, io: str = "f32",
-                      envkey: str = ""):
+                      fuse_last: bool = False, envkey: str = ""):
     """Manual K-deep DMA-pipelined LEADING-axis FFT for big-stride reads.
 
     The automatic grid pipeline sustains only ~190-210 GB/s on the
@@ -886,15 +918,32 @@ def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
 
     Operands stay in ANY (HBM); ``x`` is the slab width in lanes and
     ``ncols`` the number of slabs (= trailing extent // x).
+
+    ``fuse_last`` (plane-slab mode only, ncols == 1): each (n, x) slab
+    is a complete trailing-two-axes plane, so the kernel also runs the
+    x-point butterfly over the slab's lane axis (in-VMEM transpose,
+    strip-mined — the fused2 body) before writing: ONE ring pass for
+    both trailing axes with manual K-deep DMA overlap instead of the
+    grid pipeline (``fftw-3.3.8/dft/rank-geq2.c`` + ``dft/buffered.c``).
     """
     tile, tabs = _tile_impl(io, n)
     wr_np, wi_np = tabs(n, sign)
     s = np.float32(scale)
     odt = _odt(io)
+    if fuse_last:
+        assert ncols == 1, "fuse_last requires whole-plane slabs"
+        strips = _sane_strips(max(1, (n * x) // 65536), n, x)
+        tile2, tabs2 = _tile_impl(io, x)
+        w2r_np, w2i_np = tabs2(x, sign)
     sw = x // strips if strips > 1 else x
 
-    def kernel(xr_hbm, xi_hbm, wr_ref, wi_ref, yr_hbm, yi_hbm,
-               vr, vi, ur, ui, sin_r, sin_i, sout_r, sout_i):
+    def kernel(xr_hbm, xi_hbm, wr_ref, wi_ref, *rest):
+        if fuse_last:
+            (w2r_ref, w2i_ref, yr_hbm, yi_hbm, vr, vi, ur, ui,
+             tsr, tsi, sin_r, sin_i, sout_r, sout_i) = rest
+        else:
+            (yr_hbm, yi_hbm, vr, vi, ur, ui,
+             sin_r, sin_i, sout_r, sout_i) = rest
         # separate in-ring (vr/vi) and out-ring (ur/ui) buffers: no
         # synchronous DMA wait sits between compute steps — out-writes
         # from iteration i are waited only at i+k, just before that out
@@ -945,16 +994,37 @@ def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
             @pl.when(i >= k)
             def _():
                 wait_out(slot, i - k)
-            for t in range(strips):
-                sl = slice(t * sw, (t + 1) * sw)
-                fr, fi = tile(vr[slot, :, sl].astype(jnp.float32),
-                              vi[slot, :, sl].astype(jnp.float32),
-                              n, sign, wr_ref[:], wi_ref[:])
-                if scale != 1.0:
-                    fr = fr * s
-                    fi = fi * s
-                ur[slot, :, sl] = fr.astype(odt)
-                ui[slot, :, sl] = fi.astype(odt)
+            if fuse_last:
+                # both trailing axes on the plane slab: axis-0 strips
+                # into the transposed scratch, lane-axis strips out
+                for t in range(strips):
+                    sl = slice(t * sw, (t + 1) * sw)
+                    fr, fi = tile(vr[slot, :, sl].astype(jnp.float32),
+                                  vi[slot, :, sl].astype(jnp.float32),
+                                  n, sign, wr_ref[:], wi_ref[:])
+                    tsr[sl, :] = fr.T
+                    tsi[sl, :] = fi.T
+                sw2 = n // strips
+                for t in range(strips):
+                    sl = slice(t * sw2, (t + 1) * sw2)
+                    br, bi = tile2(tsr[:, sl], tsi[:, sl], x, sign,
+                                   w2r_ref[:], w2i_ref[:])
+                    if scale != 1.0:
+                        br = br * s
+                        bi = bi * s
+                    ur[slot, sl, :] = br.T.astype(odt)
+                    ui[slot, sl, :] = bi.T.astype(odt)
+            else:
+                for t in range(strips):
+                    sl = slice(t * sw, (t + 1) * sw)
+                    fr, fi = tile(vr[slot, :, sl].astype(jnp.float32),
+                                  vi[slot, :, sl].astype(jnp.float32),
+                                  n, sign, wr_ref[:], wi_ref[:])
+                    if scale != 1.0:
+                        fr = fr * s
+                        fi = fi * s
+                    ur[slot, :, sl] = fr.astype(odt)
+                    ui[slot, :, sl] = fi.astype(odt)
             pltpu.make_async_copy(
                 ur.at[slot], yr_hbm.at[pl.ds(r0, n), pl.ds(c0, x)],
                 sout_r.at[slot]).start()
@@ -975,30 +1045,34 @@ def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
 
     def run(xr2, xi2):
         """xr2, xi2: (pre*n, ncols*x) 2-D views."""
+        tabs_ops = [jnp.asarray(wr_np), jnp.asarray(wi_np)]
+        scratch = [
+            pltpu.VMEM((k, n, x), odt),
+            pltpu.VMEM((k, n, x), odt),
+            pltpu.VMEM((k, n, x), odt),
+            pltpu.VMEM((k, n, x), odt),
+        ]
+        if fuse_last:
+            tabs_ops += [jnp.asarray(w2r_np), jnp.asarray(w2i_np)]
+            scratch += [pltpu.VMEM((x, n), jnp.float32)] * 2
+        scratch += [pltpu.SemaphoreType.DMA((k,))] * 4
+        lg = np.log2(n * x) if fuse_last else np.log2(n)
         return pl.pallas_call(
             kernel,
             grid=(),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(tabs_ops),
             out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
             out_shape=[jax.ShapeDtypeStruct((pre * n, ncols * x),
                                             odt)] * 2,
-            scratch_shapes=[
-                pltpu.VMEM((k, n, x), odt),
-                pltpu.VMEM((k, n, x), odt),
-                pltpu.VMEM((k, n, x), odt),
-                pltpu.VMEM((k, n, x), odt),
-                pltpu.SemaphoreType.DMA((k,)),
-                pltpu.SemaphoreType.DMA((k,)),
-                pltpu.SemaphoreType.DMA((k,)),
-                pltpu.SemaphoreType.DMA((k,)),
-            ],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             cost_estimate=pl.CostEstimate(
-                flops=int(10 * n * np.log2(n) * ncols * x),
-                bytes_accessed=4 * n * ncols * x * 4, transcendentals=0),
+                flops=int(10 * lg * pre * n * ncols * x),
+                bytes_accessed=4 * pre * n * ncols * x * 4,
+                transcendentals=0),
             interpret=interpret,
-        )(xr2, xi2, jnp.asarray(wr_np), jnp.asarray(wi_np))
+        )(xr2, xi2, *tabs_ops)
     return run
 
 
@@ -1052,6 +1126,34 @@ def fft_axis0_dma(xr, xi, direction: Direction, scale: float = 1.0,
     return fft_axis_dma(xr, xi, 0, direction, scale, k)
 
 
+def fused2_ring_supported(n1: int, n2: int) -> bool:
+    """Can the manual plane-ring run BOTH trailing axes in one pass?
+    Needs a whole (n1, n2) plane per slab plus the fused2 tile limits."""
+    return (n1 >= 16 and n2 >= LANE_TILE
+            and (n1 & (n1 - 1)) == 0 and (n2 & (n2 - 1)) == 0
+            and n1 <= MAX_STOCKHAM_N and n2 <= MAX_STOCKHAM_N
+            and n1 * n2 <= MAX_BLOCK_ELEMS)
+
+
+def fft_axes2_ring(xr, xi, direction: Direction, scale: float = 1.0,
+                   k: int = 2, interpret: bool = False):
+    """Fused FFT over the trailing TWO axes as ONE manual K-deep DMA-ring
+    pass over whole (n1, n2) plane slabs (see ``fuse_last`` in
+    :func:`_runner_axis0_dma`).  Ring alternative to the grid-pipelined
+    :func:`fft_axes2_stockham`."""
+    shape = xr.shape
+    n1, n2 = shape[-2], shape[-1]
+    if not fused2_ring_supported(n1, n2):
+        raise ValueError(f"fused2-ring unsupported for {shape}")
+    pre = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    run = _runner_axis0_dma(n1, n2, 1, int(direction), k, float(scale),
+                            pre=pre, interpret=interpret,
+                            io=_plane_io(xr, n1), fuse_last=True,
+                            envkey=_env_key())
+    yr, yi = run(xr.reshape(pre * n1, n2), xi.reshape(pre * n1, n2))
+    return yr.reshape(shape), yi.reshape(shape)
+
+
 def _a0fs_split(n: int):
     """Near-square pow2 split (r1 <= r2) for the two-pass leading-axis
     four-step: stage A transforms over r1 rows spaced r2 apart, stage B
@@ -1060,7 +1162,7 @@ def _a0fs_split(n: int):
     return r1, n // r1
 
 
-def _a0fs_g(r: int, x: int, mid: int, env: str) -> int:
+def _a0fs_g(r: int, x: int, mid: int, env: str, k: int = 2) -> int:
     """Row-group size g of a four-step stage slab (r, g, x): the DMA
     moves g*x*4-byte contiguous runs (the whole point — the measured
     "strided floor" is a function of the contiguous run size: 2 KB runs
@@ -1071,7 +1173,8 @@ def _a0fs_g(r: int, x: int, mid: int, env: str) -> int:
     makes XLA materialize a relayout copy per pass boundary (measured:
     +9.7 ms at 512^3 for (…, 8, 2048)-minor views)."""
     import os
-    g = int(os.environ.get(env, "0")) or (MAX_BLOCK_ELEMS // (r * x))
+    budget = MAX_BLOCK_ELEMS * 2 // max(2, k)   # 4 ring buffers x k slabs
+    g = int(os.environ.get(env, "0")) or (budget // (r * x))
     g = max(8, min(g, mid) // 8 * 8)
     while g > 8 and mid % g:
         g -= 8
@@ -1098,18 +1201,62 @@ def _dft_mat(r: int, sign: int):
     return np.cos(th).astype(np.float32), np.sin(th).astype(np.float32)
 
 
+def _a0fs_precision() -> str:
+    """MXU scheme of the four-step stage contractions — same options as
+    :func:`_tail_precision` (Mosaic rejects Precision.HIGH; the 3-pass
+    bf16x3 scheme is hand-built as 'b3'/'b32')."""
+    import os
+    return os.environ.get("REGENT_FFT_A0FS_PREC", "highest")
+
+
 def _dg0_3m(mr, mi, ar, ai):
-    """3M complex contraction of an (r, r) matrix with (r, 8, w) slabs
-    over the LEADING rhs axis (Mosaic-native; see _mxu_tile.dg0)."""
-    def dg(m_, a_):
+    """Complex contraction of an (r, r) matrix with (r, 8, w) slabs over
+    the LEADING rhs axis (Mosaic-native; see _mxu_tile.dg0), scheme per
+    :func:`_a0fs_precision`.  In the b3/b32 schemes the rhs hi/lo terms
+    concatenate along the UNTILED leading axis — near-free in vregs —
+    while K triples/sextuples, fixing the tiny-K MXU underutilization
+    of the (r, r) stage matmuls."""
+    p = _a0fs_precision()
+    catm = functools.partial(jnp.concatenate, axis=-1)
+    cata = functools.partial(jnp.concatenate, axis=0)
+
+    def dg(m_, a_, prec):
         return jax.lax.dot_general(
             m_, a_, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-    t1 = dg(mr, ar)
-    t2 = dg(mi, ai)
-    t3 = dg(mr + mi, ar + ai)
-    return t1 - t2, t3 - t1 - t2
+            preferred_element_type=jnp.float32, precision=prec)
+
+    if p in ("highest", "default"):
+        prec = (jax.lax.Precision.HIGHEST if p == "highest"
+                else jax.lax.Precision.DEFAULT)
+        t1 = dg(mr, ar, prec)
+        t2 = dg(mi, ai, prec)
+        t3 = dg(mr + mi, ar + ai, prec)
+        return t1 - t2, t3 - t1 - t2
+    if p == "b6":
+        lr1, rr1 = _b6_operands(catm, cata, _bf16_hml(mr), _bf16_hml(ar))
+        li1, ri1 = _b6_operands(catm, cata, _bf16_hml(mi), _bf16_hml(ai))
+        ls1, rs1 = _b6_operands(catm, cata, _bf16_hml(mr + mi),
+                                _bf16_hml(ar + ai))
+        t1 = dg(lr1, rr1, None)
+        t2 = dg(li1, ri1, None)
+        t3 = dg(ls1, rs1, None)
+        return t1 - t2, t3 - t1 - t2
+    arh, arl = _bf16_hl(ar)
+    aih, ail = _bf16_hl(ai)
+    mrh, mrl = _bf16_hl(mr)
+    mih, mil = _bf16_hl(mi)
+    if p in ("b3", "high"):
+        msh, msl = _bf16_hl(mr + mi)
+        ash, asl = _bf16_hl(ar + ai)
+        t1 = dg(catm([mrh, mrh, mrl]), cata([arh, arl, arh]), None)
+        t2 = dg(catm([mih, mih, mil]), cata([aih, ail, aih]), None)
+        t3 = dg(catm([msh, msh, msl]), cata([ash, asl, ash]), None)
+        return t1 - t2, t3 - t1 - t2
+    assert p == "b32", p
+    rhs = cata([arh, arl, arh, aih, ail, aih])
+    yr = dg(catm([mrh, mrh, mrl, -mih, -mih, -mil]), rhs, None)
+    yi = dg(catm([mih, mih, mil, mrh, mrh, mrl]), rhs, None)
+    return yr, yi
 
 
 @functools.lru_cache(maxsize=64)
@@ -1299,8 +1446,8 @@ def fft_axis0_fourstep(xr, xi, axis: int, direction: Direction,
     sign = int(direction)
     io = _plane_io(xr, r1)
     k = int(os.environ.get("REGENT_FFT_A0FS_K", str(k)))
-    ga = _a0fs_g(r1, x, mid, "REGENT_FFT_A0FS_WA")
-    gb = _a0fs_g(r2, x, mid, "REGENT_FFT_A0FS_WB")
+    ga = _a0fs_g(r1, x, mid, "REGENT_FFT_A0FS_WA", k)
+    gb = _a0fs_g(r2, x, mid, "REGENT_FFT_A0FS_WB", k)
     runa = _runner_a0fs("a", n, r1, r2, ga, x, mid // ga, pre, sign,
                         k, 1.0, interpret, io, envkey=_env_key())
     runb = _runner_a0fs("b", n, r1, r2, gb, x, mid // gb, pre, sign,
@@ -1436,17 +1583,57 @@ def _stockham_head(xr, xi, n: int, sign: int, wr_all, wi_all):
 
 
 def _dg_3m(tr, ti, a3r, a3i):
-    """3M-product complex contraction of a (mt', mt) matrix with (L, mt, v)
-    planes -> (mt', L, v)."""
-    def dg(m_, a_):
+    """Complex contraction of a (mt', mt) matrix with (L, mt, v) planes
+    -> (mt', L, v), scheme per :func:`_tail_precision`.
+
+    'highest' runs the 3M (Karatsuba) product at HIGHEST — 3 dots x 6
+    f32-emulation passes at K=mt.  'b3' hand-builds bf16x3: each 3M
+    product becomes ONE DEFAULT dot with the hi/lo terms concatenated
+    along the contraction axis (K=3mt — which also fixes the M=K=mt
+    MXU underutilization the emulation passes suffer).  'b32' goes
+    further: the 4M real/imag forms share one K=6mt rhs, so the whole
+    complex contraction is TWO DEFAULT dots."""
+    p = _tail_precision()
+    catm = functools.partial(jnp.concatenate, axis=-1)   # lhs (mt', K)
+    cata = functools.partial(jnp.concatenate, axis=-2)   # rhs (L, K, v)
+
+    def dg(m_, a_, prec):
         return jax.lax.dot_general(
-            m_, a_, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-    t1 = dg(tr, a3r)
-    t2 = dg(ti, a3i)
-    t3 = dg(tr + ti, a3r + a3i)
-    return t1 - t2, t3 - t1 - t2
+            m_, a_, (((1,), (a_.ndim - 2,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    if p in ("highest", "default"):
+        prec = (jax.lax.Precision.HIGHEST if p == "highest"
+                else jax.lax.Precision.DEFAULT)
+        t1 = dg(tr, a3r, prec)
+        t2 = dg(ti, a3i, prec)
+        t3 = dg(tr + ti, a3r + a3i, prec)
+        return t1 - t2, t3 - t1 - t2
+    if p == "b6":
+        lr1, rr1 = _b6_operands(catm, cata, _bf16_hml(tr), _bf16_hml(a3r))
+        li1, ri1 = _b6_operands(catm, cata, _bf16_hml(ti), _bf16_hml(a3i))
+        ls1, rs1 = _b6_operands(catm, cata, _bf16_hml(tr + ti),
+                                _bf16_hml(a3r + a3i))
+        t1 = dg(lr1, rr1, None)
+        t2 = dg(li1, ri1, None)
+        t3 = dg(ls1, rs1, None)
+        return t1 - t2, t3 - t1 - t2
+    arh, arl = _bf16_hl(a3r)
+    aih, ail = _bf16_hl(a3i)
+    trh, trl = _bf16_hl(tr)
+    tih, til = _bf16_hl(ti)
+    if p in ("b3", "high"):
+        tsh, tsl = _bf16_hl(tr + ti)
+        ash, asl = _bf16_hl(a3r + a3i)
+        t1 = dg(catm([trh, trh, trl]), cata([arh, arl, arh]), None)
+        t2 = dg(catm([tih, tih, til]), cata([aih, ail, aih]), None)
+        t3 = dg(catm([tsh, tsh, tsl]), cata([ash, asl, ash]), None)
+        return t1 - t2, t3 - t1 - t2
+    assert p == "b32", p
+    rhs = cata([arh, arl, arh, aih, ail, aih])
+    yr = dg(catm([trh, trh, trl, -tih, -tih, -til]), rhs, None)
+    yi = dg(catm([tih, tih, til, trh, trh, trl]), rhs, None)
+    return yr, yi
 
 
 def _r2c_tables(n: int):

@@ -140,6 +140,11 @@ def _norm_scale(spec: PlanSpec) -> float:
 # persisted/restored via utils.wisdom (VERDICT r1 missing #4).
 _BACKEND_WISDOM: dict = {}
 
+# Default for the fused trailing-pair pass: grid pipeline until the
+# plane-ring variant proves out on hardware (REGENT_FFT_F2_IMPL=ring
+# forces it for A/B probes; flipped to True if/when measured faster).
+_F2_RING_DEFAULT = False
+
 
 def _backend_key(spec: PlanSpec) -> PlanSpec:
     return dataclasses.replace(spec, backend="auto", planner="estimate",
@@ -343,6 +348,7 @@ def _build_core(spec: PlanSpec):
         output write for free (FFT linearity lets the norm scale attach
         to any stage)."""
         s = int(direction)
+        import os as _os
         last_fusable = len(steps) - 1 if (
             steps and steps[-1][0] in ("stockham", "stockham2",
                                        "stockham4", "stockham_gap")) else -1
@@ -359,7 +365,6 @@ def _build_core(spec: PlanSpec):
             elif kind_ == "stockham":
                 from .ops import pallas_stockham as _ps
                 interp = jax.default_backend() != "tpu"
-                import os as _os
                 _post = 1
                 for _d in xr.shape[a + 1:]:
                     _post *= _d
@@ -370,10 +375,14 @@ def _build_core(spec: PlanSpec):
                 _a0impl = _os.environ.get("REGENT_FFT_AXIS0_IMPL", "auto")
                 if (not interp and a != xr.ndim - 1
                         and _a0impl in ("auto", "fourstep")
-                        and xr.dtype in (jnp.float32, jnp.bfloat16)
+                        and (xr.dtype == jnp.float32
+                             or _a0impl == "fourstep")
                         and _post >= _dma_min
                         and _ps.axis0_fourstep_supported(
                             arg, _post, xr.shape[-1])):
+                    # f32 only by default: at bf16 the single-pass ring
+                    # halves bytes while fourstep pays two passes
+                    # (measured 256^3 c32: ring 7.77 vs fourstep 8.6)
                     # big-stride leading axis: TWO wide-run DMA-ring
                     # passes beat the small-run strided floor the
                     # single-pass kernels sit on (512^3: 11.15 -> ~9.6,
@@ -398,8 +407,19 @@ def _build_core(spec: PlanSpec):
             elif kind_ == "stockham2":
                 from .ops import pallas_stockham as _ps
                 interp = jax.default_backend() != "tpu"
-                xr, xi = _ps.fft_axes2_stockham(
-                    xr, xi, Direction(s), scale=ksc, interpret=interp)
+                _f2 = _os.environ.get("REGENT_FFT_F2_IMPL", "auto")
+                n1, n2 = arg
+                if (not interp and _f2 in ("auto", "ring")
+                        and _f2 != "grid"
+                        and _ps.fused2_ring_supported(n1, n2)
+                        and (_f2 == "ring" or _F2_RING_DEFAULT)):
+                    # manual plane-ring fused pass: K-deep DMA overlap
+                    # beats the grid pipeline's 2-deep (512^3 measured)
+                    xr, xi = _ps.fft_axes2_ring(xr, xi, Direction(s),
+                                                scale=ksc)
+                else:
+                    xr, xi = _ps.fft_axes2_stockham(
+                        xr, xi, Direction(s), scale=ksc, interpret=interp)
             elif kind_ == "stockham_gap":
                 from .ops import pallas_stockham as _ps
                 interp = jax.default_backend() != "tpu"

@@ -151,7 +151,7 @@ def main():
         r1, r2 = ps._a0fs_split(n)
         stage = "a" if what.endswith("A") else "b"
         r = r1 if stage == "a" else r2
-        wv = ps._a0fs_g(r, x, mid, "REGENT_FFT_A0FS_W" + stage.upper())
+        wv = ps._a0fs_g(r, x, mid, "REGENT_FFT_A0FS_W" + stage.upper(), k)
         nc = mid // wv
         run = ps._runner_a0fs(stage, n, r1, r2, wv, x, nc, 1, -1, k,
                               envkey=ps._env_key())
@@ -170,10 +170,73 @@ def main():
             return (jax.random.normal(kr, in_shape, jnp.float32),
                     jax.random.normal(ki, in_shape, jnp.float32))
         t = timing.time_chain(step, make_carry, iters, 2, 100)
-        nbytes = n * post * 4 * 2 * 2
+        nbytes = n * mid * x * 4 * 2 * 2
         print(json.dumps({"probe": what, "K": k, "ms": round(t * 1e3, 3),
                           "w": wv, "gbps": round(nbytes / t / 1e9, 1),
                           "noc": os.environ.get("REGENT_FFT_A0FS_NOC", "0")}))
+        return
+    elif what == "fused2ring":
+        # manual plane-ring fused trailing-pair pass vs the grid fused2
+        k = int(os.environ.get("PROBE_DMA_K", "2"))
+        rng = np.random.default_rng(0)
+        small = rng.standard_normal((4, 128, 512)).astype(np.float32)
+        smi = rng.standard_normal((4, 128, 512)).astype(np.float32)
+        yr, yi = jax.jit(lambda a, b: ps.fft_axes2_ring(
+            a, b, Direction.FORWARD, k=k))(jnp.asarray(small),
+                                           jnp.asarray(smi))
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        ref = np.fft.fft2(small.astype(np.complex128) + 1j * smi,
+                          axes=(-2, -1))
+        rel = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
+        assert rel < 1e-5, rel
+
+        def fn2(a, b):
+            return ps.fft_axes2_ring(a, b, Direction.FORWARD, k=k)
+
+        def step(c):
+            return fn2(*c)
+
+        def make_carry(seed):
+            kr, ki = jax.random.split(jax.random.PRNGKey(seed))
+            return (jax.random.normal(kr, shape, jnp.float32),
+                    jax.random.normal(ki, shape, jnp.float32))
+        t = timing.time_chain(step, make_carry, iters, 2, 100)
+        nbytes = size ** 3 * 4 * 2 * 2
+        print(json.dumps({"probe": what, "K": k, "ms": round(t * 1e3, 3),
+                          "rel_small": rel,
+                          "gbps": round(nbytes / t / 1e9, 1)}))
+        return
+    elif what == "middma":
+        # mid-axis (Y) ring in the NEW contiguous plane-slab mode:
+        # post = size <= 2048 so each slab is a whole (n, x) plane =
+        # one contiguous run
+        k = int(os.environ.get("PROBE_DMA_K", "2"))
+        rng = np.random.default_rng(0)
+        small = rng.standard_normal((4, 128, 512)).astype(np.float32)
+        smi = rng.standard_normal((4, 128, 512)).astype(np.float32)
+        yr, yi = jax.jit(lambda a, b: ps.fft_axis_dma(
+            a, b, 1, Direction.FORWARD, k=k))(jnp.asarray(small),
+                                              jnp.asarray(smi))
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        ref = np.fft.fft(small.astype(np.complex128) + 1j * smi, axis=1)
+        rel = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
+        assert rel < 1e-5, rel
+
+        def fn2(a, b):
+            return ps.fft_axis_dma(a, b, 1, Direction.FORWARD, k=k)
+
+        def step(c):
+            return fn2(*c)
+
+        def make_carry(seed):
+            kr, ki = jax.random.split(jax.random.PRNGKey(seed))
+            return (jax.random.normal(kr, shape, jnp.float32),
+                    jax.random.normal(ki, shape, jnp.float32))
+        t = timing.time_chain(step, make_carry, iters, 2, 100)
+        nbytes = size ** 3 * 4 * 2 * 2
+        print(json.dumps({"probe": what, "K": k, "ms": round(t * 1e3, 3),
+                          "rel_small": rel,
+                          "gbps": round(nbytes / t / 1e9, 1)}))
         return
     elif what == "a0fs":
         k = int(os.environ.get("PROBE_DMA_K", "2"))

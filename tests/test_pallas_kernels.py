@@ -45,6 +45,34 @@ def test_stockham_kernel_interpret(shape, axis):
     assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < tolerance(shape[axis])
 
 
+@pytest.mark.parametrize("prec,tol", [
+    ("b6", 5e-7), ("b3", 2e-5), ("b32", 2e-5), ("default", 5e-7),
+])
+def test_tail_precision_schemes(prec, tol, monkeypatch):
+    # hand-built bf16 emulation schemes for the MXU tail (Mosaic rejects
+    # Precision.HIGH): b6 must hold f32-grade accuracy, b3/b32 bf16x3
+    # grade.  ("default" stays f32-exact in CPU interpret mode.)
+    monkeypatch.setenv("REGENT_FFT_TAIL_PREC", prec)
+    monkeypatch.setenv("REGENT_FFT_A0FS_PREC", prec)
+    x = crand((512, 256))
+    run = ps._runner_axis0(512, -1, 128, interpret=True, envkey=ps._env_key())
+    yr, yi = run(jnp.asarray(x.real, jnp.float32),
+                 jnp.asarray(x.imag, jnp.float32))
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft(x, axis=0)
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < tol, prec
+    # a0fs stage contraction under the same schemes
+    m = 32
+    mat = crand((m, m)).astype(np.complex64)
+    a = crand((m, 8, 128)).astype(np.complex64)
+    tr, ti = jnp.asarray(mat.real), jnp.asarray(mat.imag)
+    ar, ai = jnp.asarray(a.real), jnp.asarray(a.imag)
+    gr, gi = jax.jit(ps._dg0_3m)(tr, ti, ar, ai)
+    got = np.asarray(gr) + 1j * np.asarray(gi)
+    ref2 = np.einsum("kj,jbw->kbw", mat, a)
+    assert np.linalg.norm(got - ref2) / np.linalg.norm(ref2) < max(tol, 1e-6)
+
+
 def test_stockham_backward():
     x = crand((256, 130))
     yr, yi = ps.fft_axis_stockham(
@@ -247,6 +275,30 @@ def test_axis_dma_ring_interpret():
         ref = np.fft.fft(x, axis=axis)
         assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < tolerance(
             shape[axis]), (shape, axis)
+
+
+def test_fused2_ring_interpret():
+    # manual plane-ring fused trailing-pair kernel (round 3): both
+    # trailing axes in one ring pass, batched pre, fused scale.
+    for shape in [(4, 64, 128), (2, 3, 32, 256)]:
+        x = crand(shape)
+        yr, yi = ps.fft_axes2_ring(
+            jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32),
+            Direction.FORWARD, k=2, interpret=True)
+        y = np.asarray(yr) + 1j * np.asarray(yi)
+        ref = np.fft.fft2(x, axes=(-2, -1))
+        assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < tolerance(
+            max(shape[-2:])), shape
+    shape = (4, 64, 128)
+    x = crand(shape)
+    yr, yi = ps.fft_axes2_ring(
+        jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32),
+        Direction.BACKWARD, scale=1.0 / (64 * 128), k=2, interpret=True)
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.ifft2(x, axes=(-2, -1))
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < tolerance(128)
+    assert not ps.fused2_ring_supported(512, 1024)   # > block envelope
+    assert not ps.fused2_ring_supported(8, 512)      # n1 < 16
 
 
 def test_axis0_fourstep_interpret():
