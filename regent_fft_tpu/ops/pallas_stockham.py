@@ -473,8 +473,17 @@ def _default_strips(n1: int, n2: int) -> int:
     v5e, honest timer, r3): whole-block fused2 ran with ~5 ms of UNHIDDEN
     compute (11.7 ms total); strips=4 overlaps it (9.6 ms), strips=2 is
     intermediate (11.0).  Both factor extents must admit >= 128-lane
-    strips."""
-    return _sane_strips(max(1, (n1 * n2) // 65536), n1, n2)
+    strips.  The bf16-emulation tail schemes keep a 3x (b3/b32) or 6x
+    (b6/b62) rhs K-concat live per tail contraction, so their strips
+    shrink accordingly (measured: b32 at the f32 strip size overflows
+    the 16M scoped-VMEM stack by 3.4M at 512^2 blocks)."""
+    cap = 65536
+    p = _tail_precision()
+    if p in ("b3", "b32", "high"):
+        cap //= 2
+    elif p in ("b6", "b62"):
+        cap //= 4
+    return _sane_strips(max(1, (n1 * n2) // cap), n1, n2)
 
 
 def _sane_strips(strips: int, n1: int, n2: int) -> int:
@@ -1174,6 +1183,11 @@ def _a0fs_g(r: int, x: int, mid: int, env: str, k: int = 2) -> int:
     +9.7 ms at 512^3 for (…, 8, 2048)-minor views)."""
     import os
     budget = MAX_BLOCK_ELEMS * 2 // max(2, k)   # 4 ring buffers x k slabs
+    if _a0fs_precision() in ("b6", "b62"):
+        # 3-way (h/m/l) splits keep a 6x-slab bf16 rhs concat live in
+        # scoped VMEM; halve the slab or the kernel stack OOMs (measured:
+        # 16.41M vs the 16M scoped limit at g=32, x=512)
+        budget //= 2
     g = int(os.environ.get(env, "0")) or (budget // (r * x))
     g = max(8, min(g, mid) // 8 * 8)
     while g > 8 and mid % g:
@@ -1241,6 +1255,13 @@ def _dg0_3m(mr, mi, ar, ai):
         t2 = dg(li1, ri1, None)
         t3 = dg(ls1, rs1, None)
         return t1 - t2, t3 - t1 - t2
+    if p == "b62":
+        lr6, rr6 = _b6_operands(catm, cata, _bf16_hml(mr), _bf16_hml(ar))
+        li6, ri6 = _b6_operands(catm, cata, _bf16_hml(mi), _bf16_hml(ai))
+        rhs = cata([rr6, ri6])
+        yr = dg(catm([lr6, -li6]), rhs, None)
+        yi = dg(catm([li6, lr6]), rhs, None)
+        return yr, yi
     arh, arl = _bf16_hl(ar)
     aih, ail = _bf16_hl(ai)
     mrh, mrl = _bf16_hl(mr)
@@ -1592,7 +1613,11 @@ def _dg_3m(tr, ti, a3r, a3i):
     along the contraction axis (K=3mt — which also fixes the M=K=mt
     MXU underutilization the emulation passes suffer).  'b32' goes
     further: the 4M real/imag forms share one K=6mt rhs, so the whole
-    complex contraction is TWO DEFAULT dots."""
+    complex contraction is TWO DEFAULT dots.  'b62' applies the same
+    shared-rhs 4M fold to the FULL 3-way (h/m/l) bf16x3 split — TWO
+    DEFAULT dots at K=12mt holding f32-grade accuracy (the 2-way
+    splits cap at ~2^-17 data representation error; the 3-way split
+    removes it) while keeping b32's one-streaming-dot dispatch shape."""
     p = _tail_precision()
     catm = functools.partial(jnp.concatenate, axis=-1)   # lhs (mt', K)
     cata = functools.partial(jnp.concatenate, axis=-2)   # rhs (L, K, v)
@@ -1618,6 +1643,13 @@ def _dg_3m(tr, ti, a3r, a3i):
         t2 = dg(li1, ri1, None)
         t3 = dg(ls1, rs1, None)
         return t1 - t2, t3 - t1 - t2
+    if p == "b62":
+        lr6, rr6 = _b6_operands(catm, cata, _bf16_hml(tr), _bf16_hml(a3r))
+        li6, ri6 = _b6_operands(catm, cata, _bf16_hml(ti), _bf16_hml(a3i))
+        rhs = cata([rr6, ri6])
+        yr = dg(catm([lr6, -li6]), rhs, None)
+        yi = dg(catm([li6, lr6]), rhs, None)
+        return yr, yi
     arh, arl = _bf16_hl(a3r)
     aih, ail = _bf16_hl(a3i)
     trh, trl = _bf16_hl(tr)

@@ -46,7 +46,8 @@ def test_stockham_kernel_interpret(shape, axis):
 
 
 @pytest.mark.parametrize("prec,tol", [
-    ("b6", 5e-7), ("b3", 2e-5), ("b32", 2e-5), ("default", 5e-7),
+    ("b6", 5e-7), ("b3", 2e-5), ("b32", 2e-5), ("b62", 5e-7),
+    ("default", 5e-7),
 ])
 def test_tail_precision_schemes(prec, tol, monkeypatch):
     # hand-built bf16 emulation schemes for the MXU tail (Mosaic rejects
