@@ -21,7 +21,7 @@ from .plan import (Plan, PlanSpec, make_plan, execute_plan, destroy_plan,
                    clear_plan_cache, cached_plans)
 from .api import (fft, ifft, fft2, ifft2, fftn, ifftn,
                   rfft, irfft, rfft2, irfft2, rfftn, irfftn,
-                  fftshift, ifftshift, fftfreq, rfftfreq,
+                  fftshift, ifftshift, fftfreq, rfftfreq, hfft, ihfft,
                   generate_fft_interface, FFTInterface)
 from .parallel.mesh import make_fft_mesh, make_pencil_mesh
 from .parallel.distributed import (DistributedFFTPlan, make_plan_shards,
@@ -36,7 +36,8 @@ from .utils.wisdom import (export_wisdom_to_string, export_wisdom_to_filename,
 from .utils.calibrate import calibrate, Calibration
 from .guru import (IODim, GuruPlan, GuruR2RPlan, plan_guru, plan_guru_r2r,
                    plan_many)
-from .ops.r2r import R2RKind, R2RPlan, plan_r2r, r2r, dct, dst, dht
+from .ops.r2r import (R2RKind, R2RPlan, plan_r2r, r2r, dct, dst, dht,
+                      idct, idst, idht)
 
 __version__ = "0.1.0"
 

@@ -202,6 +202,30 @@ def rfft2(x, s=None, axes=(-2, -1), norm=None, **opts):
     return rfftn(x, s=s, axes=axes, norm=norm, **opts)
 
 
+# Hermitian-input transforms (numpy.fft parity).  numpy defines them by
+# direction-swapped conjugate identities — hfft(a) == irfft(conj(a)) at the
+# swapped norm — which map straight onto the existing r2c/c2r plan kinds.
+_SWAP_NORM = {None: "forward", "backward": "forward",
+              "forward": "backward", "ortho": "ortho", "none": "none"}
+
+
+def _conj(x):
+    if isinstance(x, SplitComplex):
+        return SplitComplex(x.re, -jnp.asarray(x.im))
+    return jnp.conj(jnp.asarray(x))
+
+
+def hfft(x, n: Optional[int] = None, axis: int = -1, norm=None, **opts):
+    """FFT of Hermitian-symmetric input (half spectrum) -> real output of
+    length ``n`` (default 2*(m-1)); numpy.fft.hfft semantics."""
+    return irfft(_conj(x), n=n, axis=axis, norm=_SWAP_NORM[norm], **opts)
+
+
+def ihfft(x, n: Optional[int] = None, axis: int = -1, norm=None, **opts):
+    """Inverse of :func:`hfft`: real input -> conjugated half spectrum."""
+    return _conj(rfft(x, n=n, axis=axis, norm=_SWAP_NORM[norm], **opts))
+
+
 # Shift/frequency helpers (numpy parity; trivial but part of "everything a
 # user needs to switch").  SplitComplex shifts plane-wise.
 def fftshift(x, axes=None):

@@ -375,3 +375,30 @@ def dst(x, type: int = 2, axis: int = -1):
 def dht(x, axis: int = -1):
     """Discrete Hartley transform (FFTW_DHT)."""
     return r2r(x, R2RKind.DHT, axis)
+
+
+# Inverse one-shots (scipy.fft idct/idst parity, norm=None semantics:
+# idct(dct(x)) == x * logical_n).  FFTW pairs the kinds as REDFT10<->01
+# etc. (fftw-3.3.8/doc "Real even/odd DFTs"); type 1 and 4 are their own
+# inverse kind.
+_INV_TYPE = {1: 1, 2: 3, 3: 2, 4: 4}
+
+
+def idct(x, type: int = 2, axis: int = -1):
+    """Unnormalized inverse DCT: the FFTW-kind inverse of dct(type)."""
+    if type not in _INV_TYPE:
+        raise ValueError(f"DCT type must be 1-4, got {type}")
+    return dct(x, _INV_TYPE[type], axis)
+
+
+def idst(x, type: int = 2, axis: int = -1):
+    """Unnormalized inverse DST: the FFTW-kind inverse of dst(type)."""
+    if type not in _INV_TYPE:
+        raise ValueError(f"DST type must be 1-4, got {type}")
+    return dst(x, _INV_TYPE[type], axis)
+
+
+def idht(x, axis: int = -1):
+    """Inverse DHT (DHT is its own unnormalized inverse: idht(dht(x)) ==
+    x * n)."""
+    return r2r(x, R2RKind.DHT, axis)

@@ -159,32 +159,45 @@ def core_chain(core: Callable, spec, cdtype=None) -> Tuple[Callable, Callable]:
             return (_randn(kr, s.shape), _randn(ki, s.shape))
         return step, make_carry
 
-    raxis = s.axes[-1]
-    n = s.shape[raxis]
+    # R2C/C2R: the output shape differs from the input's, so the chain
+    # carries the INPUT, serialized by a (numerically sub-ulp) scalar
+    # derived from a FULL-OUTPUT reduction: every output element must be
+    # computed (a narrower bump lets XLA slice the final untangle pass to
+    # one column).  Measured at the 256^3x4 r2c suite shape (v5e):
+    #   probe ([..., :1] bump, narrowable)           7.20 ms
+    #   full-sum bump (this design)                  7.66 ms
+    #   old slice + lane-misaligned concat re-pack   9.93 ms (relayout glue
+    #     measured as transform time)
+    #   optimization_barrier variants               11.0-11.8 ms (the
+    #     barrier forces extra materializations worth ~3.4 ms — rejected)
+    # Caveat: XLA may still fuse the reduction into the untangle pass and
+    # elide the final HBM write (~0.5-1 pass at these sizes), so real
+    # transforms' rows can under-report by up to ~10%; acceptable next to
+    # the alternatives' 30%+ glue inflation.
+    def _bump_of(*arrs):
+        b = jnp.float32(0.0)
+        for a in arrs:
+            b = b + jnp.sum(a, dtype=jnp.float32)
+        return b * jnp.float32(1e-30)
 
     if s.kind == Kind.R2C:
-        # core: real (shape) -> (yr, yi) half planes.  Re-pack the two
-        # half planes into one full-length real array along raxis.
         def step(x):
             yr, yi = core(x)
-            a = jax.lax.slice_in_dim(yr, 0, (n + 1) // 2, axis=raxis)
-            b = jax.lax.slice_in_dim(yi, 0, n // 2, axis=raxis)
-            return jnp.concatenate([a, b], axis=raxis)
+            bump = _bump_of(yr, yi).astype(x.dtype)
+            return x.at[(0,) * x.ndim].add(bump)
 
         def make_carry(seed):
             return _randn(jax.random.PRNGKey(seed), s.shape)
         return step, make_carry
 
-    # C2R: core (xr, xi half planes) -> real full shape.  Slice the real
-    # output into two overlapping half-spectrum planes.
+    # C2R: core (xr, xi half planes) -> real full shape.
     half = _half_shape(s)
-    hn = half[raxis]
 
     def step(c):
         y = core(*c)
-        a = jax.lax.slice_in_dim(y, 0, hn, axis=raxis)
-        b = jax.lax.slice_in_dim(y, n - hn, n, axis=raxis)
-        return (a, b)
+        xr, xi = c
+        bump = _bump_of(y).astype(xr.dtype)
+        return (xr.at[(0,) * xr.ndim].add(bump), xi)
 
     def make_carry(seed):
         kr, ki = jax.random.split(jax.random.PRNGKey(seed))

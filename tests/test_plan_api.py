@@ -203,3 +203,28 @@ def test_float64_input_downcasts_without_x64():
     assert rel_l2(rft.fft(x), np.fft.fft(x)) < tolerance(64)
     z = RNG.standard_normal(64) + 1j * RNG.standard_normal(64)  # complex128
     assert rel_l2(rft.fft(z), np.fft.fft(z)) < tolerance(64)
+
+
+# ---------------- Hermitian-input transforms (numpy.fft hfft/ihfft) -------
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+def test_hfft_matches_numpy(norm):
+    m = 65
+    x = crand((3, m))
+    got = np.asarray(rft.hfft(x, norm=norm))
+    ref = np.fft.hfft(x.astype(np.complex128), norm=norm or "backward")
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < tolerance(128)
+
+
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+def test_ihfft_matches_numpy(norm):
+    n = 128
+    x = RNG.standard_normal((3, n)).astype(np.float32)
+    got = to_numpy_complex(rft.ihfft(x, norm=norm))
+    ref = np.fft.ihfft(x.astype(np.float64), norm=norm or "backward")
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < tolerance(n)
+
+
+def test_hfft_ihfft_roundtrip():
+    n = 96
+    x = RNG.standard_normal((2, n)).astype(np.float32)
+    assert rel_l2(rft.hfft(rft.ihfft(x), n=n), x) < tolerance(n)

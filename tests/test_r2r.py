@@ -117,3 +117,18 @@ def test_r2r_validation():
     with pytest.raises(ValueError):
         from regent_fft_tpu.ops.r2r import build_r2r_1d
         build_r2r_1d(1, R2RKind.REDFT00)
+
+
+def test_idct_idst_idht_inverses():
+    import regent_fft_tpu as rft
+    n = 24
+    x = np.random.default_rng(3).standard_normal((3, n)).astype(np.float32)
+    # FFTW logical sizes: DCT/DST-1 2(n-1)/2(n+1), types 2-4 2n; DHT n.
+    for t, logical in [(1, 2 * (n - 1)), (2, 2 * n), (3, 2 * n), (4, 2 * n)]:
+        y = np.asarray(rft.idct(rft.dct(x, type=t), type=t))
+        assert _rel(y, x.astype(np.float64) * logical) < _tol(n), ("dct", t)
+    for t, logical in [(1, 2 * (n + 1)), (2, 2 * n), (3, 2 * n), (4, 2 * n)]:
+        y = np.asarray(rft.idst(rft.dst(x, type=t), type=t))
+        assert _rel(y, x.astype(np.float64) * logical) < _tol(n), ("dst", t)
+    y = np.asarray(rft.idht(rft.dht(x)))
+    assert _rel(y, x.astype(np.float64) * n) < _tol(n)
