@@ -402,3 +402,48 @@ def idht(x, axis: int = -1):
     """Inverse DHT (DHT is its own unnormalized inverse: idht(dht(x)) ==
     x * n)."""
     return r2r(x, R2RKind.DHT, axis)
+
+
+# N-D one-shots (scipy.fft.dctn/dstn parity, norm=None semantics).  FFTW
+# expresses these as a single fftw_plan_r2r with one kind per axis
+# (fftw-3.3.8/api/plan-r2r.c); these helpers build exactly that plan.
+
+def _axes_default(x, axes):
+    if axes is None:
+        return tuple(range(x.ndim))
+    if isinstance(axes, int):
+        return (axes,)
+    return tuple(axes)
+
+
+def dctn(x, type: int = 2, axes=None):
+    """Unnormalized N-D DCT over ``axes`` (scipy.fft.dctn(norm=None))."""
+    if type not in _DCT_TYPES:
+        raise ValueError(f"DCT type must be 1-4, got {type}")
+    x = jnp.asarray(x)
+    axes = _axes_default(x, axes)
+    return plan_r2r(x.shape, _DCT_TYPES[type], axes=axes)(x)
+
+
+def idctn(x, type: int = 2, axes=None):
+    """Unnormalized N-D inverse DCT: idctn(dctn(x)) == x * prod(2*n_ax)
+    for type 2/3 (FFTW logical sizes)."""
+    if type not in _INV_TYPE:
+        raise ValueError(f"DCT type must be 1-4, got {type}")
+    return dctn(x, _INV_TYPE[type], axes)
+
+
+def dstn(x, type: int = 2, axes=None):
+    """Unnormalized N-D DST over ``axes`` (scipy.fft.dstn(norm=None))."""
+    if type not in _DST_TYPES:
+        raise ValueError(f"DST type must be 1-4, got {type}")
+    x = jnp.asarray(x)
+    axes = _axes_default(x, axes)
+    return plan_r2r(x.shape, _DST_TYPES[type], axes=axes)(x)
+
+
+def idstn(x, type: int = 2, axes=None):
+    """Unnormalized N-D inverse DST (FFTW kind pairing, see idst)."""
+    if type not in _INV_TYPE:
+        raise ValueError(f"DST type must be 1-4, got {type}")
+    return dstn(x, _INV_TYPE[type], axes)

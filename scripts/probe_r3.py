@@ -112,6 +112,37 @@ def main():
         out = {"probe": what, "ms": round(t * 1e3, 3), "dtype": dt}
         print(json.dumps(out))
         return
+    elif what in ("c32f2", "c32ax", "c32last", "c32mid"):
+        # complex32 (bf16-plane) pass breakdown at 256^3x4: fused2 block
+        # kernel (c32f2), the axis-1 DMA ring (c32ax), or the single-axis
+        # kernels (c32last/c32mid).
+        shape = (4, 256, 256, 256)
+
+        if what == "c32f2":
+            def fn2(a, b):
+                return ps.fft_axes2_stockham(a, b, Direction.FORWARD)
+        elif what == "c32ax":
+            def fn2(a, b):
+                return ps.fft_axis_dma(a, b, 1, Direction.FORWARD)
+        elif what == "c32last":
+            def fn2(a, b):
+                return ps.fft_axis_stockham(a, b, 3, Direction.FORWARD)
+        else:
+            def fn2(a, b):
+                return ps.fft_axis_stockham(a, b, 2, Direction.FORWARD)
+
+        def step(c):
+            return fn2(*c)
+
+        def make_carry(seed):
+            kr, ki = jax.random.split(jax.random.PRNGKey(seed))
+            return (jax.random.normal(kr, shape, jnp.float32)
+                    .astype(jnp.bfloat16),
+                    jax.random.normal(ki, shape, jnp.float32)
+                    .astype(jnp.bfloat16))
+        t = timing.time_chain(step, make_carry, iters, 2, 100)
+        print(json.dumps({"probe": what, "ms": round(t * 1e3, 3)}))
+        return
     elif what == "axis0dma":
         k = int(os.environ.get("PROBE_DMA_K", "4"))
         # correctness first (small)

@@ -10,6 +10,7 @@ import pytest
 from scipy import fft as sfft
 
 import regent_fft_tpu as rft
+from regent_fft_tpu.ops import r2r as r2r_mod
 from regent_fft_tpu.ops.r2r import R2RKind, logical_size
 
 SIZES = [4, 5, 8, 12, 16, 27, 32]
@@ -132,3 +133,26 @@ def test_idct_idst_idht_inverses():
         assert _rel(y, x.astype(np.float64) * logical) < _tol(n), ("dst", t)
     y = np.asarray(rft.idht(rft.dht(x)))
     assert _rel(y, x.astype(np.float64) * n) < _tol(n)
+
+
+@pytest.mark.parametrize("typ", [1, 2, 3, 4])
+def test_dctn_dstn_match_scipy(typ):
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((6, 8, 10)).astype(np.float32)
+    got = np.asarray(r2r_mod.dctn(x, type=typ, axes=(1, 2)))
+    ref = sfft.dctn(np.asarray(x, np.float64), type=typ, axes=(1, 2))
+    assert np.allclose(got, ref, rtol=2e-5, atol=2e-4 * np.abs(ref).max())
+    got = np.asarray(r2r_mod.dstn(x, type=typ))
+    ref = sfft.dstn(np.asarray(x, np.float64), type=typ)
+    assert np.allclose(got, ref, rtol=2e-5, atol=2e-4 * np.abs(ref).max())
+
+
+def test_idctn_idstn_inverses():
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((4, 8)).astype(np.float32)
+    for fwd, inv in ((r2r_mod.dctn, r2r_mod.idctn),
+                     (r2r_mod.dstn, r2r_mod.idstn)):
+        y = inv(fwd(x, type=2), type=2)
+        scale = np.prod([2 * n for n in x.shape])
+        assert np.allclose(np.asarray(y), x * scale, rtol=1e-4,
+                           atol=1e-3 * np.abs(x).max() * scale)
