@@ -210,6 +210,9 @@ def bench_suite(iters: int = 6, deadline: float = None):
     fams.append(entry("3d_c2c_256cubed_complex32", PlanSpec(
         shape=(4, 256, 256, 256), axes=(1, 2, 3), kind=Kind.C2C,
         direction=Direction.FORWARD, norm=Norm.NONE, dtype="complex32")))
+    fams.append(entry("3d_c2c_512cubed_complex32", PlanSpec(
+        shape=(512, 512, 512), axes=(0, 1, 2), kind=Kind.C2C,
+        direction=Direction.FORWARD, norm=Norm.NONE, dtype="complex32")))
 
     # --- prime / non-smooth sizes (FFTW headline capability: dft/rader.c;
     # VERDICT r2 weak #8: the artifact matrix was all powers of two) ---

@@ -61,7 +61,8 @@ _ENV_KNOBS = ("REGENT_FFT_TILE_IMPL", "REGENT_FFT_F2_SCRATCH",
               "REGENT_FFT_TAIL_PREC", "REGENT_FFT_A0FS_NOC",
               "REGENT_FFT_A0FS_WA", "REGENT_FFT_A0FS_WB",
               "REGENT_FFT_A0FS_VPU", "REGENT_FFT_F2_IMPL",
-              "REGENT_FFT_A0FS_PREC", "REGENT_FFT_TAIL_MT")
+              "REGENT_FFT_A0FS_PREC", "REGENT_FFT_TAIL_MT",
+              "REGENT_FFT_DMA_X", "REGENT_FFT_MXU_IMPL")
 
 
 def _env_key() -> str:
@@ -284,11 +285,50 @@ def _mxu_tile(xr, xi, n: int, sign: int, wr_all, wi_all,
     return dr.reshape(n, v), di.reshape(n, v)
 
 
+@functools.lru_cache(maxsize=64)
+def _direct_tables(n: int, sign: int):
+    """Dense DFT_n matrix planes for :func:`_direct_tile`."""
+    k = np.arange(n)
+    th = 2.0 * np.pi * float(sign) * np.outer(k, k) / n
+    return np.cos(th).astype(np.float32), np.sin(th).astype(np.float32)
+
+
+def _direct_tile(xr, xi, n: int, sign: int, wr, wi,
+                 precision=jax.lax.Precision.DEFAULT):
+    """ONE dense DFT_n matmul over axis 0 of (n, v) values — zero
+    reshapes/relayouts (the four-step :func:`_mxu_tile` pays sublane
+    splits + a twiddle pass).  Only sane at DEFAULT precision (bf16
+    one-pass MXU: n^2 MACs are cheaper than the relayouts it removes);
+    longer K accumulates more bf16 rounding, so the complex32 error
+    grows ~sqrt(n/16)x vs the four-step tile."""
+    def dg(m_, a_):
+        return jax.lax.dot_general(
+            m_, a_, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+    t1 = dg(wr, xr)
+    t2 = dg(wi, xi)
+    t3 = dg(wr + wi, xr + xi)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _mxu_impl() -> str:
+    """complex32 block-compute tile: 'direct' (one dense DFT_n dot;
+    default — measured 2.8x faster than fourstep at 256^3 AND slightly
+    more accurate: one bf16 rounding stage instead of two + twiddle) or
+    'fourstep' (two short-K dots + twiddle)."""
+    import os
+    return os.environ.get("REGENT_FFT_MXU_IMPL", "direct")
+
+
 def _tile_impl(io: str, n: int):
     """(tile_fn, tables_fn) per block I/O dtype: bf16 (complex32) blocks
-    use the all-MXU DEFAULT tile when the length admits it — the VPU
-    butterfly cost doesn't shrink at bf16, the MXU's does."""
+    use an all-MXU DEFAULT tile when the length admits it — the VPU
+    butterfly cost doesn't shrink at bf16, the MXU's does.  Direct is
+    capped at n=512 (the dense DFT_n table pair costs 8*n^2 bytes of
+    VMEM; past that the four-step's packed tables win)."""
     if io == "bf16" and mxu_tile_supported(n):
+        if _mxu_impl() == "direct" and n <= 512:
+            return _direct_tile, _direct_tables
         return _mxu_tile, _mxu_tables
     return _stockham_tile, (lambda n_, s_: _packed_tables(n_, s_)[:2])
 
@@ -1085,14 +1125,24 @@ def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
     return run
 
 
-def _dma_slab_x(n: int, post: int) -> int:
+def _dma_slab_x(n: int, post: int, io: str = "f32") -> int:
     """Slab lane width for the manual-DMA ring: the WHOLE trailing
     extent when the (n, post) slab fits the VMEM envelope — then every
     slab is ONE contiguous n*post*4-byte run (the mid-axis "plane slab"
     mode: both ring sides stream at the contiguous rate instead of the
-    small-run strided floor) — else 512-lane column slabs."""
+    small-run strided floor) — else 512-lane column slabs.  bf16 slabs
+    (complex32) double the lane count when the envelope admits it: the
+    strided floor is a contiguous-RUN-SIZE effect (docs/tpu_notes.md
+    round-3 late findings), so equal-BYTE runs need 2x the bf16 lanes."""
+    import os
+    ov = int(os.environ.get("REGENT_FFT_DMA_X", "0"))
+    if ov:
+        return ov if post % ov == 0 else 512
     if post <= 2048 and n * post <= MAX_BLOCK_ELEMS and post % 128 == 0:
         return post
+    if (io == "bf16" and post % 1024 == 0
+            and n * 1024 <= MAX_BLOCK_ELEMS):
+        return 1024
     return 512
 
 
@@ -1120,11 +1170,12 @@ def fft_axis_dma(xr, xi, axis: int, direction: Direction,
     post = int(np.prod(shape[axis + 1:]))
     if not axis0_dma_supported(n, post):
         raise ValueError(f"axis-dma unsupported for {shape} axis {axis}")
-    x = _dma_slab_x(n, post)
+    io = _plane_io(xr, n)
+    x = _dma_slab_x(n, post, io)
     ncols = post // x
     run = _runner_axis0_dma(n, x, ncols, int(direction), k, float(scale),
                             pre=pre, interpret=interpret,
-                            io=_plane_io(xr, n), envkey=_env_key())
+                            io=io, envkey=_env_key())
     yr, yi = run(xr.reshape(pre * n, post), xi.reshape(pre * n, post))
     return yr.reshape(shape), yi.reshape(shape)
 

@@ -343,6 +343,12 @@ def _build_core(spec: PlanSpec):
                 steps.append(("general", a, build_1d(n, direction)))
         return steps
 
+    # Filled at trace time with the impl actually dispatched per step
+    # index (fftw_print_plan analog — Plan.describe renders it); the
+    # stockham/stockham2 impl choice depends on runtime operand shape
+    # and dtype, so it is recorded here rather than re-derived.
+    trace_log = {}
+
     def run_steps(steps, xr, xi, direction, fuse_scale: float = 1.0):
         """Execute the steps; ``fuse_scale`` rides the LAST kernel step's
         output write for free (FFT linearity lets the norm scale attach
@@ -360,6 +366,7 @@ def _build_core(spec: PlanSpec):
                 # non-kernel steps compute in f32 (XLA fuses the casts)
                 xr, xi = xr.astype(jnp.float32), xi.astype(jnp.float32)
             if kind_ == "direct":
+                trace_log[idx] = f"direct-einsum(n={arg})"
                 xr, xi = _stockham.direct_dft_axis(
                     xr, xi, a, arg, s, precision, u3)
             elif kind_ == "stockham":
@@ -387,6 +394,7 @@ def _build_core(spec: PlanSpec):
                     # passes beat the small-run strided floor the
                     # single-pass kernels sit on (512^3: 11.15 -> ~9.6,
                     # docs/tpu_notes.md round-3 four-step probes)
+                    trace_log[idx] = f"kernel-fourstep-ring(n={arg})"
                     xr, xi = _ps.fft_axis0_fourstep(xr, xi, a,
                                                     Direction(s),
                                                     scale=ksc)
@@ -398,9 +406,11 @@ def _build_core(spec: PlanSpec):
                     # the manual K-deep DMA ring still beats the grid
                     # pipeline's gather floor where the four-step's view
                     # constraints don't hold
+                    trace_log[idx] = f"kernel-dma-ring(n={arg})"
                     xr, xi = _ps.fft_axis_dma(xr, xi, a, Direction(s),
                                               scale=ksc)
                 else:
+                    trace_log[idx] = f"kernel-butterfly(n={arg})"
                     xr, xi = _ps.fft_axis_stockham(
                         xr, xi, a, Direction(s), scale=ksc,
                         interpret=interp)
@@ -415,26 +425,33 @@ def _build_core(spec: PlanSpec):
                         and (_f2 == "ring" or _F2_RING_DEFAULT)):
                     # manual plane-ring fused pass: K-deep DMA overlap
                     # beats the grid pipeline's 2-deep (512^3 measured)
+                    trace_log[idx] = f"kernel-fused2-ring{arg}"
                     xr, xi = _ps.fft_axes2_ring(xr, xi, Direction(s),
                                                 scale=ksc)
                 else:
+                    trace_log[idx] = f"kernel-fused2{arg}"
                     xr, xi = _ps.fft_axes2_stockham(
                         xr, xi, Direction(s), scale=ksc, interpret=interp)
             elif kind_ == "stockham_gap":
                 from .ops import pallas_stockham as _ps
                 interp = jax.default_backend() != "tpu"
+                trace_log[idx] = f"kernel-gap-fused{arg}"
                 xr, xi = _ps.fft_axes_gap_stockham(
                     xr, xi, Direction(s), scale=ksc, interpret=interp)
             elif kind_ == "stockham4":
                 from .ops import pallas_stockham as _ps
                 interp = jax.default_backend() != "tpu"
+                trace_log[idx] = f"kernel-fourstep-last(n={arg})"
                 xr, xi = _ps.fft_last_four_step(
                     xr, xi, Direction(s), scale=ksc, interpret=interp)
             elif kind_ == "mixed2":
                 n, n1 = arg
+                trace_log[idx] = f"einsum-mixed2({n}={n1}x{n // n1})"
                 xr, xi = _stockham.mixed_radix_fft_axis(
                     xr, xi, a, n, n1, s, precision, u3)
             else:
+                trace_log[idx] = (f"1d-pipeline[{_stockham.schedule_description(
+                    xr.shape[a], mr)}]")
                 xr, xi = _nd.apply_along_axis(arg, a, xr, xi)
             if bf:
                 xr, xi = xr.astype(jnp.bfloat16), xi.astype(jnp.bfloat16)
@@ -481,6 +498,8 @@ def _build_core(spec: PlanSpec):
                 yr = yr * jnp.asarray(scale, yr.dtype)
                 yi = yi * jnp.asarray(scale, yi.dtype)
             return yr, yi
+        core._plan_steps = steps
+        core._trace_log = trace_log
         return core
 
     ndim = len(spec.shape)
@@ -566,6 +585,16 @@ def _build_core(spec: PlanSpec):
                 yr = yr * jnp.asarray(scale, yr.dtype)
                 yi = yi * jnp.asarray(scale, yi.dtype)
             return yr, yi
+        core._plan_steps = steps
+        core._trace_log = trace_log
+        if kernel_r2c:
+            core._real_note = ("shared-head row-pair kernel r2c"
+                               + (" [nyquist-packed mids]" if packed_real
+                                  else ""))
+        elif half_cfft is not None:
+            core._real_note = "half-length conjugate-even kernel r2c"
+        else:
+            core._real_note = "conjugate-even einsum r2c"
         return core
 
     # C2R: inverse complex transforms on leading axes, then packed c2r on
@@ -615,6 +644,16 @@ def _build_core(spec: PlanSpec):
         if scale != 1.0 and not fused:
             y = y * jnp.asarray(scale, y.dtype)
         return y
+    core._plan_steps = steps
+    core._trace_log = trace_log
+    if kernel_c2r:
+        core._real_note = ("fused kernel c2r"
+                           + (" [nyquist-packed mids]" if packed_real
+                              else ""))
+    elif half_cinv is not None:
+        core._real_note = "half-length conjugate-even kernel c2r"
+    else:
+        core._real_note = "conjugate-even einsum c2r"
     return core
 
 
@@ -701,6 +740,32 @@ class Plan:
         cplx_bytes = int(np.prod(_half_shape(self.spec))) * itemsize
         return real_bytes + cplx_bytes
 
+    def _traced_steps(self):
+        """(steps, trace_log, real_note) recorded by the core at trace
+        time, or (None, None, None) if the core predates the recorder.
+        Triggers one abstract trace (jax.eval_shape — no compile) when
+        the plan has never executed, so describe() can report the impls
+        that will actually dispatch."""
+        core = self._core
+        steps = getattr(core, "_plan_steps", None)
+        if steps is None:
+            return None, None, None
+        log = core._trace_log
+        if steps and not log:
+            try:
+                s = self.spec
+                cdt = self._cdtype
+                if s.kind == Kind.R2C:
+                    av = jax.ShapeDtypeStruct(s.shape, cdt)
+                    jax.eval_shape(core, av)
+                else:
+                    sh = s.shape if s.kind == Kind.C2C else _half_shape(s)
+                    av = jax.ShapeDtypeStruct(sh, cdt)
+                    jax.eval_shape(core, av, av)
+            except Exception:
+                pass
+        return steps, log, getattr(core, "_real_note", None)
+
     def describe(self) -> str:
         s = self.spec
         lines = [
@@ -709,11 +774,25 @@ class Plan:
             f"norm={s.norm.value} dtype={s.dtype} backend={s.backend} "
             f"precision={s.precision}{' 3M' if s.use_3m else ''}"
         ]
-        for a in s.axes:
-            lines.append(
-                f"  (axis {a}: n={s.shape[a]} "
-                f"{_stockham.schedule_description(s.shape[a], s.max_radix)})"
-            )
+        steps, log, real_note = self._traced_steps()
+        if steps is not None and (log or not steps):
+            # fftw_print_plan analog: the impls actually dispatched
+            real_line = (f"  (real axis {s.axes[-1]}: "
+                         f"n={s.shape[s.axes[-1]]} {real_note})"
+                         if real_note else None)
+            if real_line and s.kind == Kind.R2C:
+                lines.append(real_line)  # r2c: real axis transforms first
+            for idx, (kind_, a, arg) in enumerate(steps):
+                impl = log.get(idx, kind_)
+                lines.append(f"  (axis {a}: {impl})")
+            if real_line and s.kind == Kind.C2R:
+                lines.append(real_line)  # c2r: real axis transforms last
+        else:
+            for a in s.axes:
+                lines.append(
+                    f"  (axis {a}: n={s.shape[a]} "
+                    f"{_stockham.schedule_description(s.shape[a], s.max_radix)})"
+                )
         lines.append(
             f"  (flops={self.flops:.3e} [5NlogN conv] "
             f"algo_flops={self.algorithm_flops:.3e} batch={s.batch}))"

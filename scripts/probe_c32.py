@@ -59,6 +59,10 @@ def main():
             a, b, Direction.FORWARD)), jnp.float32),
         "axb": (lambda: (lambda a, b: ps.fft_axis_dma(
             a, b, 1, Direction.FORWARD)), jnp.bfloat16),
+        "f2rb": (lambda: (lambda a, b: ps.fft_axes2_ring(
+            a, b, Direction.FORWARD)), jnp.bfloat16),
+        "f2rf": (lambda: (lambda a, b: ps.fft_axes2_ring(
+            a, b, Direction.FORWARD)), jnp.float32),
         "plan64": (lambda: _build_core(spec64), jnp.float32),
     }
     for name, (mk, dt) in cases.items():

@@ -133,7 +133,7 @@ def test_plan_accounting_and_print(capsys):
     assert p.bytes_ideal == 2 * 8 * 1024 * 8
     p.print_plan()
     out = capsys.readouterr().out
-    assert "radix" in out or "direct" in out
+    assert "radix" in out or "direct" in out or "mixed2" in out
 
 
 def test_wisdom_roundtrip(tmp_path):

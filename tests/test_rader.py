@@ -98,10 +98,13 @@ def test_rader_fewer_flops_than_bluestein():
 
 
 def test_print_plan_names_rader(capsys):
-    spec = PlanSpec(shape=(509,), axes=(0,), kind=Kind.C2C,
+    # n=1009 > xla_direct_max so the general 1-D pipeline (rader) runs;
+    # 509 would execute as ONE direct dense contraction and the
+    # step-aware print_plan now reports that honestly.
+    spec = PlanSpec(shape=(1009,), axes=(0,), kind=Kind.C2C,
                     direction=Direction.FORWARD, norm=Norm.NONE)
     make_plan(spec).print_plan()
-    assert "rader(509" in capsys.readouterr().out
+    assert "rader(1009" in capsys.readouterr().out
 
 
 def test_rader_flops_accounting_small_convolution():
