@@ -62,7 +62,8 @@ _ENV_KNOBS = ("REGENT_FFT_TILE_IMPL", "REGENT_FFT_F2_SCRATCH",
               "REGENT_FFT_A0FS_WA", "REGENT_FFT_A0FS_WB",
               "REGENT_FFT_A0FS_VPU", "REGENT_FFT_F2_IMPL",
               "REGENT_FFT_A0FS_PREC", "REGENT_FFT_TAIL_MT",
-              "REGENT_FFT_DMA_X", "REGENT_FFT_MXU_IMPL")
+              "REGENT_FFT_DMA_X", "REGENT_FFT_MXU_IMPL",
+              "REGENT_FFT_C2R_IMPL")
 
 
 def _env_key() -> str:
@@ -1903,16 +1904,34 @@ def _runner_last_c2r(n: int, tb: int, interpret: bool = False,
     """Fully-fused c2r kernel: (2*tb, n) padded half-spectrum block ->
     (2*tb, n) real block, unscaled (times N) inverse.
 
-    Writing Z's Hermitian tail needs X[n-k]; instead of reversing, use
-      v = BWD(H) + conj(BWD(G)),   H = (X1 + i X2) masked to k <= n/2,
-                                   G = (X1 - i X2) masked to 1 <= k < n/2
-    — two backward butterfly transforms, zero data movement.
+    Writing Z's Hermitian tail needs X[n-k]; two equivalent forms:
+      pair:    v = BWD(H) + conj(BWD(G)),  H = (X1 + i X2), k <= n/2,
+                                           G = (X1 - i X2), 1 <= k < n/2
+               — TWO backward butterfly transforms, zero data movement;
+      shared:  v = BWD(H + G'),  G'[k] = conj(G[(n-k) mod n])
+               — ONE butterfly transform + a sublane reversal, halving
+               the dominant VPU cost.  Mosaic has no lax.rev lowering
+               (probe: scripts/probe_flip.py), so the reversal is an
+               MXU dot with the permutation matrix P[k, (n-k) mod n]=1
+               (k>=1) at HIGHEST — exact (0/1 entries make every
+               emulation product exact) and ~n^2 MACs per plane, far
+               below the butterfly it replaces.
+    ``REGENT_FFT_C2R_IMPL`` selects (default measured on hardware).
     """
     wbr_np, wbi_np, _ = _packed_tables(n, +1)
     m = n // 2
     w_in = m if packed else n
+    import os
+    shared = os.environ.get("REGENT_FFT_C2R_IMPL", "shared") == "shared"
+    if shared:
+        prev_np = np.zeros((n, n), np.float32)
+        prev_np[np.arange(1, n), n - np.arange(1, n)] = 1.0
 
-    def kernel(yr_ref, yi_ref, wbr_ref, wbi_ref, o_ref):
+    def kernel(yr_ref, yi_ref, wbr_ref, wbi_ref, *rest):
+        if shared:
+            prev_ref, o_ref = rest
+        else:
+            (o_ref,) = rest
         # the block's two halves are two independent rows' half-spectra
         # (matches the r2c kernel's block-half pairing; no interleave)
         x1r = yr_ref[0:tb, :].T
@@ -1939,10 +1958,24 @@ def _runner_last_c2r(n: int, tb: int, interpret: bool = False,
         hi = jnp.where(head, x1i + x2r, z)
         gr = jnp.where(tail, x1r + x2i, z)
         gi = jnp.where(tail, x1i - x2r, z)
-        vhr, vhi = _stockham_tile(hr, hi, n, +1, wbr_ref[:], wbi_ref[:])
-        vgr, vgi = _stockham_tile(gr, gi, n, +1, wbr_ref[:], wbi_ref[:])
-        vr = vhr + vgr
-        vi = vhi - vgi
+        if shared:
+            # G'[k] = conj(G[n-k]) via the permutation dot (exact at
+            # HIGHEST; G is zero outside [1, m-1] so no masking needed)
+            def rev_dot(x):
+                return jax.lax.dot_general(
+                    prev_ref[:], x, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            wr = hr + rev_dot(gr)
+            wi = hi - rev_dot(gi)
+            vr, vi = _stockham_tile(wr, wi, n, +1, wbr_ref[:], wbi_ref[:])
+        else:
+            vhr, vhi = _stockham_tile(hr, hi, n, +1, wbr_ref[:],
+                                      wbi_ref[:])
+            vgr, vgi = _stockham_tile(gr, gi, n, +1, wbr_ref[:],
+                                      wbi_ref[:])
+            vr = vhr + vgr
+            vi = vhi - vgi
         o_ref[0:tb, :] = vr.T
         o_ref[tb:2 * tb, :] = vi.T
 
@@ -1954,16 +1987,22 @@ def _runner_last_c2r(n: int, tb: int, interpret: bool = False,
                            memory_space=pltpu.VMEM)
         ws = pl.BlockSpec(wbr_np.shape, lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
+        ops = [yr, yi, jnp.asarray(wbr_np), jnp.asarray(wbi_np)]
+        specs = [ibs, ibs, ws, ws]
+        if shared:
+            ops.append(jnp.asarray(prev_np))
+            specs.append(pl.BlockSpec((n, n), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
         return pl.pallas_call(
             kernel, grid=(rows // (2 * tb),),
-            in_specs=[ibs, ibs, ws, ws], out_specs=obs,
+            in_specs=specs, out_specs=obs,
             out_shape=jax.ShapeDtypeStruct((rows, n), jnp.float32),
             cost_estimate=pl.CostEstimate(
                 flops=int(20 * n * np.log2(n) * rows // 2),
                 bytes_accessed=(4 * rows * w_in + 2 * rows * n) * 2,
                 transcendentals=0),
             interpret=interpret,
-        )(yr, yi, jnp.asarray(wbr_np), jnp.asarray(wbi_np))
+        )(*ops)
     return run
 
 

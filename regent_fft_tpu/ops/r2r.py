@@ -81,6 +81,18 @@ def _alt_signs(n: int):
 
 
 def _fft_pair(n, direction, max_radix, precision, use_3m):
+    """(B, n) split-complex FFT for the r2r reductions: the butterfly
+    kernel on TPU for power-of-two last axes (same dispatch rule as the
+    plan core; ~2.4x the einsum path at n=1024), einsum elsewhere."""
+    import os
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("REGENT_FFT_R2R_KERNEL", "1") != "0"
+            and n >= 64 and (n & (n - 1)) == 0):
+        from . import pallas_stockham as _ps
+        if n <= _ps.MAX_LAST_N:
+            def fn(zr, zi):
+                return _ps.fft_axis_stockham(zr, zi, -1, direction)
+            return fn
     return build_c2c_1d(n, direction, max_radix, precision, use_3m)
 
 

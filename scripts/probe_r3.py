@@ -112,6 +112,25 @@ def main():
         out = {"probe": what, "ms": round(t * 1e3, 3), "dtype": dt}
         print(json.dumps(out))
         return
+    elif what in ("c2r3d", "c2r1d"):
+        # full C2R plan timing (pair vs shared kernel impls: set
+        # REGENT_FFT_C2R_IMPL in the caller; one config per process)
+        from regent_fft_tpu.plan import make_plan
+        if what == "c2r3d":
+            shape = (4, 256, 256, 256)
+            axes = (1, 2, 3)
+        else:
+            shape = (4096, 1024)
+            axes = (1,)
+        spec = PlanSpec(shape=shape, axes=axes, kind=Kind.C2R,
+                        direction=Direction.BACKWARD, norm=Norm.NONE,
+                        use_3m=True)
+        plan = make_plan(spec)
+        t = timing.time_plan(plan, iters=iters, reps=3)
+        print(json.dumps({"probe": what, "ms": round(t * 1e3, 3),
+                          "c2r_impl": os.environ.get("REGENT_FFT_C2R_IMPL",
+                                                     "shared")}))
+        return
     elif what in ("c32f2", "c32ax", "c32last", "c32mid"):
         # complex32 (bf16-plane) pass breakdown at 256^3x4: fused2 block
         # kernel (c32f2), the axis-1 DMA ring (c32ax), or the single-axis
