@@ -308,9 +308,14 @@ def bench_suite(iters: int = 6, deadline: float = None):
                      / 32768.0 - 1.0)
                 return f.astype(jnp.bfloat16), g.astype(jnp.bfloat16)
 
+            # Both programs materialize the generated planes behind an
+            # optimization_barrier: without it XLA slices gen_only down
+            # to the 1-element fetch (gen is pure elementwise) and the
+            # subtraction would cancel only dispatch overhead, leaving
+            # ~the full generation cost misattributed to the FFT.
             @jax.jit
             def once(seed):
-                xr, xi = gen(seed)
+                xr, xi = jax.lax.optimization_barrier(gen(seed))
                 yr, yi = core(xr, xi)
                 # Pallas calls are opaque to XLA, so the tiny fetch
                 # cannot slice away the transform itself.
@@ -318,7 +323,7 @@ def bench_suite(iters: int = 6, deadline: float = None):
 
             @jax.jit
             def gen_only(seed):
-                xr, xi = gen(seed)
+                xr, xi = jax.lax.optimization_barrier(gen(seed))
                 return xr[0, 0, :1], xi[0, 0, :1]
 
             def timed(fn, seeds):
@@ -332,9 +337,14 @@ def bench_suite(iters: int = 6, deadline: float = None):
             timed(once, [1]); timed(gen_only, [2])  # compile + warm
             t = timed(once, [10, 11, 12]) - timed(gen_only, [20, 21, 22])
             fl = 5.0 * n**3 * 30  # 5 N log2 N, N = n^3, log2(n^3) = 30
+            # Deviation from the time_chain rule (CLAUDE.md): the
+            # chained timer's carry + unrolled copies OOM at 8 GB of
+            # planes; paired single dispatches bound the error at the
+            # attach's ~1-3 ms dispatch jitter (<3% at ~130 ms).
             return name, {"time_ms": round(t * 1e3, 2),
                           "gflops": round(fl / t / 1e9, 1),
-                          "method": "single-dispatch minus gen (approx)"}
+                          "method": "paired single-dispatch minus "
+                                    "barriered gen (approx, +-3 ms)"}
         except Exception as e:  # OOM / attach hiccup: record, don't die
             return name, {"skipped": f"{type(e).__name__}"}
     fams.append(big_c32())

@@ -77,7 +77,10 @@ def rader_vs_bluestein(primes=(509, 1009), batch=1024, iters=5):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="")
+    # Default to the system-wisdom autoload path so calibration STICKS
+    # across processes (import-system-wisdom analog); --out '' disables.
+    from regent_fft_tpu.utils.wisdom import default_wisdom_path
+    ap.add_argument("--out", default=default_wisdom_path())
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
 
