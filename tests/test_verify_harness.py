@@ -54,3 +54,48 @@ def test_random_problem_fuzz():
 @pytest.mark.parametrize("n", [64, 509, 1024])
 def test_parseval(n):
     assert verify.check_parseval(lambda x: rft.fft(x), n) < verify.tolerance(n)
+
+
+def test_random_problem_fuzz_c32_and_r2r():
+    """check.pl analog over the round-3 surfaces: complex32 plans
+    (pow2 shapes so the bf16 kernel tiles engage in interpret mode)
+    and random r2r kinds vs scipy."""
+    from scipy import fft as sfft
+    from regent_fft_tpu.ops import r2r as r2r_mod
+    from regent_fft_tpu.utils.verify import to_numpy_complex
+
+    rng = np.random.default_rng(321)
+    for _ in range(4):
+        ndim = int(rng.integers(1, 4))
+        shape = tuple(int(2 ** rng.integers(4, 8)) for _ in range(ndim))
+        direction = (Direction.FORWARD if rng.integers(2)
+                     else Direction.BACKWARD)
+        spec = PlanSpec(shape=shape, axes=tuple(range(ndim)),
+                        kind=Kind.C2C, direction=direction,
+                        dtype="complex32")
+        plan = make_plan(spec)
+        x = (rng.standard_normal(shape)
+             + 1j * rng.standard_normal(shape)).astype(np.complex64)
+        got = to_numpy_complex(plan(x))
+        ref = np.fft.fftn(x.astype(np.complex128))
+        if direction == Direction.BACKWARD:
+            ref = np.fft.ifftn(x.astype(np.complex128))
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        n_log = int(np.prod(shape))
+        assert rel < verify.tolerance(n_log, "complex32"), (spec, rel)
+
+    scipy_fns = {1: sfft.dct, 2: sfft.dct, 3: sfft.dct, 4: sfft.dct}
+    for _ in range(6):
+        n = int(rng.integers(4, 40))
+        b = int(rng.integers(1, 5))
+        typ = int(rng.integers(1, 5))
+        use_dst = bool(rng.integers(2))
+        x = rng.standard_normal((b, n)).astype(np.float32)
+        if use_dst:
+            got = np.asarray(r2r_mod.dst(x, type=typ))
+            ref = sfft.dst(x.astype(np.float64), type=typ)
+        else:
+            got = np.asarray(r2r_mod.dct(x, type=typ))
+            ref = sfft.dct(x.astype(np.float64), type=typ)
+        assert np.allclose(got, ref, rtol=3e-5,
+                           atol=3e-4 * np.abs(ref).max()), (n, typ, use_dst)
