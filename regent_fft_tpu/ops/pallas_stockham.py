@@ -1155,7 +1155,10 @@ def axis0_dma_supported(n: int, post: int) -> bool:
         return False
     if post % 512 == 0 and post >= 2048 and (n * 512) <= MAX_BLOCK_ELEMS:
         return True
-    return (post % 128 == 0 and post >= 128
+    # plane-slab mode: the whole (n, post) extent is one slab, so the
+    # column width always divides (post > 2048 with post % 512 != 0
+    # would leave ncols * x != post and fail at trace time)
+    return (post % 128 == 0 and 128 <= post <= 2048
             and n * post <= MAX_BLOCK_ELEMS)
 
 

@@ -53,7 +53,7 @@ _PRECISIONS = {
 def _local_core(local_shape, axes, direction=Direction.FORWARD,
                 kind=Kind.C2C, precision: str = "highest",
                 use_3m: bool = False, max_radix: int = 128,
-                backend: str = "auto"):
+                backend: str = "auto", dtype: str = "complex64"):
     """Local-stage transform through the SAME dispatch as single-chip plans.
 
     Builds an unscaled (norm=NONE) plan core for the shard-local shape, so
@@ -70,8 +70,10 @@ def _local_core(local_shape, axes, direction=Direction.FORWARD,
         direction = Direction.FORWARD
     elif kind == Kind.C2R:
         direction = Direction.BACKWARD
+    if kind != Kind.C2C:
+        dtype = "complex64"  # real-kind kernels are f32-only
     spec = PlanSpec(shape=tuple(local_shape), axes=tuple(axes), kind=kind,
-                    direction=direction, norm=Norm.NONE, dtype="complex64",
+                    direction=direction, norm=Norm.NONE, dtype=dtype,
                     precision=precision, use_3m=use_3m, max_radix=max_radix,
                     backend=backend)
     return _build_core(spec)
@@ -185,7 +187,11 @@ class DistributedFFTPlan:
     def __call__(self, x):
         if self._destroyed:
             raise RuntimeError("plan was destroyed")
-        sx = as_split(x, jnp.float32)
+        # complex32 C2C plans carry bf16 planes end-to-end: every
+        # all_to_all moves HALF the ICI bytes (the distributed-FFT
+        # bottleneck) and local stages run the bf16 kernel tiles.
+        sx = as_split(x, jnp.bfloat16 if self._bf16_planes()
+                      else jnp.float32)
         if sx.re.shape != self.global_shape:
             raise ValueError(f"input shape {sx.re.shape} != planned {self.global_shape}")
         xr = jax.lax.with_sharding_constraint(sx.re, self.in_sharding)
@@ -194,6 +200,11 @@ class DistributedFFTPlan:
         return from_split(SplitComplex(yr, yi), jnp.complex64 if self.dtype != "complex32" else "complex32")
 
     execute = __call__
+
+    def _bf16_planes(self) -> bool:
+        # C2C base class only; real-kind subclasses stay f32 (their
+        # kernels are f32-only and their inputs/outputs are real arrays).
+        return self.dtype == "complex32" and type(self) is DistributedFFTPlan
 
     def print_plan(self):
         print(self.description)
@@ -381,7 +392,7 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     n_total = int(np.prod(shape))
     scale = _norm_scale(n_total, direction, norm)
     core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
-                   backend=backend)
+                   backend=backend, dtype=dtype)
     # Local stages through the plan core (kernel path on TPU): all
     # locally-complete axes as ONE multi-axis core (fused trailing-pair
     # kernels apply), the slab axis as a single-axis core.
@@ -690,7 +701,7 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     n_total = z * y * x
     scale = _norm_scale(n_total, direction, norm)
     core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
-                   backend=backend)
+                   backend=backend, dtype=dtype)
     core_x = _local_core((z // p1, y // p2, x), (2,), direction, **core_kw)
     core_y = _local_core((z // p1, y, x // p2), (1,), direction, **core_kw)
     core_z = _local_core((z, y // p1, x // p2), (0,), direction, **core_kw)

@@ -209,3 +209,39 @@ def test_packed_c2r_matches_irfftn_on_arbitrary_spectrum():
     got = np.asarray(p(y))
     ref = np.fft.irfftn(y.astype(np.complex128), s=shape, axes=(0, 1, 2))
     assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
+
+
+def test_slab_complex32_bf16_transport():
+    """complex32 slab plans carry bf16 planes end-to-end: every
+    all_to_all moves half the ICI bytes.  Accuracy within the complex32
+    tolerance; output dtype is the complex32 split view."""
+    shape = (16, 32, 32)
+    x = crand(shape)
+    p = dist.make_plan_slab(shape, direction=Direction.FORWARD,
+                            norm=Norm.NONE, dtype="complex32")
+    y = p(x)
+    ref = np.fft.fftn(x.astype(np.complex128))
+    from regent_fft_tpu.utils.verify import to_numpy_complex
+    got = to_numpy_complex(y)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < tolerance(int(np.prod(shape)), "complex32"), rel
+    # the executor's traced planes must actually be bf16 (transport check)
+    import jax.numpy as jnp
+    avals = jax.eval_shape(
+        lambda a, b: p._fn(a, b),
+        jax.ShapeDtypeStruct(shape, jnp.bfloat16),
+        jax.ShapeDtypeStruct(shape, jnp.bfloat16))
+    assert avals[0].dtype == jnp.bfloat16
+
+
+def test_pencil_complex32_bf16_transport():
+    shape = (8, 16, 32)
+    x = crand(shape)
+    p = dist.make_plan_pencil(shape, direction=Direction.FORWARD,
+                              norm=Norm.NONE, dtype="complex32")
+    y = p(x)
+    ref = np.fft.fftn(x.astype(np.complex128))
+    from regent_fft_tpu.utils.verify import to_numpy_complex
+    got = to_numpy_complex(y)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < tolerance(int(np.prod(shape)), "complex32"), rel
