@@ -63,6 +63,14 @@ class PlanSpec:
     # the XLA path (one read+write per axis — the bandwidth minimum; the
     # O(n^2) MXU flops stay cheap up to ~512).
     xla_direct_max: int = 512
+    # R2C/C2R only: keep the (…, n/2)-wide Nyquist-PACKED halfcomplex
+    # layout at the API boundary instead of the numpy (…, n/2+1) half
+    # spectrum (bin n/2, real, rides bin 0's imaginary slot, with the
+    # endpoint bins conjugate-even-projected across the mid axes).  The
+    # FFTW halfcomplex-format rationale (rdft/ R2HC): a packed-r2c ->
+    # packed-c2r roundtrip skips both repack passes — measured 0.8 +
+    # 2.5 ms at 256^3x4 (docs/tpu_notes.md).  Rank>=2 kernel path only.
+    packed_layout: bool = False
 
     def __post_init__(self):
         shape = tuple(int(s) for s in self.shape)
@@ -86,6 +94,8 @@ class PlanSpec:
             raise ValueError(f"precision must be one of {list(_PRECISIONS)}")
         if self.max_radix < 2:
             raise ValueError(f"max_radix must be >= 2, got {self.max_radix}")
+        if self.packed_layout and self.kind not in (Kind.R2C, Kind.C2R):
+            raise ValueError("packed_layout applies to R2C/C2R plans only")
 
     @property
     def transform_lengths(self) -> Tuple[int, ...]:
@@ -550,7 +560,14 @@ def _build_core(spec: PlanSpec):
         fused = _fused_into_steps(steps)
 
         h_r = n_r // 2 + 1
-        packed_real = bool(kernel_r2c and steps and _packed_real_ok(n_r))
+        packed_real = bool(kernel_r2c and (steps or spec.packed_layout)
+                           and _packed_real_ok(n_r))
+        if spec.packed_layout and not packed_real:
+            raise ValueError(
+                "packed_layout requires the kernel real-transform path: "
+                "power-of-two last axis with n/2 a lane multiple, and a "
+                "stockham/hybrid backend (pass backend='stockham' "
+                "explicitly off-TPU)")
 
         def core(x):
             if kernel_r2c:
@@ -565,7 +582,8 @@ def _build_core(spec: PlanSpec):
                                                        packed=True)
                     yr, yi = run_steps(steps, yr, yi, Direction.FORWARD,
                                        fuse_scale=scale if fused else 1.0)
-                    yr, yi = _unpack_nyquist(yr, yi, other)
+                    if not spec.packed_layout:
+                        yr, yi = _unpack_nyquist(yr, yi, other)
                 else:
                     # Lane-padded output (bins >= h zeroed in-kernel)
                     # keeps every subsequent kernel pass pad-free;
@@ -609,7 +627,14 @@ def _build_core(spec: PlanSpec):
                                                      cinv=half_cinv)
     steps = axis_steps(sorted(other, reverse=True), Direction.BACKWARD)
     fused = _fused_into_steps(steps)
-    packed_real = bool(kernel_c2r and steps and _packed_real_ok(n_r))
+    packed_real = bool(kernel_c2r and (steps or spec.packed_layout)
+                       and _packed_real_ok(n_r))
+    if spec.packed_layout and not packed_real:
+        raise ValueError(
+            "packed_layout requires the kernel real-transform path: "
+            "power-of-two last axis with n/2 a lane multiple, and a "
+            "stockham/hybrid backend (pass backend='stockham' "
+            "explicitly off-TPU)")
 
     def core(xr, xi):
         # scale commutes with the linear c2r untangle, so it can ride the
@@ -620,8 +645,11 @@ def _build_core(spec: PlanSpec):
             if packed_real:
                 # Nyquist-packed n/2-wide layout: pack before the inverse
                 # mid transforms (see _pack_nyquist), halving their
-                # traffic; the packed c2r kernel unpacks in-VMEM.
-                xr, xi = _pack_nyquist(xr, xi, other)
+                # traffic; the packed c2r kernel unpacks in-VMEM.  With
+                # packed_layout the input IS already packed — the whole
+                # repack pass (2.5 ms at 256^3x4) disappears.
+                if not spec.packed_layout:
+                    xr, xi = _pack_nyquist(xr, xi, other)
                 xr, xi = run_steps(steps, xr, xi, Direction.BACKWARD,
                                    fuse_scale=scale if fused else 1.0)
                 y = _ps.ifft_last_c2r_stockham(xr, xi, n_r,
@@ -900,10 +928,11 @@ class Plan:
 
 
 def _half_shape(spec: PlanSpec) -> Tuple[int, ...]:
-    """Complex-side shape for r2c/c2r (last transform axis halved)."""
+    """Complex-side shape for r2c/c2r: (…, n/2+1) numpy half spectrum,
+    or (…, n/2) when the plan keeps the Nyquist-packed layout."""
     shape = list(spec.shape)
     ax = spec.axes[-1]
-    shape[ax] = shape[ax] // 2 + 1
+    shape[ax] = shape[ax] // 2 if spec.packed_layout else shape[ax] // 2 + 1
     return tuple(shape)
 
 

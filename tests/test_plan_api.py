@@ -9,6 +9,8 @@ import pytest
 
 import regent_fft_tpu as rft
 from regent_fft_tpu.utils.verify import rel_l2, to_numpy_complex, tolerance
+from regent_fft_tpu.plan import PlanSpec, make_plan
+from regent_fft_tpu.dtypes import Direction, Kind, Norm
 
 RNG = np.random.default_rng(7)
 
@@ -228,3 +230,46 @@ def test_hfft_ihfft_roundtrip():
     n = 96
     x = RNG.standard_normal((2, n)).astype(np.float32)
     assert rel_l2(rft.hfft(rft.ihfft(x), n=n), x) < tolerance(n)
+
+
+def test_packed_layout_roundtrip_and_consistency():
+    """FFTW-halfcomplex analog: packed-layout r2c -> c2r roundtrips
+    without the repack passes; unpacking the packed spectrum matches
+    numpy's rfftn."""
+    import jax.numpy as jnp
+    from regent_fft_tpu import plan as plan_mod
+    from regent_fft_tpu.dtypes import as_split
+
+    rng = np.random.default_rng(9)
+    shape = (4, 16, 256)   # n/2 = 128: lane multiple (kernel packed path)
+    x = rng.standard_normal(shape).astype(np.float32)
+
+    fwd = make_plan(PlanSpec(shape=shape, axes=(1, 2), kind=Kind.R2C,
+                             direction=Direction.FORWARD, norm=Norm.NONE,
+                             backend="stockham", packed_layout=True))
+    z = fwd(x)
+    assert z.shape == (4, 16, 128)
+
+    inv = make_plan(PlanSpec(shape=shape, axes=(1, 2), kind=Kind.C2R,
+                             direction=Direction.BACKWARD, norm=Norm.BACKWARD,
+                             backend="stockham", packed_layout=True))
+    y = np.asarray(inv(z))
+    assert np.allclose(y, x, atol=1e-4), np.abs(y - x).max()
+
+    # unpack the packed spectrum and compare against numpy rfftn
+    sz = as_split(z, jnp.float32)
+    ur, ui = plan_mod._unpack_nyquist(sz.re, sz.im, [1])
+    got = np.asarray(ur) + 1j * np.asarray(ui)
+    ref = np.fft.rfftn(x.astype(np.float64), axes=(1, 2))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1e-5, rel
+
+
+def test_packed_layout_validation():
+    with pytest.raises(ValueError, match="packed_layout"):
+        PlanSpec(shape=(8, 64), axes=(1,), kind=Kind.C2C,
+                 direction=Direction.FORWARD, packed_layout=True)
+    with pytest.raises(ValueError, match="kernel real-transform"):
+        make_plan(PlanSpec(shape=(4, 16, 80), axes=(1, 2), kind=Kind.R2C,
+                           direction=Direction.FORWARD, backend="stockham",
+                           packed_layout=True))
