@@ -207,6 +207,19 @@ def bench_suite(iters: int = 6, deadline: float = None):
     fams.append(entry("3d_r2c_256cubed_batch4", PlanSpec(
         shape=(4, 256, 256, 256), axes=(1, 2, 3), kind=Kind.R2C,
         direction=Direction.FORWARD, norm=Norm.NONE, use_3m=True)))
+    fams.append(entry("3d_c2r_256cubed_batch4", PlanSpec(
+        shape=(4, 256, 256, 256), axes=(1, 2, 3), kind=Kind.C2R,
+        direction=Direction.BACKWARD, norm=Norm.NONE, use_3m=True)))
+    # FFTW-halfcomplex analog: the packed boundary layout skips the
+    # repack passes (pipelines that roundtrip save both sides)
+    fams.append(entry("3d_r2c_256cubed_packed_layout", PlanSpec(
+        shape=(4, 256, 256, 256), axes=(1, 2, 3), kind=Kind.R2C,
+        direction=Direction.FORWARD, norm=Norm.NONE, use_3m=True,
+        packed_layout=True)))
+    fams.append(entry("3d_c2r_256cubed_packed_layout", PlanSpec(
+        shape=(4, 256, 256, 256), axes=(1, 2, 3), kind=Kind.C2R,
+        direction=Direction.BACKWARD, norm=Norm.NONE, use_3m=True,
+        packed_layout=True)))
     fams.append(entry("3d_c2c_256cubed_complex32", PlanSpec(
         shape=(4, 256, 256, 256), axes=(1, 2, 3), kind=Kind.C2C,
         direction=Direction.FORWARD, norm=Norm.NONE, dtype="complex32")))

@@ -1,0 +1,73 @@
+"""fftconvolve vs scipy (scipy.signal.fftconvolve parity).
+
+Covers the plain (next_fast_len) path, the packed-pow2 real path (the
+Nyquist-packed spectral product incl. the lane-0 untangle fixup), the
+complex C2C path, modes full/same/valid, and axes subsets.
+"""
+import numpy as np
+import pytest
+from scipy import signal as ssig
+
+from regent_fft_tpu.signal import fftconvolve
+
+RNG = np.random.default_rng(7)
+
+
+def _check(a, b, **kw):
+    got = np.asarray(fftconvolve(a, b, **{k: v for k, v in kw.items()
+                                          if k not in ("scipy_kw",)}))
+    skw = {k: v for k, v in kw.items() if k in ("mode", "axes")}
+    ref = ssig.fftconvolve(np.asarray(a, np.float64)
+                           if not np.iscomplexobj(a) else a,
+                           np.asarray(b, np.float64)
+                           if not np.iscomplexobj(b) else b, **skw)
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    scale = max(np.abs(ref).max(), 1e-6)
+    assert np.allclose(got, ref, rtol=2e-4, atol=2e-4 * scale), \
+        np.abs(got - ref).max() / scale
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_fftconvolve_1d_real(mode):
+    a = RNG.standard_normal(200).astype(np.float32)
+    b = RNG.standard_normal(31).astype(np.float32)
+    _check(a, b, mode=mode)
+
+
+def test_fftconvolve_2d_real_plain():
+    a = RNG.standard_normal((40, 50)).astype(np.float32)
+    b = RNG.standard_normal((7, 9)).astype(np.float32)
+    _check(a, b, mode="same")
+
+
+def test_fftconvolve_packed_path():
+    # sizes rounding to (256, 256): packed pow2 path with lane-0 fixup
+    a = RNG.standard_normal((200, 220)).astype(np.float32)
+    b = RNG.standard_normal((50, 30)).astype(np.float32)
+    _check(a, b, mode="full", method="packed", backend="stockham")
+    # and the same problem through the plain path must agree with scipy
+    _check(a, b, mode="full", method="plain")
+
+
+def test_fftconvolve_complex():
+    a = (RNG.standard_normal((30, 40))
+         + 1j * RNG.standard_normal((30, 40))).astype(np.complex64)
+    b = (RNG.standard_normal((5, 6))
+         + 1j * RNG.standard_normal((5, 6))).astype(np.complex64)
+    _check(a, b, mode="full")
+
+
+def test_fftconvolve_axes_subset():
+    # batch axis 0 not convolved
+    a = RNG.standard_normal((3, 64, 64)).astype(np.float32)
+    b = RNG.standard_normal((3, 9, 9)).astype(np.float32)
+    _check(a, b, mode="same", axes=(1, 2))
+
+
+def test_fftconvolve_validation():
+    a = np.zeros((4, 8), np.float32)
+    b = np.zeros((9, 8), np.float32)
+    with pytest.raises(ValueError, match="valid mode"):
+        fftconvolve(a, b, mode="valid")
+    with pytest.raises(ValueError, match="rank"):
+        fftconvolve(np.zeros(4, np.float32), np.zeros((2, 2), np.float32))
