@@ -1592,9 +1592,18 @@ def _chunk_rows_map(run, xr2, xi2, n: int):
     return yr4.reshape(rows, vc), yi4.reshape(rows, vc)
 
 
+# Hardware-validated ceiling for the real-transform kernels: n=2048
+# fails Mosaic layout inference on v5e ("unsupported shape cast" in the
+# tile body at the capped tb=64 — measured r3, scripts/probe_r3.py
+# repro) even though its blocks fit the element envelope.  n <= 1024 is
+# exercised by the bench suite; larger real axes take the conjugate-even
+# einsum path.
+MAX_REAL_N = 1024
+
+
 def r2c_last_supported(n: int) -> bool:
     """Can the row-pair kernel r2c/c2r path run a last axis of length n?"""
-    return 2 <= n <= MAX_STOCKHAM_N and n % 2 == 0 and (n & (n - 1)) == 0
+    return 2 <= n <= MAX_REAL_N and n % 2 == 0 and (n & (n - 1)) == 0
 
 
 def _tb_real(n: int, w_out: int) -> int:

@@ -202,3 +202,118 @@ def fftconvolve(a, b, mode: str = "full", axes: Optional[Sequence[int]] = None,
     from .dtypes import from_split
     y = inv(from_split(zc, jnp.complex64))
     return _slice_mode(y, sa, sb, axes, mode)
+
+
+def correlate(a, b, mode: str = "full", axes: Optional[Sequence[int]] = None,
+              method: str = "auto", backend: str = "auto"):
+    """Cross-correlation via FFT (``scipy.signal.correlate(method='fft')``
+    semantics): ``correlate(a, b) = convolve(a, reversed(conj(b)))``.
+
+    scipy's 'same'/'valid' windows are defined on the correlation
+    lattice; flipping ``b`` maps them onto fftconvolve's slicing when
+    the flipped kernel's mode-window is shifted by the parity of b — we
+    reproduce scipy exactly by slicing the FULL result here.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if a.ndim != b.ndim:
+        raise ValueError(f"rank mismatch: {a.ndim} vs {b.ndim}")
+    axes_t = (tuple(range(a.ndim)) if axes is None
+              else tuple(sorted(ax % a.ndim for ax in axes)))
+    brev = jnp.flip(b, axis=axes_t)
+    if jnp.issubdtype(b.dtype, jnp.complexfloating):
+        brev = jnp.conj(brev)
+    y = fftconvolve(a, brev, mode="full", axes=axes_t, method=method,
+                    backend=backend)
+    if mode == "full":
+        return y
+    sa, sb = a.shape, b.shape
+    idx = []
+    for ax in range(a.ndim):
+        if ax not in axes_t:
+            idx.append(slice(None))
+        elif mode == "same":
+            # scipy centers the 'same' window on the correlation lattice:
+            # start = (sb - 1) // 2 on the flipped-convolution output
+            start = (sb[ax] - 1) // 2
+            idx.append(slice(start, start + sa[ax]))
+        elif mode == "valid":
+            if sa[ax] < sb[ax]:
+                raise ValueError("valid mode needs a no smaller than b "
+                                 "on every correlated axis")
+            idx.append(slice(sb[ax] - 1, sa[ax]))
+        else:
+            raise ValueError(f"mode must be full|same|valid, got {mode!r}")
+    return y[tuple(idx)]
+
+
+def oaconvolve(a, b, mode: str = "full", axes: Optional[Sequence[int]] = None,
+               method: str = "auto", backend: str = "auto"):
+    """Overlap-add convolution (``scipy.signal.oaconvolve`` semantics).
+
+    When one input is much longer than the other along some convolved
+    axis, blocks of the long input convolve against the short kernel
+    through ONE batched FFT plan (blocks ride the batch dimension — the
+    TPU-native shape) and overlap-add stitches the seams; otherwise this
+    falls back to :func:`fftconvolve`.  The overlap-add itself is
+    scatter-free: block tails (length k-1 <= L) land on the next block's
+    head via one pad+reshape+add.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if a.ndim != b.ndim:
+        raise ValueError(f"rank mismatch: {a.ndim} vs {b.ndim}")
+    axes_t = (tuple(range(a.ndim)) if axes is None
+              else tuple(sorted(ax % a.ndim for ax in axes)))
+    swapped = False
+    if any(a.shape[ax] < b.shape[ax] for ax in axes_t) and \
+            all(a.shape[ax] <= b.shape[ax] for ax in axes_t):
+        a, b = b, a  # convolution commutes; keep 'a' the long one
+        swapped = True
+    sa, sb = a.shape, b.shape
+    # pick the blocking axis: largest long/short ratio
+    ratios = [(sa[ax] / max(sb[ax], 1), ax) for ax in axes_t]
+    ratio, ax_s = max(ratios)
+    k = sb[ax_s]
+    if ratio < 8 or k < 2 or sa[ax_s] < 64:
+        y = fftconvolve(a, b, mode="full", axes=axes_t, method=method,
+                        backend=backend)
+        return _slice_mode(y, sb if swapped else sa,
+                           sa if swapped else sb, axes_t, mode)
+    # block length: pow2 FFT of ~8x the kernel (scipy's cost heuristic
+    # lands in the same decade; exactness comes from the math, not L)
+    fftlen = _next_pow2(8 * k)
+    L = fftlen - (k - 1)
+    n_long = sa[ax_s]
+    nb = -(-n_long // L)
+    # move the blocking axis last, split into (nb, L) batch blocks
+    am = jnp.moveaxis(a, ax_s, -1)
+    am = jnp.pad(am, [(0, 0)] * (am.ndim - 1) + [(0, nb * L - n_long)])
+    blocks = am.reshape(am.shape[:-1] + (nb, L))
+    blocks = jnp.moveaxis(blocks, -2, 0)      # (nb, ..., L)
+    bm = jnp.moveaxis(b, ax_s, -1)[None]      # (1, ..., k) broadcast-batch
+    bm = jnp.broadcast_to(bm, (1,) + bm.shape[1:])
+    # convolve blocks against the kernel over ALL conv axes; the blocked
+    # axis is now the LAST axis, other conv axes keep full padded sizes
+    conv_axes = tuple((ax + 1 if ax < ax_s else ax) for ax in axes_t
+                      if ax != ax_s) + (blocks.ndim - 1,)
+    # (axes shift by +1 for the new leading block dim; ax_s is now last)
+    yb = fftconvolve(blocks, jnp.broadcast_to(
+        bm, (nb,) + bm.shape[1:]), mode="full", axes=conv_axes,
+        method=method, backend=backend)       # (nb, ..., L + k - 1)
+    # overlap-add along the last axis: body | tail split at L
+    body = yb[..., :L]
+    tail = yb[..., L:]                        # (nb, ..., k - 1)
+    body = jnp.moveaxis(body, 0, -2)          # (..., nb, L)
+    tail = jnp.moveaxis(tail, 0, -2)          # (..., nb, k - 1)
+    flat_body = body.reshape(body.shape[:-2] + (nb * L,))
+    flat_body = jnp.pad(flat_body,
+                        [(0, 0)] * (flat_body.ndim - 1) + [(0, L)])
+    tail_pad = jnp.pad(tail, [(0, 0)] * (tail.ndim - 2)
+                       + [(1, 0), (0, L - (k - 1))])  # (..., nb+1, L)
+    flat = flat_body + tail_pad.reshape(tail_pad.shape[:-2]
+                                        + ((nb + 1) * L,))
+    full_len = n_long + k - 1
+    y = jnp.moveaxis(flat[..., :full_len], -1, ax_s)
+    return _slice_mode(y, sb if swapped else sa,
+                       sa if swapped else sb, axes_t, mode)

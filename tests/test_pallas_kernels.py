@@ -252,8 +252,13 @@ def test_real_kernel_n2048_block_envelope():
         tb = ps._tb_real(2048, w_out)
         assert tb * 2048 <= ps.MAX_BLOCK_ELEMS
         assert 2 * tb * w_out <= ps.MAX_BLOCK_ELEMS
-    # correctness at the capped tile (interpret mode)
-    n = 2048
+    # n=2048 is now excluded from the kernel path entirely: hardware
+    # validation (r3) found Mosaic layout-inference failures at that
+    # size even with capped blocks; the einsum path takes it.
+    assert not ps.r2c_last_supported(2048)
+    assert ps.r2c_last_supported(ps.MAX_REAL_N)
+    # correctness at the validated ceiling (interpret mode)
+    n = ps.MAX_REAL_N
     x = RNG.standard_normal((8, n)).astype(np.float32)
     yr, yi = ps.fft_last_r2c_stockham(jnp.asarray(x), interpret=True)
     y = np.asarray(yr) + 1j * np.asarray(yi)

@@ -71,3 +71,71 @@ def test_fftconvolve_validation():
         fftconvolve(a, b, mode="valid")
     with pytest.raises(ValueError, match="rank"):
         fftconvolve(np.zeros(4, np.float32), np.zeros((2, 2), np.float32))
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_correlate_real(mode):
+    from regent_fft_tpu.signal import correlate
+    a = RNG.standard_normal((40, 50)).astype(np.float32)
+    b = RNG.standard_normal((7, 10)).astype(np.float32)
+    got = np.asarray(correlate(a, b, mode=mode))
+    ref = ssig.correlate(a.astype(np.float64), b.astype(np.float64),
+                         mode=mode, method="fft")
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    assert np.allclose(got, ref, rtol=2e-4, atol=2e-4 * np.abs(ref).max())
+
+
+def test_correlate_complex_conjugation():
+    from regent_fft_tpu.signal import correlate
+    a = (RNG.standard_normal(64) + 1j * RNG.standard_normal(64)).astype(np.complex64)
+    b = (RNG.standard_normal(16) + 1j * RNG.standard_normal(16)).astype(np.complex64)
+    got = np.asarray(correlate(a, b, mode="full"))
+    ref = ssig.correlate(a.astype(np.complex128), b.astype(np.complex128),
+                         mode="full", method="fft")
+    assert np.allclose(got, ref, rtol=2e-4, atol=2e-4 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_oaconvolve_1d(mode):
+    from regent_fft_tpu.signal import oaconvolve
+    a = RNG.standard_normal(3000).astype(np.float32)
+    b = RNG.standard_normal(25).astype(np.float32)
+    got = np.asarray(oaconvolve(a, b, mode=mode))
+    ref = ssig.oaconvolve(a.astype(np.float64), b.astype(np.float64),
+                          mode=mode)
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    assert np.allclose(got, ref, rtol=2e-4, atol=2e-4 * np.abs(ref).max())
+
+
+def test_oaconvolve_2d_and_swap():
+    from regent_fft_tpu.signal import oaconvolve
+    a = RNG.standard_normal((8, 2000)).astype(np.float32)
+    b = RNG.standard_normal((8, 17)).astype(np.float32)
+    got = np.asarray(oaconvolve(a, b, mode="same", axes=(1,)))
+    ref = ssig.oaconvolve(a.astype(np.float64), b.astype(np.float64),
+                          mode="same", axes=1)
+    assert np.allclose(got, ref, rtol=2e-4, atol=2e-4 * np.abs(ref).max())
+    # swapped argument order (short first) must commute
+    got2 = np.asarray(oaconvolve(b, a, mode="full", axes=(1,)))
+    ref2 = ssig.oaconvolve(b.astype(np.float64), a.astype(np.float64),
+                           mode="full", axes=1)
+    assert np.allclose(got2, ref2, rtol=2e-4, atol=2e-4 * np.abs(ref2).max())
+
+
+def test_oaconvolve_fallback_similar_sizes():
+    from regent_fft_tpu.signal import oaconvolve
+    a = RNG.standard_normal((64, 64)).astype(np.float32)
+    b = RNG.standard_normal((60, 60)).astype(np.float32)
+    got = np.asarray(oaconvolve(a, b, mode="full"))
+    ref = ssig.oaconvolve(a.astype(np.float64), b.astype(np.float64))
+    assert np.allclose(got, ref, rtol=2e-4, atol=2e-4 * np.abs(ref).max())
+
+
+def test_oaconvolve_2d_blocked_plus_full_axis():
+    from regent_fft_tpu.signal import oaconvolve
+    a = RNG.standard_normal((30, 1500)).astype(np.float32)
+    b = RNG.standard_normal((5, 11)).astype(np.float32)
+    got = np.asarray(oaconvolve(a, b, mode="full"))
+    ref = ssig.oaconvolve(a.astype(np.float64), b.astype(np.float64))
+    assert got.shape == ref.shape
+    assert np.allclose(got, ref, rtol=2e-4, atol=2e-4 * np.abs(ref).max())
