@@ -3,7 +3,7 @@ import numpy as np
 import pytest
 from scipy import signal as ssig
 
-from regent_fft_tpu.czt import CZT, ZoomFFT, czt, zoom_fft
+from regent_fft_tpu import CZT, ZoomFFT, czt, zoom_fft
 
 RNG = np.random.default_rng(17)
 
@@ -64,3 +64,33 @@ def test_zoom_fft_scalar_fn_matches_fft_prefix():
     got = zoom_fft(x, 2, fs=2)  # full band = plain FFT
     ref = np.fft.fft(x.astype(np.float64))
     assert _rel(got, ref) < 1e-5
+
+
+def test_czt_overflow_raises_clearly():
+    # |w| != 1 spirals overflow the f32 chirp tables at moderate sizes;
+    # scipy (f64) handles them — we raise instead of returning NaN.
+    x = RNG.standard_normal(80).astype(np.float32)
+    with pytest.raises(ValueError, match="overflow"):
+        czt(x, 80, w=0.95)
+
+
+def test_czt_off_unit_small_spiral():
+    # mild off-unit spirals stay within f32 range and track scipy
+    n, m, w = 32, 32, 0.99
+    x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)).astype(np.complex64)
+    got = czt(x, m, w)
+    ref = ssig.czt(x.astype(np.complex128), m, w)
+    assert _rel(got, ref) < 5e-3
+
+
+def test_czt_no_retrace_on_reuse():
+    import jax
+    plan = CZT(64, 64)
+    x = (RNG.standard_normal((2, 64))
+         + 1j * RNG.standard_normal((2, 64))).astype(np.complex64)
+    plan(x)
+    fn = plan._jitted[(2, 1)]
+    traces0 = fn._cache_size()
+    for _ in range(3):
+        plan(x)
+    assert fn._cache_size() == traces0  # no retraces on reuse
