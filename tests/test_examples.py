@@ -23,3 +23,12 @@ def test_spectral_workflows():
     m.fft_convolution()
     m.poisson_solve()
     m.distributed_filter()
+
+
+def test_signal_toolkit():
+    m = _load("signal_toolkit")
+    m.image_deblur_fftconvolve()
+    m.streaming_fir_oaconvolve()
+    m.spectral_zoom_czt()
+    m.dct_compression()
+    m.packed_roundtrip()
