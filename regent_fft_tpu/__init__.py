@@ -38,7 +38,7 @@ from .guru import (IODim, GuruPlan, GuruR2RPlan, plan_guru, plan_guru_r2r,
                    plan_many)
 from .ops.r2r import (R2RKind, R2RPlan, plan_r2r, r2r, dct, dst, dht,
                       idct, idst, idht, dctn, idctn, dstn, idstn)
-from .signal import fftconvolve, oaconvolve, correlate
+from .signal import fftconvolve, oaconvolve, correlate, stft, istft
 from ._czt import CZT, ZoomFFT, czt, zoom_fft
 
 __version__ = "0.1.0"

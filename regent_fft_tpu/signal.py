@@ -317,3 +317,144 @@ def oaconvolve(a, b, mode: str = "full", axes: Optional[Sequence[int]] = None,
     y = jnp.moveaxis(flat[..., :full_len], -1, ax_s)
     return _slice_mode(y, sb if swapped else sa,
                        sa if swapped else sb, axes_t, mode)
+
+
+def _frame_params(nperseg, noverlap, nfft, n):
+    nperseg = int(nperseg)
+    if nperseg < 1:
+        raise ValueError("nperseg must be positive")
+    noverlap = nperseg // 2 if noverlap is None else int(noverlap)
+    if noverlap >= nperseg:
+        raise ValueError("noverlap must be less than nperseg")
+    nfft = nperseg if nfft is None else int(nfft)
+    if nfft < nperseg:
+        raise ValueError("nfft must be >= nperseg")
+    return nperseg, noverlap, nfft
+
+
+def _get_window(window, nperseg):
+    from scipy.signal import get_window as _gw
+    if isinstance(window, (str, tuple)):
+        w = _gw(window, nperseg)
+    else:
+        w = np.asarray(window)
+        if w.shape != (nperseg,):
+            raise ValueError(f"window length {w.shape} != nperseg {nperseg}")
+    return w.astype(np.float64)
+
+
+def stft(x, fs: float = 1.0, window="hann", nperseg: int = 256,
+         noverlap: Optional[int] = None, nfft: Optional[int] = None,
+         boundary: Optional[str] = "zeros", padded: bool = True,
+         axis: int = -1, scaling: str = "spectrum"):
+    """Short-time Fourier transform (``scipy.signal.stft`` semantics,
+    ``detrend=False, return_onesided=True``).
+
+    Frames are one strided gather + window multiply, then ONE batched
+    r2c plan over all segments — the TPU-native shape (the reference
+    wrapper has no real, batched, or inverse transforms at all).
+    Returns (f, t, Zxx) like scipy.
+    """
+    x = jnp.asarray(x)
+    axis = axis % x.ndim
+    nperseg, noverlap, nfft = _frame_params(nperseg, noverlap, nfft,
+                                            x.shape[axis])
+    win = _get_window(window, nperseg)
+    step = nperseg - noverlap
+
+    xm = jnp.moveaxis(x, axis, -1).astype(jnp.float32)
+    n = xm.shape[-1]
+    if boundary is not None:
+        if boundary != "zeros":
+            raise NotImplementedError("boundary: only 'zeros'/None")
+        pad = [(0, 0)] * (xm.ndim - 1) + [(nperseg // 2, nperseg // 2)]
+        xm = jnp.pad(xm, pad)
+        n = xm.shape[-1]
+    if padded:
+        nseg = max(1, -(-(n - nperseg) // step) + 1)
+        total = (nseg - 1) * step + nperseg
+        if total > n:
+            xm = jnp.pad(xm, [(0, 0)] * (xm.ndim - 1) + [(0, total - n)])
+            n = total
+    nseg = (n - nperseg) // step + 1
+    idx = (np.arange(nseg)[:, None] * step
+           + np.arange(nperseg)[None, :])          # (nseg, nperseg)
+    frames = xm[..., idx] * jnp.asarray(win.astype(np.float32))
+    if nfft > nperseg:
+        frames = jnp.pad(frames, [(0, 0)] * (frames.ndim - 1)
+                         + [(0, nfft - nperseg)])
+    from .api import rfft
+    z = rfft(frames, axis=-1)                       # (..., nseg, nfft//2+1)
+    if scaling == "spectrum":
+        z = z * jnp.asarray(np.float32(1.0 / win.sum()))
+    elif scaling == "psd":
+        z = z * jnp.asarray(np.float32(1.0 / np.sqrt(fs * (win * win).sum())))
+    else:
+        raise ValueError("scaling must be 'spectrum' or 'psd'")
+    # scipy layout: frequency axis before time: (..., nfreq, nseg)
+    z = jnp.swapaxes(z, -1, -2)
+    f = np.arange(nfft // 2 + 1) * (fs / nfft)
+    t = (np.arange(nseg) * step
+         + (0 if boundary is None else 0)) / fs
+    if boundary is None:
+        t = (np.arange(nseg) * step + nperseg / 2) / fs
+    return f, t, z
+
+
+def istft(Zxx, fs: float = 1.0, window="hann", nperseg: Optional[int] = None,
+          noverlap: Optional[int] = None, nfft: Optional[int] = None,
+          boundary: bool = True, time_axis: int = -1, freq_axis: int = -2,
+          scaling: str = "spectrum"):
+    """Inverse STFT (``scipy.signal.istft`` semantics, onesided input):
+    batched irfft over segments + windowed overlap-add with the COLA
+    normalization.  Returns (t, x) like scipy."""
+    z = jnp.asarray(Zxx)
+    time_axis = time_axis % z.ndim
+    freq_axis = freq_axis % z.ndim
+    nfreq = z.shape[freq_axis]
+    nfft = 2 * (nfreq - 1) if nfft is None else int(nfft)
+    nperseg = nfft if nperseg is None else int(nperseg)
+    noverlap = nperseg // 2 if noverlap is None else int(noverlap)
+    step = nperseg - noverlap
+    win = _get_window(window, nperseg)
+
+    # move (freq, time) to the trailing axes as (..., nseg, nfreq)
+    z = jnp.moveaxis(z, (freq_axis, time_axis), (-1, -2))
+    nseg = z.shape[-2]
+    from .api import irfft
+    segs = irfft(z, n=nfft, axis=-1)[..., :nperseg]  # (..., nseg, nperseg)
+    if scaling == "spectrum":
+        segs = segs * jnp.asarray(np.float32(win.sum()))
+    elif scaling == "psd":
+        segs = segs * jnp.asarray(np.float32(np.sqrt(fs * (win * win).sum())))
+    else:
+        raise ValueError("scaling must be 'spectrum' or 'psd'")
+    wsegs = segs * jnp.asarray(win.astype(np.float32))
+
+    total = (nseg - 1) * step + nperseg
+    lead = wsegs.shape[:-2]
+    # scatter-free overlap-add when step divides nperseg (the common
+    # hop cases incl. the 50% default): split each segment into
+    # nperseg/step step-chunks and roll them onto a (nseg+q-1, step) grid
+    if nperseg % step == 0:
+        q = nperseg // step
+        chunks = wsegs.reshape(*lead, nseg, q, step)
+        out = jnp.zeros(lead + ((nseg + q - 1) * step,), jnp.float32)
+        for j in range(q):
+            sl = chunks[..., :, j, :].reshape(*lead, nseg * step)
+            out = out.at[..., j * step:(j + nseg) * step].add(sl)
+        out = out[..., :total]
+    else:
+        out = jnp.zeros(lead + (total,), jnp.float32)
+        for i in range(nseg):
+            out = out.at[..., i * step:i * step + nperseg].add(
+                wsegs[..., i, :])
+    norm = np.zeros(total)
+    for i in range(nseg):
+        norm[i * step:i * step + nperseg] += win * win
+    norm = np.where(norm > 1e-10, norm, 1.0)
+    x = out / jnp.asarray(norm.astype(np.float32))
+    if boundary:
+        x = x[..., nperseg // 2: total - nperseg // 2]
+    t = np.arange(x.shape[-1]) / fs
+    return t, x

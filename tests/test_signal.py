@@ -139,3 +139,65 @@ def test_oaconvolve_2d_blocked_plus_full_axis():
     ref = ssig.oaconvolve(a.astype(np.float64), b.astype(np.float64))
     assert got.shape == ref.shape
     assert np.allclose(got, ref, rtol=2e-4, atol=2e-4 * np.abs(ref).max())
+
+
+def _stft_pair(x, **kw):
+    from regent_fft_tpu.signal import stft
+    from regent_fft_tpu.utils.verify import to_numpy_complex
+    f, t, z = stft(x, **kw)
+    fr, tr, zr = ssig.stft(np.asarray(x, np.float64), detrend=False, **kw)
+    return (f, t, to_numpy_complex(z)), (fr, tr, zr)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(nperseg=128, noverlap=96),
+    dict(window="hamming", nperseg=64, nfft=128),
+    dict(boundary=None, padded=False, nperseg=64),
+    dict(scaling="psd", fs=10.0, nperseg=64),
+])
+def test_stft_matches_scipy(kw):
+    x = RNG.standard_normal(1000).astype(np.float32)
+    (f, t, z), (fr, tr, zr) = _stft_pair(x, **kw)
+    assert np.allclose(f, fr) and np.allclose(t, tr)
+    assert z.shape == zr.shape, (z.shape, zr.shape)
+    assert np.allclose(z, zr, rtol=1e-4, atol=1e-4 * np.abs(zr).max())
+
+
+def test_stft_batched_axis():
+    x = RNG.standard_normal((3, 777)).astype(np.float32)
+    (f, t, z), (fr, tr, zr) = _stft_pair(x, nperseg=64, axis=1)
+    assert z.shape == zr.shape
+    assert np.allclose(z, zr, rtol=1e-4, atol=1e-4 * np.abs(zr).max())
+
+
+@pytest.mark.parametrize("kw", [
+    dict(nperseg=128),
+    dict(nperseg=120, noverlap=90),   # step does not divide nperseg
+    dict(window="hamming", nperseg=64, scaling="psd"),
+])
+def test_stft_istft_roundtrip(kw):
+    from regent_fft_tpu.signal import stft, istft
+    x = RNG.standard_normal(2000).astype(np.float32)
+    f, t, z = stft(x, **kw)
+    ikw = {k: v for k, v in kw.items() if k != "noverlap"}
+    if "noverlap" in kw:
+        ikw["noverlap"] = kw["noverlap"]
+    t2, xr = istft(z, **ikw)
+    xr = np.asarray(xr)
+    n = min(len(xr), len(x))
+    assert np.allclose(xr[:n], x[:n], atol=1e-4), np.abs(xr[:n] - x[:n]).max()
+
+
+def test_istft_matches_scipy():
+    from regent_fft_tpu.signal import stft, istft
+    x = RNG.standard_normal(1500).astype(np.float32)
+    f, t, z = stft(x, nperseg=100, noverlap=60)
+    from regent_fft_tpu.utils.verify import to_numpy_complex
+    znp = to_numpy_complex(z)
+    t2, got = istft(z, nperseg=100, noverlap=60)
+    tr, ref = ssig.istft(znp.astype(np.complex128), nperseg=100, noverlap=60)
+    got = np.asarray(got)
+    n = min(len(got), len(ref))
+    assert np.allclose(got[:n], ref[:n], rtol=1e-4,
+                       atol=1e-4 * np.abs(ref).max())
