@@ -125,7 +125,7 @@ def _a2a(xr, xi, axis_name: str, split: int, concat: int):
     return xr, xi
 
 
-def _rev_freq_sharded(x, axis: int, axis_name: str, p: int):
+def _rev_freq_sharded(x, axis: int, axis_name, p: int):
     """Global modular frequency reversal x[k] -> x[(-k) mod n] along a
     SHARDED axis, inside shard_map.
 
@@ -133,6 +133,11 @@ def _rev_freq_sharded(x, axis: int, axis_name: str, p: int):
     global roll by +1 row (boundary ppermute) turns that into the modular
     reversal — including bin 0, which lands from the last shard's flipped
     block automatically.  Two collectives, one of them a single row.
+
+    ``axis_name`` may be a TUPLE of mesh axis names for an axis sharded
+    jointly (e.g. the pencil output's ``P((a1, a2))`` layout): the
+    permutation then runs over the row-major linearized shard index,
+    matching the PartitionSpec block order, with ``p`` the product size.
     """
     c = x.shape[axis]
     g = jnp.flip(x, axis=axis)
@@ -142,6 +147,58 @@ def _rev_freq_sharded(x, axis: int, axis_name: str, p: int):
                              [(q, (q + 1) % p) for q in range(p)])
     rest = jax.lax.slice_in_dim(g, 0, c - 1, axis=axis)
     return jnp.concatenate([prev_last, rest], axis=axis)
+
+
+def _untangle_packed(yr, yi, loc_axes, sh_axis: int, axis_name, p: int):
+    """Packed (…, n/2) planes -> (…, n/2+1) half spectrum, distributed.
+
+    After the complex transforms over the leading axes, packed lane 0
+    holds Z = F(X0) + i*F(Nq) where X0/Nq were the real bin-0/Nyquist
+    slabs (the two-real-FFTs-in-one-complex trick, ``plan._unpack_nyquist``
+    applied under shard_map): recovering F(X0) = (Z + conj(Z[-k]))/2 and
+    F(Nq) = (Z - conj(Z[-k]))/(2i) needs the modular reversal along every
+    transformed leading axis — local flips plus ONE
+    :func:`_rev_freq_sharded` on the sharded axis (lane-0 plane only, so
+    the extra collectives move 1/(n/2) of the array).
+    """
+    from ..plan import _rev_freq
+    zr = yr[..., 0]
+    zi = yi[..., 0]
+    rr = _rev_freq_sharded(_rev_freq(zr, loc_axes), sh_axis, axis_name, p)
+    ri = _rev_freq_sharded(_rev_freq(zi, loc_axes), sh_axis, axis_name, p)
+    x0r = 0.5 * (zr + rr)
+    x0i = 0.5 * (zi - ri)
+    nqr = 0.5 * (zi + ri)
+    nqi = -0.5 * (zr - rr)
+    yr = jnp.concatenate([x0r[..., None], yr[..., 1:], nqr[..., None]],
+                         axis=-1)
+    yi = jnp.concatenate([x0i[..., None], yi[..., 1:], nqi[..., None]],
+                         axis=-1)
+    return yr, yi
+
+
+def _tangle_packed(xr, xi, loc_axes, sh_axis: int, axis_name, p: int):
+    """(…, n/2+1) half spectrum -> packed (…, n/2) planes, distributed.
+
+    The c2r-side inverse of :func:`_untangle_packed` (``plan._pack_nyquist``
+    under shard_map): endpoint slabs are projected onto their conjugate-
+    even parts along every transformed leading axis so the packing is
+    exact for ARBITRARY (non-Hermitian) input — matching numpy.irfftn,
+    which drops the imaginary parts the projection removes.  The packed
+    lane rides every subsequent collective at n/2 (lane-aligned) width.
+    """
+    from ..plan import _rev_freq
+    m = xr.shape[-1] - 1
+
+    def herm(r, i):
+        rr = _rev_freq_sharded(_rev_freq(r, loc_axes), sh_axis, axis_name, p)
+        ri = _rev_freq_sharded(_rev_freq(i, loc_axes), sh_axis, axis_name, p)
+        return 0.5 * (r + rr), 0.5 * (i - ri)
+
+    x0r, x0i = herm(xr[..., 0], xi[..., 0])
+    nqr, nqi = herm(xr[..., m], xi[..., m])
+    return (jnp.concatenate([(x0r - nqi)[..., None], xr[..., 1:m]], axis=-1),
+            jnp.concatenate([(x0i + nqr)[..., None], xi[..., 1:m]], axis=-1))
 
 
 def _chunked(n_chunks: int, extent: int):
@@ -496,7 +553,6 @@ def make_plan_slab_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
         # aligned) instead of n/2+1; the packed-lane untangle runs at the
         # END, with the reversal over the then-sharded axis done by
         # :func:`_rev_freq_sharded` (flip + 2 ppermutes).
-        from ..plan import _rev_freq
         m = shape[-1] // 2
         core_mid_p = _local_core(local_real[:-1] + (m,), mid_axes,
                                  Direction.FORWARD, **core_kw)
@@ -516,20 +572,8 @@ def make_plan_slab_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
                 sh_axis, loc_axes = 0, list(range(1, nd_ - 1))
             else:                                        # (Z, Y/P, m)
                 sh_axis, loc_axes = 1, [0] + list(range(2, nd_ - 1))
-            zr = yr[..., 0]
-            zi = yi[..., 0]
-            rr = _rev_freq_sharded(_rev_freq(zr, loc_axes), sh_axis,
-                                   axis_name, p)
-            ri = _rev_freq_sharded(_rev_freq(zi, loc_axes), sh_axis,
-                                   axis_name, p)
-            x0r = 0.5 * (zr + rr)
-            x0i = 0.5 * (zi - ri)
-            nqr = 0.5 * (zi + ri)
-            nqi = -0.5 * (zr - rr)
-            yr = jnp.concatenate([x0r[..., None], yr[..., 1:],
-                                  nqr[..., None]], axis=-1)
-            yi = jnp.concatenate([x0i[..., None], yi[..., 1:],
-                                  nqi[..., None]], axis=-1)
+            yr, yi = _untangle_packed(yr, yi, loc_axes, sh_axis,
+                                      axis_name, p)
             return _apply_scale(yr, yi, scale)
     else:
         core_r2c = _local_core(local_real, (nd_ - 1,), kind=Kind.R2C,
@@ -608,24 +652,61 @@ def make_plan_slab_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
                    backend=backend)
     local_real = (shape[0] // p,) + shape[1:]
     xh = shape[-1] // 2 + 1
-    core_c2r = _local_core(local_real, (nd_ - 1,), kind=Kind.C2R, **core_kw)
     mid_axes = tuple(range(1, nd_ - 1))
-    core_mid = _local_core(local_real[:-1] + (xh,), mid_axes,
-                           Direction.BACKWARD, **core_kw)
-    core_z = _local_core((shape[0],) + (shape[1] // p,) + shape[2:-1] + (xh,),
-                         (0,), Direction.BACKWARD, **core_kw)
+    from ..ops import pallas_stockham as _ps
+    packed = _ps.r2c_packed_supported(shape[-1])
+    if packed:
+        # Nyquist-packed transport, c2r side: tangle the endpoint bins
+        # into packed lane 0 at INPUT (with the conjugate-even projection
+        # of _tangle_packed — the sharded-axis reversal runs on the
+        # lane-0 plane only), then every collective and inverse mid/Z
+        # transform runs at n/2 lane-aligned width and the packed c2r
+        # kernel unpacks in-VMEM.
+        m = shape[-1] // 2
+        core_mid_p = _local_core(local_real[:-1] + (m,), mid_axes,
+                                 Direction.BACKWARD, **core_kw)
+        core_z_p = _local_core(
+            (shape[0],) + (shape[1] // p,) + shape[2:-1] + (m,), (0,),
+            Direction.BACKWARD, **core_kw)
 
-    def local_fn(xr, xi):
-        if not transposed_in:
-            # (Z/P, Y, Xh) -> gather Z, shard Y
-            xr, xi = _a2a(xr, xi, axis_name, 1, 0)
-        xr, xi = core_z(xr, xi)                                  # inverse Z
-        xr, xi = _a2a(xr, xi, axis_name, 0, 1)
-        xr, xi = core_mid(xr, xi)                                # inverse mid
-        y = core_c2r(xr, xi)                                     # unpack X
-        if scale != 1.0:
-            y = y * jnp.asarray(scale, y.dtype)
-        return y
+        def local_fn(xr, xi):
+            if not transposed_in:                        # (Z/P, Y, Xh)
+                sh_axis, loc_axes = 0, list(range(1, nd_ - 1))
+            else:                                        # (Z, Y/P, Xh)
+                sh_axis, loc_axes = 1, [0] + list(range(2, nd_ - 1))
+            xr, xi = _tangle_packed(xr, xi, loc_axes, sh_axis,
+                                    axis_name, p)
+            if not transposed_in:
+                xr, xi = _a2a(xr, xi, axis_name, 1, 0)   # (Z, Y/P, m)
+            xr, xi = core_z_p(xr, xi)                    # inverse Z
+            xr, xi = _a2a(xr, xi, axis_name, 0, 1)       # (Z/P, Y, m)
+            xr, xi = core_mid_p(xr, xi)                  # inverse mids
+            interp = jax.default_backend() != "tpu"
+            y = _ps.ifft_last_c2r_stockham(xr, xi, shape[-1],
+                                           interpret=interp, packed=True)
+            if scale != 1.0:
+                y = y * jnp.asarray(scale, y.dtype)
+            return y
+    else:
+        core_c2r = _local_core(local_real, (nd_ - 1,), kind=Kind.C2R,
+                               **core_kw)
+        core_mid = _local_core(local_real[:-1] + (xh,), mid_axes,
+                               Direction.BACKWARD, **core_kw)
+        core_z = _local_core(
+            (shape[0],) + (shape[1] // p,) + shape[2:-1] + (xh,), (0,),
+            Direction.BACKWARD, **core_kw)
+
+        def local_fn(xr, xi):
+            if not transposed_in:
+                # (Z/P, Y, Xh) -> gather Z, shard Y
+                xr, xi = _a2a(xr, xi, axis_name, 1, 0)
+            xr, xi = core_z(xr, xi)                              # inverse Z
+            xr, xi = _a2a(xr, xi, axis_name, 0, 1)
+            xr, xi = core_mid(xr, xi)                            # inverse mid
+            y = core_c2r(xr, xi)                                 # unpack X
+            if scale != 1.0:
+                y = y * jnp.asarray(scale, y.dtype)
+            return y
 
     slab_spec = P(axis_name, *([None] * (nd_ - 1)))
     in_spec = (P(None, axis_name, *([None] * (nd_ - 2)))
@@ -635,7 +716,8 @@ def make_plan_slab_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
     half = shape[:-1] + (shape[-1] // 2 + 1,)
     desc = (f"(plan-distrib-slab-c2r real-shape={shape} P={p} "
             f"{'[transposed input] ' if transposed_in else 'a2a -> '}"
-            f"ifft(Z) -> a2a -> ifft(mid) -> c2r(X))")
+            f"ifft(Z) -> a2a -> ifft(mid) -> c2r(X)"
+            f"{' [nyquist-packed transport]' if packed else ''})")
     flops = 2.5 * n_total * math.log2(max(n_total, 2))
 
     class _C2RPlan(DistributedFFTPlan):
@@ -784,21 +866,46 @@ def make_plan_pencil_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
     xh = x // 2 + 1
     core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
                    backend=backend)
-    core_r2c = _local_core((z // p1, y // p2, x), (2,), kind=Kind.R2C,
-                           **core_kw)
-    core_z = _local_core((z, y // (p1 * p2), xh), (0,), Direction.FORWARD,
-                         **core_kw)
-    core_y = _local_core((z // (p1 * p2), y, xh), (1,), Direction.FORWARD,
-                         **core_kw)
+    from ..ops import pallas_stockham as _ps
+    packed = _ps.r2c_packed_supported(x)
+    if packed:
+        # Nyquist-packed transport for the pencil path: all THREE
+        # all_to_alls (and the Z/Y transforms) run at x/2 lane-aligned
+        # width; the final untangle's sharded reversal runs over the
+        # JOINT (a1, a2)-sharded Z axis (see _rev_freq_sharded).
+        m = x // 2
+        core_z_p = _local_core((z, y // (p1 * p2), m), (0,),
+                               Direction.FORWARD, **core_kw)
+        core_y_p = _local_core((z // (p1 * p2), y, m), (1,),
+                               Direction.FORWARD, **core_kw)
 
-    def local_fn(v):
-        xr, xi = core_r2c(v)                                # (Z/P1, Y/P2, Xh)
-        xr, xi = _a2a(xr, xi, a1, 1, 0)                     # (Z, Y/(P1P2), Xh)
-        xr, xi = core_z(xr, xi)
-        xr, xi = _a2a(xr, xi, a1, 0, 1)                     # (Z/P1, Y/P2, Xh)
-        xr, xi = _a2a(xr, xi, a2, 0, 1)                     # (Z/(P1P2), Y, Xh)
-        xr, xi = core_y(xr, xi)
-        return _apply_scale(xr, xi, scale)
+        def local_fn(v):
+            interp = jax.default_backend() != "tpu"
+            yr, yi = _ps.fft_last_r2c_stockham(v, interpret=interp,
+                                               packed=True)
+            yr, yi = _a2a(yr, yi, a1, 1, 0)                 # (Z, Y/(P1P2), m)
+            yr, yi = core_z_p(yr, yi)
+            yr, yi = _a2a(yr, yi, a1, 0, 1)                 # (Z/P1, Y/P2, m)
+            yr, yi = _a2a(yr, yi, a2, 0, 1)                 # (Z/(P1P2), Y, m)
+            yr, yi = core_y_p(yr, yi)
+            yr, yi = _untangle_packed(yr, yi, [1], 0, (a1, a2), p1 * p2)
+            return _apply_scale(yr, yi, scale)
+    else:
+        core_r2c = _local_core((z // p1, y // p2, x), (2,), kind=Kind.R2C,
+                               **core_kw)
+        core_z = _local_core((z, y // (p1 * p2), xh), (0,),
+                             Direction.FORWARD, **core_kw)
+        core_y = _local_core((z // (p1 * p2), y, xh), (1,),
+                             Direction.FORWARD, **core_kw)
+
+        def local_fn(v):
+            xr, xi = core_r2c(v)                            # (Z/P1, Y/P2, Xh)
+            xr, xi = _a2a(xr, xi, a1, 1, 0)                 # (Z, Y/(P1P2), Xh)
+            xr, xi = core_z(xr, xi)
+            xr, xi = _a2a(xr, xi, a1, 0, 1)                 # (Z/P1, Y/P2, Xh)
+            xr, xi = _a2a(xr, xi, a2, 0, 1)                 # (Z/(P1P2), Y, Xh)
+            xr, xi = core_y(xr, xi)
+            return _apply_scale(xr, xi, scale)
 
     in_spec = P(a1, a2, None)
     out_spec = P((a1, a2), None, None)
@@ -807,7 +914,8 @@ def make_plan_pencil_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
     half = (z, y, x // 2 + 1)
     desc = (f"(plan-distrib-pencil-r2c real-shape={shape} mesh=({p1}x{p2}) "
             f"r2c(X) -> a2a[{a1}] -> fft(Z) -> a2a[{a1}],a2a[{a2}] -> fft(Y); "
-            f"halved axis never crosses a collective)")
+            f"halved axis never crosses a collective"
+            f"{'; nyquist-packed transport' if packed else ''})")
     flops = 2.5 * n_total * math.log2(max(n_total, 2))
 
     class _PR2CPlan(DistributedFFTPlan):
@@ -865,24 +973,52 @@ def make_plan_pencil_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
     xh = x // 2 + 1
     core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
                    backend=backend)
-    core_c2r = _local_core((z // p1, y // p2, x), (2,), kind=Kind.C2R,
-                           **core_kw)
-    core_y = _local_core((z // (p1 * p2), y, xh), (1,), Direction.BACKWARD,
-                         **core_kw)
-    core_z = _local_core((z, y // (p1 * p2), xh), (0,), Direction.BACKWARD,
-                         **core_kw)
+    from ..ops import pallas_stockham as _ps
+    packed = _ps.r2c_packed_supported(x)
+    if packed:
+        # Nyquist-packed transport, pencil c2r side: tangle at INPUT
+        # (conjugate-even projection over the JOINT-sharded Z axis plus
+        # local Y), then all three all_to_alls and both inverse
+        # transforms run at x/2 lane-aligned width; the packed c2r
+        # kernel unpacks in-VMEM.
+        m = x // 2
+        core_y_p = _local_core((z // (p1 * p2), y, m), (1,),
+                               Direction.BACKWARD, **core_kw)
+        core_z_p = _local_core((z, y // (p1 * p2), m), (0,),
+                               Direction.BACKWARD, **core_kw)
 
-    def local_fn(xr, xi):
-        # exact reverse of pencil-r2c
-        xr, xi = core_y(xr, xi)                             # (Z/(P1P2), Y, Xh)
-        xr, xi = _a2a(xr, xi, a2, 1, 0)                     # (Z/P1, Y/P2, Xh)
-        xr, xi = _a2a(xr, xi, a1, 1, 0)                     # (Z, Y/(P1P2), Xh)
-        xr, xi = core_z(xr, xi)
-        xr, xi = _a2a(xr, xi, a1, 0, 1)                     # (Z/P1, Y/P2, Xh)
-        v = core_c2r(xr, xi)                                # (Z/P1, Y/P2, X)
-        if scale != 1.0:
-            v = v * jnp.asarray(scale, v.dtype)
-        return v
+        def local_fn(xr, xi):
+            xr, xi = _tangle_packed(xr, xi, [1], 0, (a1, a2), p1 * p2)
+            xr, xi = core_y_p(xr, xi)                       # (Z/(P1P2), Y, m)
+            xr, xi = _a2a(xr, xi, a2, 1, 0)                 # (Z/P1, Y/P2, m)
+            xr, xi = _a2a(xr, xi, a1, 1, 0)                 # (Z, Y/(P1P2), m)
+            xr, xi = core_z_p(xr, xi)
+            xr, xi = _a2a(xr, xi, a1, 0, 1)                 # (Z/P1, Y/P2, m)
+            interp = jax.default_backend() != "tpu"
+            v = _ps.ifft_last_c2r_stockham(xr, xi, x, interpret=interp,
+                                           packed=True)
+            if scale != 1.0:
+                v = v * jnp.asarray(scale, v.dtype)
+            return v
+    else:
+        core_c2r = _local_core((z // p1, y // p2, x), (2,), kind=Kind.C2R,
+                               **core_kw)
+        core_y = _local_core((z // (p1 * p2), y, xh), (1,),
+                             Direction.BACKWARD, **core_kw)
+        core_z = _local_core((z, y // (p1 * p2), xh), (0,),
+                             Direction.BACKWARD, **core_kw)
+
+        def local_fn(xr, xi):
+            # exact reverse of pencil-r2c
+            xr, xi = core_y(xr, xi)                         # (Z/(P1P2), Y, Xh)
+            xr, xi = _a2a(xr, xi, a2, 1, 0)                 # (Z/P1, Y/P2, Xh)
+            xr, xi = _a2a(xr, xi, a1, 1, 0)                 # (Z, Y/(P1P2), Xh)
+            xr, xi = core_z(xr, xi)
+            xr, xi = _a2a(xr, xi, a1, 0, 1)                 # (Z/P1, Y/P2, Xh)
+            v = core_c2r(xr, xi)                            # (Z/P1, Y/P2, X)
+            if scale != 1.0:
+                v = v * jnp.asarray(scale, v.dtype)
+            return v
 
     in_spec = P((a1, a2), None, None)
     out_spec = P(a1, a2, None)
@@ -890,7 +1026,8 @@ def make_plan_pencil_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
                    out_specs=out_spec)
     half = (z, y, x // 2 + 1)
     desc = (f"(plan-distrib-pencil-c2r real-shape={shape} mesh=({p1}x{p2}) "
-            f"ifft(Y) -> a2a[{a2}],a2a[{a1}] -> ifft(Z) -> a2a[{a1}] -> c2r(X))")
+            f"ifft(Y) -> a2a[{a2}],a2a[{a1}] -> ifft(Z) -> a2a[{a1}] -> c2r(X)"
+            f"{' [nyquist-packed transport]' if packed else ''})")
     flops = 2.5 * n_total * math.log2(max(n_total, 2))
 
     class _PC2RPlan(DistributedFFTPlan):

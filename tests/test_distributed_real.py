@@ -180,3 +180,74 @@ def test_slab_r2c_packed_transposed_out():
     y = plan(x)
     ref = np.fft.rfftn(np.asarray(x, np.float64))
     assert rel_l2(y, ref) < tolerance(x.size)
+
+
+def test_slab_c2r_packed_matches_irfftn_on_random_spectrum():
+    # Arbitrary (non-Hermitian) spectrum: the tangle's conjugate-even
+    # projection (incl. the sharded-axis reversal) must reproduce
+    # numpy.irfftn exactly.
+    shape = (16, 8, 256)
+    h = shape[:-1] + (129,)
+    y = (RNG.standard_normal(h) + 1j * RNG.standard_normal(h)
+         ).astype(np.complex64)
+    plan = dist.make_plan_slab_c2r(shape, norm=Norm.NONE)
+    got = np.asarray(plan(y))
+    ref = np.fft.irfftn(np.asarray(y, np.complex128), s=shape, axes=(0, 1, 2))
+    ref = ref * np.prod(shape)  # NONE norm: unscaled inverse
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < tolerance(got.size)
+
+
+def test_slab_r2c_c2r_packed_roundtrip():
+    shape = (16, 8, 256)
+    x = RNG.standard_normal(shape).astype(np.float32)
+    fwd = dist.make_plan_slab_r2c(shape, norm=Norm.NONE)
+    inv = dist.make_plan_slab_c2r(shape, norm=Norm.BACKWARD)
+    back = np.asarray(inv(fwd(x)))
+    assert np.linalg.norm(back - x) / np.linalg.norm(x) < tolerance(x.size)
+
+
+def test_slab_r2c_c2r_packed_transposed_pair():
+    shape = (8, 8, 256)
+    x = RNG.standard_normal(shape).astype(np.float32)
+    fwd = dist.make_plan_slab_r2c(shape, norm=Norm.NONE, transposed_out=True)
+    inv = dist.make_plan_slab_c2r(shape, norm=Norm.BACKWARD,
+                                  transposed_in=True)
+    back = np.asarray(inv(fwd(x)))
+    assert np.linalg.norm(back - x) / np.linalg.norm(x) < tolerance(x.size)
+
+
+def test_pencil_r2c_packed_matches_numpy():
+    # x/2 = 128 lanes: all three all_to_alls carry the packed width; the
+    # final untangle reverses over the JOINT (fy, fz)-sharded Z axis.
+    from regent_fft_tpu.parallel.mesh import make_pencil_mesh
+    mesh = make_pencil_mesh((2, 4))
+    shape = (16, 16, 256)
+    x = RNG.standard_normal(shape).astype(np.float32)
+    p = dist.make_plan_pencil_r2c(shape, mesh=mesh, norm=Norm.NONE)
+    assert "nyquist-packed" in p.description
+    assert rel_l2(p(x), np.fft.rfftn(np.asarray(x, np.float64))) < tolerance(x.size)
+
+
+def test_pencil_r2c_c2r_packed_roundtrip():
+    from regent_fft_tpu.parallel.mesh import make_pencil_mesh
+    mesh = make_pencil_mesh((2, 4))
+    shape = (16, 16, 256)
+    x = RNG.standard_normal(shape).astype(np.float32)
+    fwd = dist.make_plan_pencil_r2c(shape, mesh=mesh, norm=Norm.NONE)
+    inv = dist.make_plan_pencil_c2r(shape, mesh=mesh, norm=Norm.BACKWARD)
+    assert "nyquist-packed" in inv.description
+    back = np.asarray(inv(fwd(x)))
+    assert np.linalg.norm(back - x) / np.linalg.norm(x) < tolerance(x.size)
+
+
+def test_pencil_c2r_packed_matches_irfftn_on_random_spectrum():
+    from regent_fft_tpu.parallel.mesh import make_pencil_mesh
+    mesh = make_pencil_mesh((2, 4))
+    shape = (16, 16, 256)
+    h = shape[:-1] + (129,)
+    y = (RNG.standard_normal(h) + 1j * RNG.standard_normal(h)
+         ).astype(np.complex64)
+    plan = dist.make_plan_pencil_c2r(shape, mesh=mesh, norm=Norm.BACKWARD)
+    got = np.asarray(plan(y))
+    ref = np.fft.irfftn(np.asarray(y, np.complex128), s=shape, axes=(0, 1, 2))
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < tolerance(got.size)
