@@ -40,6 +40,7 @@ from .ops.r2r import (R2RKind, R2RPlan, plan_r2r, r2r, dct, dst, dht,
                       idct, idst, idht, dctn, idctn, dstn, idstn)
 from .signal import fftconvolve, oaconvolve, correlate, stft, istft
 from ._czt import CZT, ZoomFFT, czt, zoom_fft
+from .ops.fftlog import fht, ifht, fhtoffset
 
 __version__ = "0.1.0"
 
