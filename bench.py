@@ -183,21 +183,23 @@ def bench_suite(iters: int = 6, deadline: float = None):
     def past_deadline():
         return deadline is not None and time.monotonic() > deadline
 
-    def entry(name, spec):
+    def entry(name, spec, reps=3):
+        # sub-ms rows sit in the attach's ~±6% noise band; extra reps
+        # tighten the min-over-reps paired-difference estimate
         if past_deadline():
             return name, {"skipped": "bench deadline"}
         plan = make_plan(spec)
-        t = timing.time_plan(plan, iters=iters, reps=3)
+        t = timing.time_plan(plan, iters=iters, reps=reps)
         gf = plan.flops / t / 1e9
         return name, {"time_ms": round(t * 1e3, 3), "gflops": round(gf, 1)}
 
     fams = []
     fams.append(entry("1d_c2c_1024_batch4096", PlanSpec(
         shape=(4096, 1024), axes=(1,), kind=Kind.C2C,
-        direction=Direction.FORWARD, norm=Norm.NONE, use_3m=True)))
+        direction=Direction.FORWARD, norm=Norm.NONE, use_3m=True), reps=6))
     fams.append(entry("1d_r2c_1024_batch4096", PlanSpec(
         shape=(4096, 1024), axes=(1,), kind=Kind.R2C,
-        direction=Direction.FORWARD, norm=Norm.NONE, use_3m=True)))
+        direction=Direction.FORWARD, norm=Norm.NONE, use_3m=True), reps=6))
     fams.append(entry("2d_c2c_512x512_batch16", PlanSpec(
         shape=(16, 512, 512), axes=(1, 2), kind=Kind.C2C,
         direction=Direction.FORWARD, norm=Norm.NONE, use_3m=True)))
