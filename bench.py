@@ -228,6 +228,12 @@ def bench_suite(iters: int = 6, deadline: float = None):
     fams.append(entry("3d_c2c_512cubed_complex32", PlanSpec(
         shape=(512, 512, 512), axes=(0, 1, 2), kind=Kind.C2C,
         direction=Direction.FORWARD, norm=Norm.NONE, dtype="complex32")))
+    # the b32 MXU fast tier (lax.Precision.HIGH analog, ~4.4e-6 rel err;
+    # docs/tpu_notes.md "MXU-tail precision schemes")
+    fams.append(entry("3d_c2c_512cubed_precision_high", PlanSpec(
+        shape=(512, 512, 512), axes=(0, 1, 2), kind=Kind.C2C,
+        direction=Direction.FORWARD, norm=Norm.NONE, use_3m=True,
+        precision="high")))
 
     # --- prime / non-smooth sizes (FFTW headline capability: dft/rader.c;
     # VERDICT r2 weak #8: the artifact matrix was all powers of two) ---

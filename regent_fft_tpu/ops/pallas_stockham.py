@@ -66,9 +66,40 @@ _ENV_KNOBS = ("REGENT_FFT_TILE_IMPL", "REGENT_FFT_F2_SCRATCH",
               "REGENT_FFT_C2R_IMPL", "REGENT_FFT_F2_PLANES")
 
 
+# Per-plan MXU-scheme override stack (see precision_override): lets
+# PlanSpec(precision="high") select the b32 four-step scheme for ONE
+# plan's trace without mutating process-wide env state.
+_PREC_OVERRIDE: list = []
+
+
+class precision_override:
+    """Context manager scoping an a0fs MXU scheme to one plan's trace.
+
+    ``PlanSpec(precision="high")`` wraps its core in
+    ``precision_override("b32")``: the measured fast tier (512^3 axis-0
+    stage pair 9.28 -> 6.62 ms) at 2-way-bf16-split accuracy (~4.4e-6,
+    docs/tpu_notes.md "MXU-tail precision schemes").  Applies only to
+    the four-step stage contractions — fused2 tails keep 'highest'
+    (b32 there overflows scoped VMEM, same doc).  Runner caches stay
+    coherent because :func:`_env_key` folds the override in.
+    """
+
+    def __init__(self, scheme: str):
+        self.scheme = scheme
+
+    def __enter__(self):
+        _PREC_OVERRIDE.append(self.scheme)
+
+    def __exit__(self, *exc):
+        _PREC_OVERRIDE.pop()
+
+
 def _env_key() -> str:
     import os
-    return "|".join(os.environ.get(k, "") for k in _ENV_KNOBS)
+    key = "|".join(os.environ.get(k, "") for k in _ENV_KNOBS)
+    if _PREC_OVERRIDE:
+        key += "#" + _PREC_OVERRIDE[-1]
+    return key
 
 
 def _tb_for(n: int) -> int:
@@ -1295,8 +1326,12 @@ def _dft_mat(r: int, sign: int):
 def _a0fs_precision() -> str:
     """MXU scheme of the four-step stage contractions — same options as
     :func:`_tail_precision` (Mosaic rejects Precision.HIGH; the 3-pass
-    bf16x3 scheme is hand-built as 'b3'/'b32')."""
+    bf16x3 scheme is hand-built as 'b3'/'b32').  A live
+    :class:`precision_override` (PlanSpec(precision="high")) wins over
+    the env knob."""
     import os
+    if _PREC_OVERRIDE:
+        return _PREC_OVERRIDE[-1]
     return os.environ.get("REGENT_FFT_A0FS_PREC", "highest")
 
 

@@ -226,7 +226,30 @@ def _pack_nyquist(xr, xi, axes):
 
 
 def _build_core(spec: PlanSpec):
-    """Build the split-pair core function for this spec (unjitted)."""
+    """Build the split-pair core function for this spec (unjitted).
+
+    ``precision="high"`` additionally scopes the b32 MXU scheme to the
+    kernel path's four-step stages (the measured fast tier:
+    docs/tpu_notes.md "MXU-tail precision schemes" — 512^3 axis-0
+    9.28 -> 6.62 ms at ~4.4e-6 relative error, the hand-built Mosaic
+    analog of ``lax.Precision.HIGH``, which Mosaic itself rejects).
+    """
+    core = _build_core_inner(spec)
+    if spec.precision != "high":
+        return core
+    from .ops import pallas_stockham as _ps
+    inner = core
+
+    def wrapped(*args):
+        with _ps.precision_override("b32"):
+            return inner(*args)
+    for attr in ("_plan_steps", "_trace_log", "_real_note"):
+        if hasattr(inner, attr):
+            setattr(wrapped, attr, getattr(inner, attr))
+    return wrapped
+
+
+def _build_core_inner(spec: PlanSpec):
     precision = _PRECISIONS[spec.precision]
     mr = spec.max_radix
     u3 = spec.use_3m
