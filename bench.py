@@ -190,6 +190,12 @@ def bench_suite(iters: int = 6, deadline: float = None):
             return name, {"skipped": "bench deadline"}
         plan = make_plan(spec)
         t = timing.time_plan(plan, iters=iters, reps=reps)
+        if t < 2e-3:
+            # sub-ms rows: one attach hiccup can inflate a whole row
+            # (measured: guru dense 0.021 -> 2.56 ms in one window);
+            # a second independent measurement costs ~nothing warm
+            t = min(t, timing.time_plan(plan, iters=iters, reps=reps,
+                                        seed0=300))
         gf = plan.flops / t / 1e9
         return name, {"time_ms": round(t * 1e3, 3), "gflops": round(gf, 1)}
 
@@ -253,6 +259,8 @@ def bench_suite(iters: int = 6, deadline: float = None):
         if past_deadline():
             return name, {"skipped": "bench deadline"}
         t = _timed_pairfn(fn2, pshape, iters, unroll=unroll)
+        t = min(t, _timed_pairfn(fn2, pshape, iters, unroll=unroll,
+                                 seed0=300))
         return name, {"time_ms": round(t * 1e3, 3),
                       "gflops": round(pflops / t / 1e9, 1)}
 
@@ -286,6 +294,8 @@ def bench_suite(iters: int = 6, deadline: float = None):
         if past_deadline() or "time_ms" not in dense[1]:
             return name, {"skipped": "bench deadline"}
         t = _timed_pairfn(gplan._exec, (gn * gb,), iters)
+        t = min(t, _timed_pairfn(gplan._exec, (gn * gb,), iters,
+                                 seed0=300))
         return name, {"time_ms": round(t * 1e3, 3),
                       "gflops": round(gflops_guru / t / 1e9, 1),
                       "zero_copy": gplan.is_zero_copy,
@@ -357,6 +367,13 @@ def bench_suite(iters: int = 6, deadline: float = None):
 
             timed(once, [1]); timed(gen_only, [2])  # compile + warm
             t = timed(once, [10, 11, 12]) - timed(gen_only, [20, 21, 22])
+            if t <= 0:
+                # host contention can inflate gen_only past the full
+                # program (measured: a -240 ms "time" while the CPU test
+                # suite ran); an impossible difference means the sample
+                # is garbage, not that the FFT is free
+                return name, {"skipped": "measurement invalid "
+                                         "(host contention?)"}
             fl = 5.0 * n**3 * 30  # 5 N log2 N, N = n^3, log2(n^3) = 30
             # Deviation from the time_chain rule (CLAUDE.md): the
             # chained timer's carry + unrolled copies OOM at 8 GB of
