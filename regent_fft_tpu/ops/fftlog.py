@@ -54,16 +54,27 @@ def _fhtcoeff(n: int, dln: float, mu: float, offset: float = 0.0,
     re = u.real - v.real + _LN_2 * q
     im = u.imag + v.imag + 2 * (_LN_2 - lnkr) * y
     u = np.exp(re + 1j * im)
-    # the highest frequency coefficient must be real for an exactly
+    # the Nyquist coefficient must be real for an exactly
     # length-preserving real-to-real round trip (scipy does the same)
-    u.imag[-1] = 0.0
-    if not np.all(np.isfinite(u)):
-        raise ValueError(
-            "singular transform: Gamma pole hit; perturb the offset "
-            "(use fhtoffset) or the bias")
-    if inverse and np.any(u == 0):
-        raise ValueError("singular inverse transform; try a different "
-                         "offset or bias")
+    if n % 2 == 0:
+        u.imag[-1] = 0.0
+    if not np.isfinite(u[0]):
+        # Gamma pole at m=0: the limit is 2^q Gamma(xp)/Gamma(xm), which
+        # poch evaluates correctly through the negative-integer cases
+        # (scipy-parity special case)
+        from scipy.special import poch
+        u[0] = 2 ** q * poch(xm, xp - xm)
+    import warnings
+    if np.isinf(u[0]) and not inverse:
+        warnings.warn("singular transform; consider changing the bias",
+                      stacklevel=3)
+        u = np.copy(u)
+        u[0] = 0
+    elif u[0] == 0 and inverse:
+        warnings.warn("singular inverse transform; consider changing "
+                      "the bias", stacklevel=3)
+        u = np.copy(u)
+        u[0] = np.inf
     return u
 
 

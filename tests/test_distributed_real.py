@@ -240,6 +240,32 @@ def test_pencil_r2c_c2r_packed_roundtrip():
     assert np.linalg.norm(back - x) / np.linalg.norm(x) < tolerance(x.size)
 
 
+def test_packed_transport_collective_width(caplog):
+    # The point of the packed transport: every all_to_all must move
+    # n/2 = 128 lane-aligned columns, never the 129-wide half spectrum.
+    # The collective log records each site's static local shape.
+    import logging
+    from regent_fft_tpu.utils import plog
+    plog.set_log_level(2)
+    plog.logger.propagate = True
+    try:
+        with caplog.at_level(logging.DEBUG, logger="regent_fft_tpu"):
+            shape = (16, 8, 256)
+            fwd = dist.make_plan_slab_r2c(shape, norm=Norm.NONE)
+            inv = dist.make_plan_slab_c2r(shape, norm=Norm.BACKWARD)
+            x = RNG.standard_normal(shape).astype(np.float32)
+            back = np.asarray(inv(fwd(x)))
+        a2a = [r.getMessage() for r in caplog.records
+               if "all_to_all" in r.getMessage()]
+        assert a2a, "no collective records captured"
+        assert all("128)" in m for m in a2a), a2a
+        assert not any("129" in m for m in a2a), a2a
+        assert np.linalg.norm(back - x) / np.linalg.norm(x) < tolerance(x.size)
+    finally:
+        plog.logger.propagate = False
+        plog.set_log_level(0)
+
+
 def test_pencil_c2r_packed_matches_irfftn_on_random_spectrum():
     from regent_fft_tpu.parallel.mesh import make_pencil_mesh
     mesh = make_pencil_mesh((2, 4))
