@@ -41,6 +41,8 @@ from .ops.r2r import (R2RKind, R2RPlan, plan_r2r, r2r, dct, dst, dht,
 from .signal import fftconvolve, oaconvolve, correlate, stft, istft
 from ._czt import CZT, ZoomFFT, czt, zoom_fft
 from .ops.fftlog import fht, ifht, fhtoffset
+from .ops.nufft import (nufft1d1, nufft1d2, nufft2d1, nufft2d2,
+                        nufft3d1, nufft3d2)
 
 __version__ = "0.1.0"
 
