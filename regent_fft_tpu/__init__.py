@@ -38,7 +38,9 @@ from .guru import (IODim, GuruPlan, GuruR2RPlan, plan_guru, plan_guru_r2r,
                    plan_many)
 from .ops.r2r import (R2RKind, R2RPlan, plan_r2r, r2r, dct, dst, dht,
                       idct, idst, idht, dctn, idctn, dstn, idstn)
-from .signal import fftconvolve, oaconvolve, correlate, stft, istft
+from .signal import (fftconvolve, oaconvolve, correlate, stft, istft,
+                     hilbert, hilbert2, resample)
+from .spectral import periodogram, welch, csd, coherence, spectrogram
 from ._czt import CZT, ZoomFFT, czt, zoom_fft
 from .ops.fftlog import fht, ifht, fhtoffset
 from .ops.nufft import (nufft1d1, nufft1d2, nufft2d1, nufft2d2,

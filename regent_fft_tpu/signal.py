@@ -319,6 +319,156 @@ def oaconvolve(a, b, mode: str = "full", axes: Optional[Sequence[int]] = None,
                        sa if swapped else sb, axes_t, mode)
 
 
+def hilbert(x, N: Optional[int] = None, axis: int = -1):
+    """Analytic signal via the FFT (``scipy.signal.hilbert`` semantics).
+
+    ``x_a = ifft(fft(x) * h)`` with the one-sided step multiplier ``h``
+    (DC and Nyquist kept at 1, positive frequencies doubled, negative
+    zeroed).  One forward + one inverse cached C2C plan; the reference
+    wrapper cannot express this at all (forward-only,
+    ``/root/reference/src/fft.rg:319``).
+    """
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("x must be real.")
+    axis = axis % x.ndim
+    n = x.shape[axis] if N is None else int(N)
+    if n <= 0:
+        raise ValueError("N must be positive.")
+    from .api import fft, ifft
+    h = np.zeros(n, np.float32)
+    if n % 2 == 0:
+        h[0] = h[n // 2] = 1.0
+        h[1:n // 2] = 2.0
+    else:
+        h[0] = 1.0
+        h[1:(n + 1) // 2] = 2.0
+    shape = [1] * x.ndim
+    shape[axis] = n
+    Xf = fft(x.astype(jnp.float32), n=n, axis=axis)
+    return ifft(Xf * jnp.asarray(h).reshape(shape), axis=axis)
+
+
+def hilbert2(x, N=None):
+    """2-D analytic signal (``scipy.signal.hilbert2`` semantics): the
+    separable one-sided multiplier applied to ``fft2(x)``."""
+    x = jnp.asarray(x)
+    if x.ndim != 2:
+        raise ValueError("x must be 2-D.")
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("x must be real.")
+    if N is None:
+        n1, n2 = x.shape
+    elif np.isscalar(N):
+        n1 = n2 = int(N)
+    else:
+        n1, n2 = (int(v) for v in N)
+    if n1 <= 0 or n2 <= 0:
+        raise ValueError("N must be positive.")
+
+    def _h(n):
+        # scipy's single-orthant convention: DC kept, strictly-positive
+        # frequencies doubled, the Nyquist bin (even n) ZEROED — unlike
+        # the 1-D hilbert, which keeps it.
+        h = np.zeros(n, np.float32)
+        h[0] = 1.0
+        h[1:(n + 1) // 2] = 2.0
+        return h
+
+    from .api import fft2, ifft2
+    hh = jnp.asarray(np.outer(_h(n1), _h(n2)))
+    Xf = fft2(x.astype(jnp.float32), s=(n1, n2))
+    return ifft2(Xf * hh)
+
+
+def resample(x, num: int, t=None, axis: int = 0, window=None,
+             domain: str = "time"):
+    """Fourier-method resampling (``scipy.signal.resample`` semantics).
+
+    Real inputs ride the r2c/c2r plan path (half-spectrum resize);
+    complex inputs use C2C plans with the two-sided spectrum resize and
+    the scipy Nyquist-bin split/merge rules.
+    """
+    x = jnp.asarray(x)
+    num = int(num)
+    if num < 1:
+        raise ValueError("num must be positive")
+    axis = axis % x.ndim
+    Nx = x.shape[axis]
+    real_input = not jnp.issubdtype(x.dtype, jnp.complexfloating)
+    from .api import fft, ifft, irfft, rfft, fftfreq
+
+    if domain == "time":
+        Xf = (rfft(x.astype(jnp.float32), axis=axis) if real_input
+              else fft(x, axis=axis))
+    elif domain == "freq":
+        Xf = x  # already a spectrum (scipy: dtype decides the layout)
+    else:
+        raise ValueError("domain must be 'time' or 'freq'")
+
+    # optional spectral window (applied over the full-length spectrum)
+    if window is not None:
+        if callable(window):
+            W = np.asarray(window(np.asarray(fftfreq(Nx))), np.float64)
+        elif isinstance(window, (np.ndarray, jnp.ndarray)):
+            W = np.asarray(window, np.float64)
+            if W.shape != (Nx,):
+                raise ValueError("window must have length Nx")
+        else:
+            from scipy.signal import get_window as _gw
+            W = np.fft.ifftshift(_gw(window, Nx)).astype(np.float64)
+        shape = [1] * x.ndim
+        if real_input:
+            # fold the two-sided window onto the half spectrum
+            Wr = W.copy()
+            Wr[1:] += Wr[:0:-1]
+            Wr[1:] *= 0.5
+            Wr = Wr[:Nx // 2 + 1]
+            shape[axis] = len(Wr)
+            Xf = Xf * jnp.asarray(Wr.astype(np.float32)).reshape(shape)
+        else:
+            shape[axis] = Nx
+            Xf = Xf * jnp.asarray(W.astype(np.float32)).reshape(shape)
+
+    N = min(num, Nx)
+    nyq = N // 2 + 1
+    newshape = list(Xf.shape)
+    newshape[axis] = num // 2 + 1 if real_input else num
+    Y = jnp.zeros(newshape, Xf.dtype)
+
+    def _sl(a, b):
+        s = [slice(None)] * Xf.ndim
+        s[axis] = slice(a, b)
+        return tuple(s)
+
+    Y = Y.at[_sl(0, nyq)].set(Xf[_sl(0, nyq)])
+    if not real_input and N > 2:
+        # negative frequencies
+        Y = Y.at[_sl(newshape[axis] - (N - nyq), None)].set(
+            Xf[_sl(Nx - (N - nyq), None)])
+
+    if N % 2 == 0:
+        if num < Nx:  # downsampling: fold the split Nyquist pair
+            if real_input:
+                Y = Y.at[_sl(N // 2, N // 2 + 1)].multiply(2.0)
+            else:
+                Y = Y.at[_sl(N // 2, N // 2 + 1)].add(
+                    Xf[_sl(Nx - N // 2, Nx - N // 2 + 1)])
+        elif num > Nx:  # upsampling: split the Nyquist bin
+            Y = Y.at[_sl(N // 2, N // 2 + 1)].multiply(0.5)
+            if not real_input:
+                Y = Y.at[_sl(num - N // 2, num - N // 2 + 1)].set(
+                    Y[_sl(N // 2, N // 2 + 1)])
+
+    y = (irfft(Y, n=num, axis=axis) if real_input
+         else ifft(Y, axis=axis))
+    y = y * (float(num) / float(Nx))
+    if t is None:
+        return y
+    new_t = np.arange(0, num) * (t[1] - t[0]) * Nx / float(num) + t[0]
+    return y, new_t
+
+
 def _frame_params(nperseg, noverlap, nfft, n):
     nperseg = int(nperseg)
     if nperseg < 1:
