@@ -197,8 +197,14 @@ def _tangle_packed(xr, xi, loc_axes, sh_axis: int, axis_name, p: int):
 
     x0r, x0i = herm(xr[..., 0], xi[..., 0])
     nqr, nqi = herm(xr[..., m], xi[..., m])
-    return (jnp.concatenate([(x0r - nqi)[..., None], xr[..., 1:m]], axis=-1),
-            jnp.concatenate([(x0i + nqr)[..., None], xi[..., 1:m]], axis=-1))
+    # Identity-mapped bulk lanes: lane-0 `where` over the aligned [..., :m]
+    # slice instead of a prepend-concat (shift-by-one bulk relayout) —
+    # same measured rewrite as plan._pack_nyquist (10.66 -> 9.09 ms at
+    # 256^3x4 single-chip; the per-shard pass here is the same program).
+    lane = jax.lax.iota(jnp.int32, m)
+    mask = lane == 0
+    return (jnp.where(mask, (x0r - nqi)[..., None], xr[..., :m]),
+            jnp.where(mask, (x0i + nqr)[..., None], xi[..., :m]))
 
 
 def _chunked(n_chunks: int, extent: int):

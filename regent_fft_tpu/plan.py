@@ -221,8 +221,17 @@ def _pack_nyquist(xr, xi, axes):
     nqr, nqi = herm(xr[..., m], xi[..., m])
     p0r = x0r - nqi
     p0i = x0i + nqr
-    return (jnp.concatenate([p0r[..., None], xr[..., 1:m]], axis=-1),
-            jnp.concatenate([p0i[..., None], xi[..., 1:m]], axis=-1))
+    # Bulk lanes are IDENTITY-mapped (packed[k] = x[k] for 1 <= k < m), so
+    # a lane-0 `where` over the aligned [..., :m] slice expresses the pack
+    # with no lane shift.  The prepend-concat form paid a shift-by-one
+    # relayout of the whole bulk: measured 10.66 -> 9.09 ms on the
+    # 256^3x4 c2r plan (v5e).  (The mirrored rewrite of _unpack_nyquist
+    # measured WORSE — 8.08 -> 8.79 — its triple concat already lowers
+    # to identity lane mapping; do not "fix" it.)
+    lane = jax.lax.iota(jnp.int32, m)
+    mask = lane == 0
+    return (jnp.where(mask, p0r[..., None], xr[..., :m]),
+            jnp.where(mask, p0i[..., None], xi[..., :m]))
 
 
 def _build_core(spec: PlanSpec):
