@@ -91,9 +91,13 @@ def _packed_mul(za: SplitComplex, zb: SplitComplex, mid_axes) -> SplitComplex:
     cnq = _mul_split(anq, bnq)
     p0r = c0.re - cnq.im
     p0i = c0.im + cnq.re
-    return SplitComplex(
-        jnp.concatenate([p0r[..., None], c.re[..., 1:]], axis=-1),
-        jnp.concatenate([p0i[..., None], c.im[..., 1:]], axis=-1))
+    # lane-0 `where` (identity-mapped bulk) instead of a prepend-concat:
+    # same measured rewrite as plan._pack_nyquist (the concat form pays a
+    # shift-by-one relayout of the whole bulk).
+    lane = jax.lax.iota(jnp.int32, c.re.shape[-1])
+    mask = lane == 0
+    return SplitComplex(jnp.where(mask, p0r[..., None], c.re),
+                        jnp.where(mask, p0i[..., None], c.im))
 
 
 def _slice_mode(y, sa, sb, axes, mode: str):
