@@ -63,7 +63,8 @@ _ENV_KNOBS = ("REGENT_FFT_TILE_IMPL", "REGENT_FFT_F2_SCRATCH",
               "REGENT_FFT_A0FS_VPU", "REGENT_FFT_F2_IMPL",
               "REGENT_FFT_A0FS_PREC", "REGENT_FFT_TAIL_MT",
               "REGENT_FFT_DMA_X", "REGENT_FFT_MXU_IMPL",
-              "REGENT_FFT_C2R_IMPL", "REGENT_FFT_F2_PLANES")
+              "REGENT_FFT_C2R_IMPL", "REGENT_FFT_F2_PLANES",
+              "REGENT_FFT_F2_VMEM_MB")
 
 
 # Per-plan MXU-scheme override stack (see precision_override): lets
@@ -683,11 +684,19 @@ def _runner_fused2(n1: int, n2: int, sign: int, scale: float = 1.0,
         scratch_shapes = ([pltpu.VMEM((n2, n1), jnp.float32)] * 2
                           if (use_scratch or strips > 1 or pbl > 1)
                           else [])
+        # The bf16-emulation tail schemes' K-concat temporaries can push
+        # the scoped-VMEM stack past Mosaic's default budget at 512^2
+        # blocks (measured 19.4M vs 16M); a raised limit trades pipeline
+        # double-buffer headroom for compile legality (probe knob).
+        vmem_mb = int(_os.environ.get("REGENT_FFT_F2_VMEM_MB", "0"))
+        cparams = (pltpu.CompilerParams(vmem_limit_bytes=vmem_mb << 20)
+                   if vmem_mb else None)
         return pl.pallas_call(
             kernel, grid=(p,),
             in_specs=[bs, bs, w1s, w1s, w2s, w2s], out_specs=[bs, bs],
             out_shape=[jax.ShapeDtypeStruct((rows, vdim), odt)] * 2,
             scratch_shapes=scratch_shapes,
+            compiler_params=cparams,
             cost_estimate=pl.CostEstimate(
                 flops=int(10 * n1 * n2 * np.log2(n1 * n2) * p),
                 bytes_accessed=4 * rows * vdim * 4, transcendentals=0),
