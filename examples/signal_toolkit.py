@@ -71,7 +71,7 @@ def dct_compression():
     # keep the 25% largest coefficients, invert, check energy retained
     thresh = np.quantile(np.abs(coeffs), 0.75)
     kept = np.where(np.abs(coeffs) >= thresh, coeffs, 0.0)
-    recon = np.asarray(rft.idctn(kept)) / (4 * img.shape[0] * img.shape[1])
+    recon = np.asarray(rft.idctn(kept))  # scipy semantics: a true inverse
     rel = np.linalg.norm(recon - img) / np.linalg.norm(img)
     assert rel < 0.9, rel  # lossy but sane
     print(f"dctn compression roundtrip: OK (rel={rel:.2f} at 25% coeffs)")

@@ -22,7 +22,9 @@ from .plan import (Plan, PlanSpec, make_plan, execute_plan, destroy_plan,
 from .api import (fft, ifft, fft2, ifft2, fftn, ifftn,
                   rfft, irfft, rfft2, irfft2, rfftn, irfftn,
                   fftshift, ifftshift, fftfreq, rfftfreq, hfft, ihfft,
+                  hfft2, ihfft2, hfftn, ihfftn,
                   generate_fft_interface, FFTInterface)
+from .ops.factor import next_fast_len, prev_fast_len
 from .parallel.mesh import make_fft_mesh, make_pencil_mesh
 from .parallel.distributed import (DistributedFFTPlan, make_plan_shards,
                                    make_plan_slab, make_plan_pencil,

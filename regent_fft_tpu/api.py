@@ -226,6 +226,28 @@ def ihfft(x, n: Optional[int] = None, axis: int = -1, norm=None, **opts):
     return _conj(rfft(x, n=n, axis=axis, norm=_SWAP_NORM[norm], **opts))
 
 
+def hfftn(x, s=None, axes=None, norm=None, **opts):
+    """N-D FFT of Hermitian-symmetric input -> real output (scipy.fft.hfftn
+    identity: hfftn(x, s) == irfftn(conj(x), s) at the swapped norm)."""
+    return irfftn(_conj(x), s=s, axes=axes, norm=_SWAP_NORM[norm], **opts)
+
+
+def hfft2(x, s=None, axes=(-2, -1), norm=None, **opts):
+    """2-D Hermitian-input FFT (scipy.fft.hfft2)."""
+    return hfftn(x, s=s, axes=axes, norm=norm, **opts)
+
+
+def ihfftn(x, s=None, axes=None, norm=None, **opts):
+    """N-D inverse of :func:`hfftn`: real input -> conjugated half
+    spectrum (scipy.fft.ihfftn)."""
+    return _conj(rfftn(x, s=s, axes=axes, norm=_SWAP_NORM[norm], **opts))
+
+
+def ihfft2(x, s=None, axes=(-2, -1), norm=None, **opts):
+    """2-D inverse Hermitian-input FFT (scipy.fft.ihfft2)."""
+    return ihfftn(x, s=s, axes=axes, norm=norm, **opts)
+
+
 # Shift/frequency helpers (numpy parity; trivial but part of "everything a
 # user needs to switch").  SplitComplex shifts plane-wise.
 def fftshift(x, axes=None):

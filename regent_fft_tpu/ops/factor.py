@@ -110,6 +110,25 @@ def next_fast_len(n: int, max_radix: int = DEFAULT_MAX_RADIX) -> int:
     return best
 
 
+@functools.lru_cache(maxsize=4096)
+def prev_fast_len(n: int, max_radix: int = DEFAULT_MAX_RADIX) -> int:
+    """Largest smooth size <= n (scipy.fft.prev_fast_len analog).
+
+    Same smoothness convention as :func:`next_fast_len` — sizes fast for
+    THIS engine (5-smooth when the radix cap allows, so every axis hits
+    the mixed-radix matmul/kernel paths, never Bluestein).
+    """
+    if n < 1:
+        raise ValueError(f"n must be positive, got {n}")
+    cap = 5 if max_radix >= 5 else (3 if max_radix >= 3 else 2)
+    m = n
+    while m > 1:
+        if is_smooth(m, cap):
+            return m
+        m -= 1
+    return 1
+
+
 def stage_flops(n: int, factors: Tuple[int, ...]) -> int:
     """Real-FLOP count of the matmul-form mixed-radix schedule for size n.
 

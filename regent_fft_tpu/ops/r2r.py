@@ -370,92 +370,186 @@ def r2r(x, kind, axis: int = -1):
     return plan(x)
 
 
-def dct(x, type: int = 2, axis: int = -1):
-    """Unnormalized DCT (scipy.fft.dct(norm=None) / FFTW REDFT semantics)."""
-    if type not in _DCT_TYPES:
-        raise ValueError(f"DCT type must be 1-4, got {type}")
-    return r2r(x, _DCT_TYPES[type], axis)
+# ---------------------------------------------------------------------------
+# scipy.fft-parity one-shots
+#
+# Full scipy signatures: ``n``/``s`` crop-or-zero-pad, ``norm`` in
+# {"backward" (None), "ortho", "forward"}, and ``orthogonalize`` (scipy's
+# sqrt(2) endpoint adjustments that make the "ortho" matrices orthonormal).
+# The kinds themselves stay FFTW-unnormalized (``r2r``/``plan_r2r`` above);
+# everything here is diagonal pre/post scaling, which commutes across axes,
+# so the N-D forms still execute as ONE multi-axis plan.
+#
+# FFTW pairs inverse kinds as REDFT10<->REDFT01 etc. (fftw-3.3.8/doc "Real
+# even/odd DFTs"); types 1 and 4 are their own inverse kind.  scipy's
+# idct/idst include the 1/logical-size factor under norm="backward".
+# ---------------------------------------------------------------------------
+_INV_TYPE = {1: 1, 2: 3, 3: 2, 4: 4}
+_SQRT2 = math.sqrt(2.0)
+# scipy's orthogonalize endpoint adjustments, per EXECUTED (family, type):
+# entries listed get *sqrt(2) on input (PRE) / /sqrt(2) on output (POST).
+# DCT-IV, DST-I and DST-IV are already orthogonal up to scale (no entry).
+_ORTHO_PRE = {("dct", 1): (0, -1), ("dct", 3): (0,), ("dst", 3): (-1,)}
+_ORTHO_POST = {("dct", 1): (0, -1), ("dct", 2): (0,), ("dst", 2): (-1,)}
 
 
-def dst(x, type: int = 2, axis: int = -1):
-    """Unnormalized DST (scipy.fft.dst(norm=None) / FFTW RODFT semantics)."""
-    if type not in _DST_TYPES:
-        raise ValueError(f"DST type must be 1-4, got {type}")
-    return r2r(x, _DST_TYPES[type], axis)
+def _resize_axis(x, n, axis):
+    """Crop or zero-pad ``x`` along ``axis`` to length ``n`` (scipy's
+    ``n``/``s`` semantics)."""
+    n = int(n)
+    if n < 1:
+        raise ValueError(f"invalid number of data points ({n}) specified")
+    cur = x.shape[axis]
+    if n == cur:
+        return x
+    if n < cur:
+        return jax.lax.slice_in_dim(x, 0, n, axis=axis)
+    pad = [(0, 0)] * x.ndim
+    pad[axis % x.ndim] = (0, n - cur)
+    return jnp.pad(x, pad)
+
+
+def _entry_scaled(x, axis, idx, factor):
+    """Multiply the ``idx`` hyperplane along ``axis`` by ``factor``."""
+    sl = [slice(None)] * x.ndim
+    sl[axis] = idx % x.shape[axis]
+    return x.at[tuple(sl)].multiply(jnp.asarray(factor, x.dtype))
+
+
+def _norm_scale(norm, logical_n: int, inverse: bool) -> float:
+    if norm in (None, "backward"):
+        return 1.0 / logical_n if inverse else 1.0
+    if norm == "ortho":
+        return 1.0 / math.sqrt(logical_n)
+    if norm == "forward":
+        return 1.0 if inverse else 1.0 / logical_n
+    raise ValueError(f"Invalid norm value {norm!r}; should be 'backward', "
+                     "'ortho' or 'forward'")
+
+
+def _scipy_r2r(x, family: str, typ: int, s, axes, norm, orthogonalize,
+               inverse: bool):
+    """Shared worker for the dct/dst/dctn/dstn one-shot family."""
+    tables = _DCT_TYPES if family == "dct" else _DST_TYPES
+    if typ not in tables:
+        raise ValueError(f"{family.upper()} type must be 1-4, got {typ}")
+    if norm not in (None, "backward", "ortho", "forward"):
+        raise ValueError(f"Invalid norm value {norm!r}; should be "
+                         "'backward', 'ortho' or 'forward'")
+    if orthogonalize is None:
+        orthogonalize = norm == "ortho"
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise TypeError(f"{family} transforms take real input, got {x.dtype}")
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)  # scipy promotes integer input
+    if isinstance(axes, int):
+        axes = (axes,)
+    if s is not None and np.ndim(s) == 0:
+        s = (int(s),)
+    if s is not None and axes is None:
+        axes = tuple(range(x.ndim - len(s), x.ndim))
+    if axes is None:
+        axes = tuple(range(x.ndim))
+    axes = tuple(a % x.ndim for a in axes)
+    if len(set(axes)) != len(axes):
+        raise ValueError("all axes must be unique")
+    if s is not None:
+        if len(s) != len(axes):
+            raise ValueError("when given, axes and shape arguments"
+                             " have to be of the same length")
+        for a, m in zip(axes, s):
+            if m is not None and int(m) != -1:
+                x = _resize_axis(x, m, a)
+
+    exec_typ = _INV_TYPE[typ] if inverse else typ
+    kind = tables[exec_typ]
+    scale = 1.0
+    for a in axes:
+        scale *= _norm_scale(norm, logical_size(x.shape[a], kind), inverse)
+    if orthogonalize:
+        for a in axes:
+            for i in _ORTHO_PRE.get((family, exec_typ), ()):
+                x = _entry_scaled(x, a, i, _SQRT2)
+    y = plan_r2r(x.shape, kind, axes=axes)(x)
+    if orthogonalize:
+        for a in axes:
+            for i in _ORTHO_POST.get((family, exec_typ), ()):
+                y = _entry_scaled(y, a, i, 1.0 / _SQRT2)
+    if scale != 1.0:
+        y = y * jnp.asarray(scale, y.dtype)
+    return y
+
+
+def dct(x, type: int = 2, n=None, axis: int = -1, norm=None,
+        overwrite_x=False, workers=None, orthogonalize=None):
+    """DCT types 1-4 with full scipy.fft.dct semantics (``n`` crop/pad,
+    ``norm``, ``orthogonalize``); compute is f32 on the framework's own
+    r2r kinds.  ``overwrite_x``/``workers`` accepted for drop-in
+    compatibility (meaningless under XLA)."""
+    return _scipy_r2r(x, "dct", type, None if n is None else (n,), (axis,),
+                      norm, orthogonalize, inverse=False)
+
+
+def idct(x, type: int = 2, n=None, axis: int = -1, norm=None,
+         overwrite_x=False, workers=None, orthogonalize=None):
+    """Inverse DCT (scipy.fft.idct semantics: idct(dct(x, **kw), **kw) ==
+    x for every norm)."""
+    return _scipy_r2r(x, "dct", type, None if n is None else (n,), (axis,),
+                      norm, orthogonalize, inverse=True)
+
+
+def dst(x, type: int = 2, n=None, axis: int = -1, norm=None,
+        overwrite_x=False, workers=None, orthogonalize=None):
+    """DST types 1-4 with full scipy.fft.dst semantics."""
+    return _scipy_r2r(x, "dst", type, None if n is None else (n,), (axis,),
+                      norm, orthogonalize, inverse=False)
+
+
+def idst(x, type: int = 2, n=None, axis: int = -1, norm=None,
+         overwrite_x=False, workers=None, orthogonalize=None):
+    """Inverse DST (scipy.fft.idst semantics)."""
+    return _scipy_r2r(x, "dst", type, None if n is None else (n,), (axis,),
+                      norm, orthogonalize, inverse=True)
+
+
+def dctn(x, type: int = 2, s=None, axes=None, norm=None, overwrite_x=False,
+         workers=None, orthogonalize=None):
+    """N-D DCT over ``axes`` (scipy.fft.dctn semantics); executes as ONE
+    multi-axis r2r plan (``fftw_plan_r2r`` analog)."""
+    return _scipy_r2r(x, "dct", type, s, axes, norm, orthogonalize,
+                      inverse=False)
+
+
+def idctn(x, type: int = 2, s=None, axes=None, norm=None, overwrite_x=False,
+          workers=None, orthogonalize=None):
+    """N-D inverse DCT (scipy.fft.idctn): idctn(dctn(x)) == x."""
+    return _scipy_r2r(x, "dct", type, s, axes, norm, orthogonalize,
+                      inverse=True)
+
+
+def dstn(x, type: int = 2, s=None, axes=None, norm=None, overwrite_x=False,
+         workers=None, orthogonalize=None):
+    """N-D DST over ``axes`` (scipy.fft.dstn semantics)."""
+    return _scipy_r2r(x, "dst", type, s, axes, norm, orthogonalize,
+                      inverse=False)
+
+
+def idstn(x, type: int = 2, s=None, axes=None, norm=None, overwrite_x=False,
+          workers=None, orthogonalize=None):
+    """N-D inverse DST (scipy.fft.idstn): idstn(dstn(x)) == x."""
+    return _scipy_r2r(x, "dst", type, s, axes, norm, orthogonalize,
+                      inverse=True)
 
 
 def dht(x, axis: int = -1):
-    """Discrete Hartley transform (FFTW_DHT)."""
+    """Discrete Hartley transform (FFTW_DHT, unnormalized)."""
     return r2r(x, R2RKind.DHT, axis)
-
-
-# Inverse one-shots (scipy.fft idct/idst parity, norm=None semantics:
-# idct(dct(x)) == x * logical_n).  FFTW pairs the kinds as REDFT10<->01
-# etc. (fftw-3.3.8/doc "Real even/odd DFTs"); type 1 and 4 are their own
-# inverse kind.
-_INV_TYPE = {1: 1, 2: 3, 3: 2, 4: 4}
-
-
-def idct(x, type: int = 2, axis: int = -1):
-    """Unnormalized inverse DCT: the FFTW-kind inverse of dct(type)."""
-    if type not in _INV_TYPE:
-        raise ValueError(f"DCT type must be 1-4, got {type}")
-    return dct(x, _INV_TYPE[type], axis)
-
-
-def idst(x, type: int = 2, axis: int = -1):
-    """Unnormalized inverse DST: the FFTW-kind inverse of dst(type)."""
-    if type not in _INV_TYPE:
-        raise ValueError(f"DST type must be 1-4, got {type}")
-    return dst(x, _INV_TYPE[type], axis)
 
 
 def idht(x, axis: int = -1):
-    """Inverse DHT (DHT is its own unnormalized inverse: idht(dht(x)) ==
-    x * n)."""
-    return r2r(x, R2RKind.DHT, axis)
-
-
-# N-D one-shots (scipy.fft.dctn/dstn parity, norm=None semantics).  FFTW
-# expresses these as a single fftw_plan_r2r with one kind per axis
-# (fftw-3.3.8/api/plan-r2r.c); these helpers build exactly that plan.
-
-def _axes_default(x, axes):
-    if axes is None:
-        return tuple(range(x.ndim))
-    if isinstance(axes, int):
-        return (axes,)
-    return tuple(axes)
-
-
-def dctn(x, type: int = 2, axes=None):
-    """Unnormalized N-D DCT over ``axes`` (scipy.fft.dctn(norm=None))."""
-    if type not in _DCT_TYPES:
-        raise ValueError(f"DCT type must be 1-4, got {type}")
+    """Inverse DHT: DHT is its own inverse up to n, so idht(dht(x)) == x
+    (the 1/n factor applied here, mirroring scipy-style inverses)."""
     x = jnp.asarray(x)
-    axes = _axes_default(x, axes)
-    return plan_r2r(x.shape, _DCT_TYPES[type], axes=axes)(x)
-
-
-def idctn(x, type: int = 2, axes=None):
-    """Unnormalized N-D inverse DCT: idctn(dctn(x)) == x * prod(2*n_ax)
-    for type 2/3 (FFTW logical sizes)."""
-    if type not in _INV_TYPE:
-        raise ValueError(f"DCT type must be 1-4, got {type}")
-    return dctn(x, _INV_TYPE[type], axes)
-
-
-def dstn(x, type: int = 2, axes=None):
-    """Unnormalized N-D DST over ``axes`` (scipy.fft.dstn(norm=None))."""
-    if type not in _DST_TYPES:
-        raise ValueError(f"DST type must be 1-4, got {type}")
-    x = jnp.asarray(x)
-    axes = _axes_default(x, axes)
-    return plan_r2r(x.shape, _DST_TYPES[type], axes=axes)(x)
-
-
-def idstn(x, type: int = 2, axes=None):
-    """Unnormalized N-D inverse DST (FFTW kind pairing, see idst)."""
-    if type not in _INV_TYPE:
-        raise ValueError(f"DST type must be 1-4, got {type}")
-    return dstn(x, _INV_TYPE[type], axes)
+    n = x.shape[axis]
+    return r2r(x, R2RKind.DHT, axis) / jnp.asarray(n, jnp.float32)

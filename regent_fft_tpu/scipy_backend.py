@@ -15,13 +15,15 @@ This module implements that protocol for regent_fft_tpu::
     from regent_fft_tpu import scipy_backend
     scipy_backend.enable()
 
-Covered: the complex/real transform family (fft/ifft/fft2/ifft2/fftn/
-ifftn, rfft/irfft/rfft2/irfft2/rfftn/irfftn, hfft/ihfft), the r2r family
-(dct/idct/dst/idst, dctn/idctn/dstn/idstn), the fast Hankel transform
-(fht/ifht), and next_fast_len.  Everything else (hfft2/hfftn variants,
-prev_fast_len, ...) returns ``NotImplemented`` so scipy falls back to its
-own pocketfft implementation — the adapter never changes results scipy
-could not produce, it only accelerates the ones we cover.
+Covered: the complex/real/Hermitian transform family (fft/ifft/fft2/
+ifft2/fftn/ifftn, rfft/irfft/rfft2/irfft2/rfftn/irfftn, hfft/ihfft/
+hfft2/ihfft2/hfftn/ihfftn), the r2r family with full norm/orthogonalize
+semantics (dct/idct/dst/idst, dctn/idctn/dstn/idstn), the fast Hankel
+transform (fht/ifht), and next_fast_len/prev_fast_len.  Anything not
+covered (an exotic argument combination, ``plan=``) returns
+``NotImplemented`` so scipy falls back to its own pocketfft
+implementation — the adapter never changes results scipy could not
+produce, it only accelerates the ones we cover.
 
 Outputs are returned as numpy arrays when every array input was numpy
 (the scipy contract), fetched as split re/im planes — complex buffers
@@ -136,55 +138,21 @@ def _cplx_nd(fn, default_axes=None):
 
 
 def _r2r_1d(fn):
+    # The one-shots carry scipy's full contract (n/norm/orthogonalize),
+    # so the handler is pure pass-through; bad args raise ValueError and
+    # the dispatcher declines to scipy's own (which then errors the same).
     def h(x, type=2, n=None, axis=-1, norm=None, overwrite_x=False,
           workers=None, orthogonalize=None):
-        # Our r2r kinds implement scipy's default (unnormalized) forms.
-        if n is not None or norm not in (None, "backward"):
-            return _NOT
-        if orthogonalize:  # only meaningful under norm="ortho"
-            return _NOT
-        return fn(x, type=type, axis=axis), x
+        return fn(x, type=type, n=n, axis=axis, norm=norm,
+                  orthogonalize=orthogonalize), x
     return h
 
 
 def _r2r_nd(fn):
     def h(x, type=2, s=None, axes=None, norm=None, overwrite_x=False,
           workers=None, orthogonalize=None):
-        if s is not None or norm not in (None, "backward") or orthogonalize:
-            return _NOT
-        return fn(x, type=type, axes=axes), x
-    return h
-
-
-def _r2r_scale(family: str, type: int, n: int) -> float:
-    """scipy's idct/idst (norm=None) divide by FFTW's logical size of the
-    transform; our r2r layer is FFTW-unnormalized, so the adapter applies
-    the factor (scipy.fft.idct docs; ``fftw-3.3.8/api/plan-r2r.c``)."""
-    kinds = {"dct": _r2r._DCT_TYPES, "dst": _r2r._DST_TYPES}[family]
-    return float(_r2r.logical_size(n, kinds[type]))
-
-
-def _ir2r_1d(fn, family):
-    def h(x, type=2, n=None, axis=-1, norm=None, overwrite_x=False,
-          workers=None, orthogonalize=None):
-        if n is not None or norm not in (None, "backward") or orthogonalize:
-            return _NOT
-        y = fn(x, type=type, axis=axis)
-        return y / _r2r_scale(family, type, np.shape(x)[axis]), x
-    return h
-
-
-def _ir2r_nd(fn, family):
-    def h(x, type=2, s=None, axes=None, norm=None, overwrite_x=False,
-          workers=None, orthogonalize=None):
-        if s is not None or norm not in (None, "backward") or orthogonalize:
-            return _NOT
-        shape = np.shape(x)
-        ax = range(len(shape)) if axes is None else np.atleast_1d(axes)
-        scale = 1.0
-        for a in ax:
-            scale *= _r2r_scale(family, type, shape[int(a)])
-        return fn(x, type=type, axes=axes) / scale, x
+        return fn(x, type=type, s=s, axes=axes, norm=norm,
+                  orthogonalize=orthogonalize), x
     return h
 
 
@@ -202,6 +170,10 @@ def _next_fast_len(target, real=False):
     return int(_factor.next_fast_len(int(target))), target
 
 
+def _prev_fast_len(target, real=False):
+    return int(_factor.prev_fast_len(int(target))), target
+
+
 _HANDLERS = {
     "fft": _cplx(_api.fft), "ifft": _cplx(_api.ifft),
     "rfft": _cplx(_api.rfft), "irfft": _cplx(_api.irfft),
@@ -212,12 +184,16 @@ _HANDLERS = {
     "rfft2": _cplx_nd(_api.rfft2, (-2, -1)),
     "irfft2": _cplx_nd(_api.irfft2, (-2, -1)),
     "rfftn": _cplx_nd(_api.rfftn), "irfftn": _cplx_nd(_api.irfftn),
-    "dct": _r2r_1d(_r2r.dct), "idct": _ir2r_1d(_r2r.idct, "dct"),
-    "dst": _r2r_1d(_r2r.dst), "idst": _ir2r_1d(_r2r.idst, "dst"),
-    "dctn": _r2r_nd(_r2r.dctn), "idctn": _ir2r_nd(_r2r.idctn, "dct"),
-    "dstn": _r2r_nd(_r2r.dstn), "idstn": _ir2r_nd(_r2r.idstn, "dst"),
+    "hfft2": _cplx_nd(_api.hfft2, (-2, -1)),
+    "ihfft2": _cplx_nd(_api.ihfft2, (-2, -1)),
+    "hfftn": _cplx_nd(_api.hfftn), "ihfftn": _cplx_nd(_api.ihfftn),
+    "dct": _r2r_1d(_r2r.dct), "idct": _r2r_1d(_r2r.idct),
+    "dst": _r2r_1d(_r2r.dst), "idst": _r2r_1d(_r2r.idst),
+    "dctn": _r2r_nd(_r2r.dctn), "idctn": _r2r_nd(_r2r.idctn),
+    "dstn": _r2r_nd(_r2r.dstn), "idstn": _r2r_nd(_r2r.idstn),
     "fht": _fht, "ifht": _ifht,
     "next_fast_len": _next_fast_len,
+    "prev_fast_len": _prev_fast_len,
 }
 
 

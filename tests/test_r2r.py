@@ -124,15 +124,14 @@ def test_idct_idst_idht_inverses():
     import regent_fft_tpu as rft
     n = 24
     x = np.random.default_rng(3).standard_normal((3, n)).astype(np.float32)
-    # FFTW logical sizes: DCT/DST-1 2(n-1)/2(n+1), types 2-4 2n; DHT n.
-    for t, logical in [(1, 2 * (n - 1)), (2, 2 * n), (3, 2 * n), (4, 2 * n)]:
+    # scipy semantics: the inverses ARE inverses (1/logical-size included).
+    for t in (1, 2, 3, 4):
         y = np.asarray(rft.idct(rft.dct(x, type=t), type=t))
-        assert _rel(y, x.astype(np.float64) * logical) < _tol(n), ("dct", t)
-    for t, logical in [(1, 2 * (n + 1)), (2, 2 * n), (3, 2 * n), (4, 2 * n)]:
+        assert _rel(y, x.astype(np.float64)) < _tol(n), ("dct", t)
         y = np.asarray(rft.idst(rft.dst(x, type=t), type=t))
-        assert _rel(y, x.astype(np.float64) * logical) < _tol(n), ("dst", t)
+        assert _rel(y, x.astype(np.float64)) < _tol(n), ("dst", t)
     y = np.asarray(rft.idht(rft.dht(x)))
-    assert _rel(y, x.astype(np.float64) * n) < _tol(n)
+    assert _rel(y, x.astype(np.float64)) < _tol(n)
 
 
 @pytest.mark.parametrize("typ", [1, 2, 3, 4])
@@ -153,6 +152,77 @@ def test_idctn_idstn_inverses():
     for fwd, inv in ((r2r_mod.dctn, r2r_mod.idctn),
                      (r2r_mod.dstn, r2r_mod.idstn)):
         y = inv(fwd(x, type=2), type=2)
-        scale = np.prod([2 * n for n in x.shape])
-        assert np.allclose(np.asarray(y), x * scale, rtol=1e-4,
-                           atol=1e-3 * np.abs(x).max() * scale)
+        assert np.allclose(np.asarray(y), x, rtol=1e-4,
+                           atol=1e-3 * np.abs(x).max())
+
+
+# ---------------------------------------------------------------------------
+# scipy.fft full-signature parity: norm / orthogonalize / n truncation+pad
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("typ", [1, 2, 3, 4])
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+def test_dct_dst_norms_match_scipy(typ, norm):
+    x = np.random.default_rng(5 + typ).standard_normal((3, 20))
+    for fam_f, fam_i, sp_f, sp_i in ((rft.dct, rft.idct, sfft.dct, sfft.idct),
+                                     (rft.dst, rft.idst, sfft.dst, sfft.idst)):
+        got = np.asarray(fam_f(x.astype(np.float32), type=typ, norm=norm))
+        ref = sp_f(x, type=typ, norm=norm)
+        assert _rel(got, ref) < _tol(20), ("fwd", norm)
+        got = np.asarray(fam_i(x.astype(np.float32), type=typ, norm=norm))
+        ref = sp_i(x, type=typ, norm=norm)
+        assert _rel(got, ref) < _tol(20), ("inv", norm)
+
+
+@pytest.mark.parametrize("typ", [1, 2, 3])
+@pytest.mark.parametrize("orth", [True, False])
+def test_orthogonalize_matches_scipy(typ, orth):
+    x = np.random.default_rng(9).standard_normal((2, 16))
+    for fam, sp in ((rft.dct, sfft.dct), (rft.dst, sfft.dst)):
+        got = np.asarray(fam(x.astype(np.float32), type=typ, norm="ortho",
+                             orthogonalize=orth))
+        ref = sp(x, type=typ, norm="ortho", orthogonalize=orth)
+        assert _rel(got, ref) < _tol(16), (fam, typ, orth)
+
+
+def test_dct_n_crop_and_pad_match_scipy():
+    x = np.random.default_rng(2).standard_normal((4, 18))
+    for n in (12, 18, 24):
+        got = np.asarray(rft.dct(x.astype(np.float32), type=2, n=n))
+        ref = sfft.dct(x, type=2, n=n)
+        assert got.shape == ref.shape
+        assert _rel(got, ref) < _tol(n)
+
+
+def test_dctn_s_axes_norm_match_scipy():
+    x = np.random.default_rng(4).standard_normal((4, 6, 8))
+    got = np.asarray(rft.dctn(x.astype(np.float32), type=3, s=(8, 10),
+                              axes=(0, 2), norm="ortho"))
+    ref = sfft.dctn(x, type=3, s=(8, 10), axes=(0, 2), norm="ortho")
+    assert got.shape == ref.shape
+    assert _rel(got, ref) < _tol(10)
+    with pytest.raises(ValueError):
+        rft.dctn(x.astype(np.float32), s=(4,), axes=(0, 1))  # length mismatch
+    with pytest.raises(ValueError):
+        rft.dstn(x.astype(np.float32), axes=(1, 1))  # repeated axis
+    with pytest.raises(ValueError):
+        rft.dct(x.astype(np.float32), norm="bogus")
+
+
+def test_hfft2_hfftn_match_scipy():
+    rng = np.random.default_rng(7)
+    z = (rng.standard_normal((3, 6, 9))
+         + 1j * rng.standard_normal((3, 6, 9))).astype(np.complex64)
+    for fn, s in (("hfft2", None), ("hfftn", None), ("hfftn", (6, 6, 16))):
+        ref = getattr(sfft, fn)(z.astype(np.complex128), s=s)
+        out = getattr(rft, fn)(z, s=s)
+        got = np.asarray(out)
+        assert got.shape == ref.shape, fn
+        assert _rel(got, ref) < _tol(16), fn
+    xr = rng.standard_normal((3, 6, 16)).astype(np.float32)
+    for fn in ("ihfft2", "ihfftn"):
+        ref = getattr(sfft, fn)(xr.astype(np.float64))
+        out = getattr(rft, fn)(xr)
+        got = np.asarray(out.re) + 1j * np.asarray(out.im) \
+            if hasattr(out, "re") else np.asarray(out)
+        assert got.shape == ref.shape, fn
+        assert np.abs(got - ref).max() < 1e-5, fn

@@ -141,27 +141,67 @@ def test_irfft_f64_in_f64_out():
 # ---------------------------------------------------------------------------
 # fallback contract
 # ---------------------------------------------------------------------------
-def test_uncovered_function_falls_back():
-    # prev_fast_len isn't covered -> scipy's own answer, not an error.
-    with sfft.set_backend(RegentFFTBackend):
-        assert sfft.prev_fast_len(1025) == sfft.prev_fast_len(1025)
-
-
-def test_unsupported_args_fall_back():
+def test_declined_args_still_behave_like_scipy():
+    # An invalid norm is declined by the adapter; scipy's own backend then
+    # raises its usual error — the fallback chain stays intact.
     x = _f32(4, 20)
-    ref = sfft.dct(x.astype(np.float64), type=2, norm="ortho")
     with sfft.set_backend(RegentFFTBackend):
-        got = sfft.dct(x, type=2, norm="ortho")  # ortho r2r -> declined
-    assert _rel(got, ref) < 1e-4
+        with pytest.raises(ValueError):
+            sfft.fft(x.astype(np.complex64), norm="bogus")
+
+
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+@pytest.mark.parametrize("orth", [None, True, False])
+def test_r2r_norm_orthogonalize_through_backend(norm, orth):
+    x = _f32(3, 20)
+    for fn in ("dct", "idct", "dst", "idst"):
+        ref = getattr(sfft, fn)(x.astype(np.float64), type=2, norm=norm,
+                                orthogonalize=orth)
+        with sfft.set_backend(RegentFFTBackend):
+            got = getattr(sfft, fn)(x, type=2, norm=norm, orthogonalize=orth)
+        assert got.dtype == np.float32, fn
+        assert _rel(got, ref) < 1e-4, fn
+
+
+def test_hermitian_nd_through_backend():
+    z = _c64(3, 8, 9)
+    xr = _f32(3, 8, 16)
+    for fn, arg in (("hfft2", z), ("hfftn", z),
+                    ("ihfft2", xr), ("ihfftn", xr)):
+        ref = getattr(sfft, fn)(np.asarray(arg, dtype=np.complex128
+                                           if arg.dtype.kind == "c"
+                                           else np.float64))
+        with sfft.set_backend(RegentFFTBackend):
+            got = getattr(sfft, fn)(arg)
+        assert got.shape == ref.shape, fn
+        assert _rel(got, ref) < 1e-4, fn
+
+
+def _dispatches_via_uarray(fn) -> bool:
+    # scipy >= 1.17 turned the fast_len helpers into plain lru_cache
+    # functions (no uarray dispatch); older scipys expose multimethods.
+    return hasattr(fn, "_extractor") or type(fn).__module__.startswith("uarray")
+
+
+def test_prev_fast_len_is_engine_specific():
+    from regent_fft_tpu.ops import factor
+    # the handler itself is always engine-specific
+    got = RegentFFTBackend.__ua_function__(sfft.prev_fast_len, (1009,), {})
+    assert got == factor.prev_fast_len(1009) <= 1009
+    if _dispatches_via_uarray(sfft.prev_fast_len):
+        with sfft.set_backend(RegentFFTBackend):
+            assert sfft.prev_fast_len(1009) == got
 
 
 def test_next_fast_len_is_engine_specific():
-    with sfft.set_backend(RegentFFTBackend):
-        n = sfft.next_fast_len(1009)
-    assert isinstance(n, int) and n >= 1009
-    # the returned size must be fast for THIS engine (kernel radix set)
     from regent_fft_tpu.ops import factor
-    assert n == factor.next_fast_len(1009)
+    got = RegentFFTBackend.__ua_function__(sfft.next_fast_len, (1009,), {})
+    # the returned size must be fast for THIS engine (kernel radix set)
+    assert isinstance(got, int) and got >= 1009
+    assert got == factor.next_fast_len(1009)
+    if _dispatches_via_uarray(sfft.next_fast_len):
+        with sfft.set_backend(RegentFFTBackend):
+            assert sfft.next_fast_len(1009) == got
 
 
 def test_fht_matches_scipy():
