@@ -18,12 +18,14 @@ A from-scratch rebuild of the capabilities of Regent-FFT
 
 from .dtypes import Direction, Kind, Norm, SplitComplex, as_split, from_split
 from .plan import (Plan, PlanSpec, make_plan, execute_plan, destroy_plan,
-                   clear_plan_cache, cached_plans)
+                   clear_plan_cache, cached_plans, cleanup)
 from .api import (fft, ifft, fft2, ifft2, fftn, ifftn,
                   rfft, irfft, rfft2, irfft2, rfftn, irfftn,
                   fftshift, ifftshift, fftfreq, rfftfreq, hfft, ihfft,
                   hfft2, ihfft2, hfftn, ihfftn,
+                  set_workers, get_workers,
                   generate_fft_interface, FFTInterface)
+from .utils.measure import set_timelimit, get_timelimit, NO_TIMELIMIT
 from .ops.factor import next_fast_len, prev_fast_len
 from .parallel.mesh import make_fft_mesh, make_pencil_mesh
 from .parallel.distributed import (DistributedFFTPlan, make_plan_shards,

@@ -372,3 +372,44 @@ class FFTInterface:
 def generate_fft_interface(dim: int, dtype_in, dtype_out, **opts) -> FFTInterface:
     """Reference-parity factory (``/root/reference/src/fft.rg:31``)."""
     return FFTInterface(dim, dtype_in, dtype_out, **opts)
+
+
+# ---------------------------------------------------------------------------
+# Worker-count API (scipy.fft.set_workers / FFTW threads analog)
+# ---------------------------------------------------------------------------
+
+_WORKERS = [1]
+
+
+class set_workers:
+    """Context manager mirroring ``scipy.fft.set_workers``.
+
+    FFTW exposes intra-node parallelism through its threads API
+    (``fftw_plan_with_nthreads``, ``/root/reference/fftw-3.3.8/threads/
+    api.c:77-81``; the reference builds with ``--enable-openmp``,
+    ``install.py:53``).  On TPU intra-chip parallelism is owned by
+    XLA/Mosaic (every kernel already uses all VPU lanes and the full MXU),
+    so the worker count is advisory: it is recorded, visible via
+    :func:`get_workers`, and threaded through to scipy for any call that
+    falls back to pocketfft under the :mod:`regent_fft_tpu.scipy_backend`
+    adapter — but it neither throttles nor widens device execution.
+    """
+
+    def __init__(self, workers: int):
+        workers = int(workers)
+        if workers == 0:
+            raise ValueError("workers must be nonzero")
+        self.workers = workers
+
+    def __enter__(self):
+        _WORKERS.append(self.workers)
+        return self.workers
+
+    def __exit__(self, *exc):
+        _WORKERS.pop()
+        return False
+
+
+def get_workers() -> int:
+    """Current advisory worker count (``scipy.fft.get_workers`` analog)."""
+    return _WORKERS[-1]

@@ -1026,3 +1026,16 @@ def clear_plan_cache():
 
 def cached_plans():
     return list(_PLAN_CACHE.values())
+
+
+def cleanup():
+    """``fftw_cleanup`` analog (``/root/reference/fftw-3.3.8/api/
+    cleanup.c:23-29``): drop every cached plan AND all accumulated
+    planner knowledge (schedule overrides, backend winners, distributed
+    strategies, calibration) — the full reset FFTW documents as
+    "plans are invalidated; wisdom is forgotten".  Plan objects held by
+    the caller keep working (they own their executors); only the caches
+    reset.
+    """
+    from .utils import wisdom as _wisdom
+    _wisdom.forget_wisdom()  # drops the plan cache and every wisdom table

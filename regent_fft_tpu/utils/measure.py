@@ -14,12 +14,49 @@ remote-attach devices and report fiction.
 """
 from __future__ import annotations
 
+import os
 import time
 from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..ops import factor as _factor
+
+#: ``fftw_set_timelimit(FFTW_NO_TIMELIMIT)`` analog (no planning cap).
+NO_TIMELIMIT = -1.0
+
+_TIMELIMIT = float(os.environ.get("REGENT_FFT_TIMELIMIT", NO_TIMELIMIT))
+
+
+def set_timelimit(seconds: float) -> None:
+    """Cap measure-mode planning time (``fftw_set_timelimit`` analog).
+
+    Reference: ``/root/reference/fftw-3.3.8/api/timelimit.c:21-27`` (the
+    planner consults it at ``kernel/planner.c:786``: once the cap is
+    exceeded it stops exploring and settles for the best plan found).
+    Here each candidate-racing loop (schedules, backends, distributed
+    strategies) stops measuring further candidates once ``seconds`` of
+    wall-clock planning has elapsed; at least one candidate is always
+    timed so a winner exists.  ``NO_TIMELIMIT`` (negative) removes the
+    cap.  Estimate/model planning is unaffected (it never times).
+    """
+    global _TIMELIMIT
+    _TIMELIMIT = float(seconds)
+
+
+def get_timelimit() -> float:
+    """Current planning time cap in seconds (negative = unlimited)."""
+    return _TIMELIMIT
+
+
+class _PlanDeadline:
+    """Per-race deadline: ``over()`` is True once the cap is exhausted."""
+
+    def __init__(self):
+        self.t0 = time.perf_counter()
+
+    def over(self) -> bool:
+        return _TIMELIMIT >= 0 and (time.perf_counter() - self.t0) > _TIMELIMIT
 
 
 def candidate_schedules(n: int, max_radix: int = 128, cap: int = 8) -> List[Tuple[int, ...]]:
@@ -99,7 +136,10 @@ def measure_schedule(n: int, direction=None, precision: str = "highest",
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT}[precision]
     timings = {}
+    deadline = _PlanDeadline()
     for sched in candidate_schedules(n, max_radix):
+        if timings and deadline.over():
+            break  # fftw_set_timelimit: settle for the best found so far
         step = _schedule_step_fn(n, sched, sign, prec, use_3m)
         try:
             timings[sched] = time_fn(step, (batch, n), k=k)
@@ -167,7 +207,10 @@ def measure_backends(spec, build_core, iters: int = 4, reps: int = 2):
         if last_axis in dispatched and _pow2_ok(spec.shape[last_axis]):
             cands.append("hybrid")
     timings = {}
+    deadline = _PlanDeadline()
     for b in cands:
+        if timings and deadline.over():
+            break  # fftw_set_timelimit analog
         try:
             core = build_core(dataclasses.replace(spec, backend=b))
             step, make_carry = _timing.core_chain(core, spec)
@@ -260,8 +303,11 @@ def measure_distributed(shape, direction=None, norm=None,
     timings = {}
     by_name = {}
     errors = {}
+    deadline = _PlanDeadline()
     for strat in cands:
         name = _dist.strategy_name(strat)
+        if timings and deadline.over():
+            break  # fftw_set_timelimit analog
         by_name[name] = strat
         try:
             plan = _dist.build_strategy(strat, shape, direction=direction,

@@ -261,3 +261,40 @@ def test_system_wisdom_autoload(tmp_path):
     out2 = subprocess.run([sys.executable, "-c", code2], env=env2,
                           capture_output=True, text=True, timeout=120)
     assert "no-wisdom-ok" in out2.stdout, out2.stderr
+
+
+def test_set_timelimit_caps_candidate_racing():
+    """fftw_set_timelimit analog: a zero budget still times >=1 candidate
+    (fftw-3.3.8/api/timelimit.c; kernel/planner.c consults the cap and
+    settles for the best plan found)."""
+    import regent_fft_tpu as rft
+    from regent_fft_tpu.utils import measure
+
+    assert rft.get_timelimit() == measure.NO_TIMELIMIT
+    rft.set_timelimit(0.0)
+    try:
+        winner, timings = measure.measure_schedule(
+            64, batch=8, k=2, install=False)
+        assert len(timings) == 1          # stopped after the first candidate
+        assert winner is not None
+    finally:
+        rft.set_timelimit(measure.NO_TIMELIMIT)
+    # Unlimited again: the race explores multiple candidates.
+    _, timings = measure.measure_schedule(64, batch=8, k=2, install=False)
+    assert len(timings) > 1
+
+
+def test_workers_api_parity():
+    """scipy.fft.set_workers / get_workers analog (advisory on TPU)."""
+    import pytest
+    import regent_fft_tpu as rft
+
+    assert rft.get_workers() == 1
+    with rft.set_workers(4) as w:
+        assert w == 4 and rft.get_workers() == 4
+        with rft.set_workers(2):
+            assert rft.get_workers() == 2
+        assert rft.get_workers() == 4
+    assert rft.get_workers() == 1
+    with pytest.raises(ValueError):
+        rft.set_workers(0)

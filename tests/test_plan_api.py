@@ -273,3 +273,19 @@ def test_packed_layout_validation():
         make_plan(PlanSpec(shape=(4, 16, 80), axes=(1, 2), kind=Kind.R2C,
                            direction=Direction.FORWARD, backend="stockham",
                            packed_layout=True))
+
+
+def test_cleanup_resets_caches_but_keeps_live_plans():
+    """fftw_cleanup analog (fftw-3.3.8/api/cleanup.c): caches reset,
+    held plan objects keep working."""
+    import numpy as np
+    import regent_fft_tpu as rft
+
+    plan = rft.make_plan((32,), kind=rft.Kind.C2C,
+                         direction=rft.Direction.FORWARD)
+    x = np.random.default_rng(0).normal(size=32).astype(np.complex64)
+    y0 = np.asarray(plan(x))
+    assert rft.cached_plans()
+    rft.cleanup()
+    assert not rft.cached_plans()
+    np.testing.assert_allclose(np.asarray(plan(x)), y0, rtol=1e-6)
