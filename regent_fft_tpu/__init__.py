@@ -48,7 +48,7 @@ from .spectral import periodogram, welch, csd, coherence, spectrogram
 from ._czt import CZT, ZoomFFT, czt, zoom_fft
 from .ops.fftlog import fht, ifht, fhtoffset
 from .ops.nufft import (nufft1d1, nufft1d2, nufft2d1, nufft2d2,
-                        nufft3d1, nufft3d2)
+                        nufft3d1, nufft3d2, nufft1d3, nufft2d3, nufft3d3)
 
 __version__ = "0.1.0"
 

@@ -1,4 +1,4 @@
-"""Non-uniform FFT (NUFFT), types 1 and 2, dims 1-3.
+"""Non-uniform FFT (NUFFT), types 1, 2, and 3, dims 1-3.
 
 The reference wrapper (and FFTW/cuFFT behind it) transforms uniform
 grids only; real deployments (MRI, radio astronomy, cosmology particle
@@ -19,7 +19,10 @@ Conventions (finufft-compatible):
       f_k = sum_j c_j exp(isign * i * k . x_j),  k in [-N/2, N/2)
   type 2 (uniform modes -> nonuniform points):
       c_j = sum_k f_k exp(isign * i * k . x_j)
-with x in [-pi, pi) (any values accepted; wrapped mod 2pi).
+  type 3 (nonuniform points -> nonuniform frequencies):
+      f_k = sum_j c_j exp(isign * i * s_k . x_j),  x and s arbitrary reals
+with x in [-pi, pi) for types 1/2 (any values accepted; wrapped mod
+2pi) and unrestricted for type 3 (the grid scales to max|x|*max|s|).
 
 Accuracy: the Gaussian kernel with oversampling R=2 and p one-sided
 taps gives ~1e-6 relative at p=6 in f32 (tail truncation ~e^{-pi p/2});
@@ -36,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["nufft1d1", "nufft1d2", "nufft2d1", "nufft2d2",
-           "nufft3d1", "nufft3d2"]
+           "nufft3d1", "nufft3d2", "nufft1d3", "nufft2d3", "nufft3d3"]
 
 _R = 2  # oversampling ratio (Greengard-Lee recommended)
 
@@ -355,3 +358,129 @@ def nufft3d1(x, y, z, c, n1: int, n2: int, n3: int, isign: int = 1,
 def nufft3d2(x, y, z, f, isign: int = 1, eps: float = 1e-6):
     """3-D type-2 NUFFT."""
     return _nd_entry2((x, y, z), f, isign, eps, 3)
+
+
+# ---------------------------------------------------------------------------
+# Type 3 (nonuniform -> nonuniform): f_k = sum_j c_j e^{isign i s_k x_j}
+# for arbitrary real source points x_j and target frequencies s_k.
+#
+# Decomposition (Lee & Greengard 2005 §4; finufft's t3 strategy):
+# rescale sources into the center half of a 2pi-periodic fine grid,
+# Gaussian-SPREAD them (the taps never wrap, so the non-periodicity of
+# e^{i sigma x} is never violated), then the trig sum over the grid
+# points is EXACTLY a type-2 NUFFT with the grid values as integer
+# modes and u = isign*sigma*h as the nonuniform points; finally divide
+# by the spreading Gaussian's transform per TARGET (a (nk,) vector,
+# not a grid).  Aliasing control matches type 1: |u| <= pi/2 (the same
+# quarter-band the R=2 oversampling protects there).
+# ---------------------------------------------------------------------------
+def _t3_dim_params(X: float, S: float, p: int):
+    """Per-dimension type-3 parameters.
+
+    gamma maps sources into [-pi/2, pi/2]; the grid half-size n3 keeps
+    every rescaled target inside the quarter band |u| <= pi/2 and the
+    Gaussian taps interior (no wraparound).
+    """
+    from .factor import next_fast_len
+    X = max(float(X), 1e-12)
+    S = max(float(S), 1e-12)
+    gamma = X / (math.pi / 2.0)
+    sigma_max = S * gamma
+    # mr = 2*n3 >= 4*sigma_max  <=>  |u| = sigma*2pi/mr <= pi/2
+    n3 = next_fast_len(max(int(math.ceil(2.0 * sigma_max)), 4 * p, 16))
+    tau = _tau(n3, p)
+    return gamma, n3, tau
+
+
+def _t3_deconv(sigma, n3: int, tau: float):
+    """h / w_hat(sigma) for the spreading Gaussian e^{-x^2/(4 tau)}:
+    w_hat(s) = 2 sqrt(pi tau) e^{-s^2 tau}.  Bounded: sigma^2 tau <=
+    pi p / 12 by construction (same bound as the type-1 deconvolution)."""
+    mr = _R * n3
+    h = 2.0 * math.pi / mr
+    return (h / (2.0 * math.sqrt(math.pi * tau))) * jnp.exp(
+        (sigma * sigma) * tau)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _nufft1d3_impl(x, cr, ci, params, isign: int, p: int):
+    gamma, n3, tau = params
+    mr = _R * n3
+    h = 2.0 * math.pi / mr
+    y = x / gamma + math.pi                       # sources in [pi/2, 3pi/2]
+    idx, w = _grid_1d(y, n3, p, tau)              # taps interior: no wrap
+    sr = cr[..., :, None] * w
+    si = ci[..., :, None] * w
+    flat = idx.reshape(-1)
+    gr = jnp.zeros(sr.shape[:-2] + (mr,), jnp.float32)
+    gi = jnp.zeros(si.shape[:-2] + (mr,), jnp.float32)
+    gr = gr.at[..., flat].add(sr.reshape(sr.shape[:-2] + (-1,)))
+    gi = gi.at[..., flat].add(si.reshape(si.shape[:-2] + (-1,)))
+    return gr, gi
+
+
+def _nd_entry3(xs, c, ss, isign, eps):
+    """Shared type-3 driver: per-dim spread params, one fused spread,
+    inner type-2 at u = isign*sigma*h, per-target deconvolution."""
+    p = _taps_for_eps(eps)
+    isign = 1 if int(isign) >= 0 else -1
+    xs = tuple(jnp.asarray(v, jnp.float32) for v in xs)
+    ss = tuple(jnp.asarray(v, jnp.float32) for v in ss)
+    cr, ci = _split_in(c)
+    # Data-dependent grid sizing happens on host (finufft sizes its fine
+    # grid from max|x|, max|s| at setpts time too); the spread/FFT/interp
+    # pipeline below is jitted with the resulting static shapes.
+    dims = []
+    for x, s in zip(xs, ss):
+        X = float(jnp.max(jnp.abs(x)))
+        S = float(jnp.max(jnp.abs(s)))
+        dims.append(_t3_dim_params(X, S, p))
+    ndim = len(xs)
+    if ndim == 1:
+        gamma, n3, tau = dims[0]
+        gr, gi = _nufft1d3_impl(xs[0], cr, ci, dims[0], isign, p)
+        mr = _R * n3
+        sigma = ss[0] * gamma
+        u = (isign * 2.0 * math.pi / mr) * sigma
+        vr, vi = _nufft1d2_impl(u, gr, gi, 1, p)
+        d = _t3_deconv(sigma, n3, tau)
+    else:
+        ys = tuple(x / g + math.pi for x, (g, _, _) in zip(xs, dims))
+        ns3 = tuple(n3 for (_, n3, _) in dims)
+        mrs = tuple(_R * n3 for n3 in ns3)
+        # interior sources: _nd_tap_product's modular index never wraps
+        idx, w = _nd_tap_product(ys, ns3, p)
+        total = int(np.prod(mrs))
+        sr = cr[..., :, None] * w
+        si = ci[..., :, None] * w
+        flat = idx.reshape(-1)
+        gr = jnp.zeros(sr.shape[:-2] + (total,), jnp.float32)
+        gi = jnp.zeros(si.shape[:-2] + (total,), jnp.float32)
+        gr = gr.at[..., flat].add(sr.reshape(sr.shape[:-2] + (-1,)))
+        gi = gi.at[..., flat].add(si.reshape(si.shape[:-2] + (-1,)))
+        gr = gr.reshape(gr.shape[:-1] + mrs)
+        gi = gi.reshape(gi.shape[:-1] + mrs)
+        us, d = [], 1.0
+        for s, (gamma, n3, tau) in zip(ss, dims):
+            sigma = s * gamma
+            us.append((isign * 2.0 * math.pi / (_R * n3)) * sigma)
+            d = d * _t3_deconv(sigma, n3, tau)
+        vr, vi = _nufftnd2_impl(tuple(us), gr, gi, None, mrs, 1, p)
+    return _join_out(vr * d, vi * d)
+
+
+def nufft1d3(x, c, s, isign: int = 1, eps: float = 1e-6):
+    """Type-3 NUFFT: f_k = sum_j c_j e^{isign i s_k x_j} for arbitrary
+    real points ``x`` and frequencies ``s`` (finufft ``nufft1d3``)."""
+    return _nd_entry3((x,), c, (s,), isign, eps)
+
+
+def nufft2d3(x, y, c, s, t, isign: int = 1, eps: float = 1e-6):
+    """2-D type-3 NUFFT: f_k = sum_j c_j e^{isign i (s_k x_j + t_k y_j)}."""
+    return _nd_entry3((x, y), c, (s, t), isign, eps)
+
+
+def nufft3d3(x, y, z, c, s, t, u, isign: int = 1, eps: float = 1e-6):
+    """3-D type-3 NUFFT: f_k = sum_j c_j
+    e^{isign i (s_k x_j + t_k y_j + u_k z_j)}."""
+    return _nd_entry3((x, y, z), c, (s, t, u), isign, eps)

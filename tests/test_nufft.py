@@ -149,3 +149,66 @@ def test_nufft_uniform_points_reduce_to_dft():
     got = np.asarray(rft.nufft1d2(x, f, isign=1))
     ref = direct1d2(x.astype(np.float64), f.astype(np.complex128), 1)
     assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 2e-5
+
+
+# ---------------------------------------------------------------------------
+# Type 3: arbitrary points AND arbitrary frequencies, vs the direct sum.
+# ---------------------------------------------------------------------------
+def direct3(coords, c, freqs, isign):
+    """f_k = sum_j c_j e^{isign i (s_k . x_j)} in f64."""
+    phase = np.zeros((len(freqs[0]), len(coords[0])), np.float64)
+    for x, s in zip(coords, freqs):
+        phase += np.outer(s.astype(np.float64), x.astype(np.float64))
+    return (c.astype(np.complex128)[None, :]
+            * np.exp(1j * isign * phase)).sum(axis=1)
+
+
+@pytest.mark.parametrize("isign", [1, -1])
+def test_nufft1d3_matches_direct(isign):
+    nj, nk = 150, 120
+    x = RNG.uniform(-4.0, 4.0, nj).astype(np.float32)     # not [-pi, pi)
+    s = RNG.uniform(-30.0, 30.0, nk).astype(np.float32)   # non-integer
+    c = _coef(nj)
+    got = np.asarray(rft.nufft1d3(x, c, s, isign=isign))
+    ref = direct3((x,), c, (s,), isign)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-5, rel
+
+
+def test_nufft2d3_matches_direct():
+    nj, nk = 120, 90
+    x = RNG.uniform(-1.0, 1.0, nj).astype(np.float32)
+    y = RNG.uniform(-7.0, 7.0, nj).astype(np.float32)
+    s = RNG.uniform(-20.0, 20.0, nk).astype(np.float32)
+    t = RNG.uniform(-3.0, 3.0, nk).astype(np.float32)
+    c = _coef(nj)
+    got = np.asarray(rft.nufft2d3(x, y, c, s, t))
+    ref = direct3((x, y), c, (s, t), 1)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 3e-5, rel
+
+
+def test_nufft3d3_matches_direct():
+    nj, nk = 80, 60
+    coords = tuple(RNG.uniform(-2.0, 2.0, nj).astype(np.float32)
+                   for _ in range(3))
+    freqs = tuple(RNG.uniform(-10.0, 10.0, nk).astype(np.float32)
+                  for _ in range(3))
+    c = _coef(nj)
+    got = np.asarray(rft.nufft3d3(*coords, c, *freqs))
+    ref = direct3(coords, c, freqs, 1)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 5e-5, rel
+
+
+def test_nufft1d3_t1_consistency():
+    """Type 3 at integer target frequencies must reproduce type 1
+    (sources already in [-pi, pi), s = integer mode indices)."""
+    n, nj = 32, 100
+    x = _pts(nj)
+    c = _coef(nj)
+    s = _k(n).astype(np.float32)
+    via_t3 = np.asarray(rft.nufft1d3(x, c, s))
+    via_t1 = np.asarray(rft.nufft1d1(x, c, n))
+    rel = np.linalg.norm(via_t3 - via_t1) / np.linalg.norm(via_t1)
+    assert rel < 3e-5, rel
