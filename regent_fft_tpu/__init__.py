@@ -27,7 +27,8 @@ from .api import (fft, ifft, fft2, ifft2, fftn, ifftn,
                   generate_fft_interface, FFTInterface)
 from .utils.measure import set_timelimit, get_timelimit, NO_TIMELIMIT
 from .ops.factor import next_fast_len, prev_fast_len
-from .parallel.mesh import make_fft_mesh, make_pencil_mesh
+from .parallel.mesh import (make_fft_mesh, make_pencil_mesh,
+                            make_multislice_mesh)
 from .parallel.distributed import (DistributedFFTPlan, make_plan_shards,
                                    make_plan_slab, make_plan_pencil,
                                    make_plan_slab_r2c, make_plan_slab_c2r,

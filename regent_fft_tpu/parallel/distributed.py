@@ -749,7 +749,7 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
                      transposed_out: bool = False,
                      precision: str = "highest", use_3m: bool = False,
                      max_radix: int = 128, backend: str = "auto",
-                     pipeline_chunks: int = 1,
+                     pipeline_chunks: int = 1, pipeline_chunks2: int = 1,
                      donate: bool = False) -> DistributedFFTPlan:
     """Single global 3-D C2C FFT, pencil-decomposed over a 2-D mesh.
 
@@ -766,6 +766,17 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     along the local Z axis (untouched by that collective) so the ICI
     exchange of one chunk hides behind the butterflies of the previous
     (``fftw-3.3.8/mpi/transpose-pairwise.c`` scheduled-exchange analog).
+    ``pipeline_chunks2 > 1`` does the same for the SECOND a2a + fft(Z),
+    chunking along the local X axis.
+
+    Multi-slice pods (DCN): build the mesh with
+    ``make_multislice_mesh(n_slices, chips_per_slice)`` and pass it
+    here — the slice axis lands on ``a1``, so with
+    ``transposed_out=True`` the plan pays exactly ONE DCN collective
+    (the second a2a) and one ICI collective; ``pipeline_chunks2`` is
+    the knob that hides the slow DCN exchange behind fft(Z) compute.
+    The reference's FFTW-MPI layer has no multi-tier network awareness
+    (``mpi/transpose-alltoall.c`` treats all ranks uniformly).
     """
     from .mesh import make_pencil_mesh
     shape = tuple(shape)
@@ -792,11 +803,17 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
                    backend=backend, dtype=dtype)
     core_x = _local_core((z // p1, y // p2, x), (2,), direction, **core_kw)
     core_y = _local_core((z // p1, y, x // p2), (1,), direction, **core_kw)
-    core_z = _local_core((z, y // p1, x // p2), (0,), direction, **core_kw)
+    xsl2 = _chunked(pipeline_chunks2, x // p2)
+    core_z = _local_core((z, y // p1, (x // p2) // len(xsl2)), (0,),
+                         direction, **core_kw)
 
     def _seg1(cr, ci):
         cr, ci = _a2a(cr, ci, a2, 2, 1)                       # X <-> Y
         return core_y(cr, ci)
+
+    def _seg2(cr, ci):
+        cr, ci = _a2a(cr, ci, a1, 1, 0)                       # Y <-> Z
+        return core_z(cr, ci)
 
     def local_fn(xr, xi):
         xr, xi = core_x(xr, xi)                               # (Z/P1, Y/P2, X)
@@ -807,8 +824,12 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
                     for sl in _chunked(pipeline_chunks, xr.shape[0])]
             xr = jnp.concatenate([o[0] for o in outs], axis=0)
             xi = jnp.concatenate([o[1] for o in outs], axis=0)
-        xr, xi = _a2a(xr, xi, a1, 1, 0)
-        xr, xi = core_z(xr, xi)                               # (Z, Y/P1, X/P2)
+        if len(xsl2) == 1:
+            xr, xi = _seg2(xr, xi)                            # (Z, Y/P1, X/P2)
+        else:
+            outs = [_seg2(xr[:, :, sl], xi[:, :, sl]) for sl in xsl2]
+            xr = jnp.concatenate([o[0] for o in outs], axis=2)
+            xi = jnp.concatenate([o[1] for o in outs], axis=2)
         if not transposed_out:
             xr, xi = _a2a(xr, xi, a1, 0, 1)
             xr, xi = _a2a(xr, xi, a2, 1, 2)
@@ -819,7 +840,11 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     fn = shard_map(local_fn, mesh=mesh, in_specs=(in_spec, in_spec),
                    out_specs=(out_spec, out_spec))
     desc = (f"(plan-distrib-pencil shape={shape} mesh=({p1}x{p2}) "
-            f"fftX -> a2a[{a2}] -> fftY -> a2a[{a1}] -> fftZ"
+            f"fftX -> a2a[{a2}]"
+            f"{f'/{pipeline_chunks}chunks' if pipeline_chunks > 1 else ''}"
+            f" -> fftY -> a2a[{a1}]"
+            f"{f'/{len(xsl2)}chunks' if len(xsl2) > 1 else ''}"
+            f" -> fftZ"
             f"{' [transposed output]' if transposed_out else ' -> 2x a2a back'})")
     flops = 5.0 * n_total * math.log2(max(n_total, 2))
     return DistributedFFTPlan(desc, mesh, in_spec, out_spec, fn, shape,

@@ -78,3 +78,38 @@ def num_nodes() -> int:
 def num_local_devices() -> int:
     """DEFAULT_TUNABLE_LOCAL_GPUS analog (src/fft.rg:151-153)."""
     return jax.local_device_count()
+
+
+def make_multislice_mesh(dcn: int, ici: Optional[int] = None,
+                         axis_names: Tuple[str, str] = ("slice", "chip"),
+                         devices=None) -> Mesh:
+    """2-D mesh whose FIRST axis crosses slices (DCN) and second stays
+    within a slice (ICI).
+
+    Multi-slice TPU pods connect chips within a slice over ICI and
+    slices over the much slower data-center network; a pencil plan over
+    this mesh then pays exactly ONE collective per network tier (see
+    ``make_plan_pencil``'s DCN notes).  Built with
+    ``mesh_utils.create_hybrid_device_mesh`` when the runtime exposes
+    multiple slices, so intra-slice rows really are ICI-contiguous;
+    otherwise (CPU meshes, single slice) falls back to a reshaped
+    device list with the same axis semantics — useful for testing the
+    decomposition on ``--xla_force_host_platform_device_count`` meshes.
+    """
+    if devices is None:
+        devices = jax.devices()
+    dcn = int(dcn)
+    if ici is None:
+        ici = len(devices) // dcn
+    need = dcn * int(ici)
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    devices = devices[:need]
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    if len(slice_ids) > 1:
+        from jax.experimental import mesh_utils
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, ici), dcn_mesh_shape=(dcn, 1), devices=devices)
+    else:
+        arr = np.asarray(devices).reshape(dcn, ici)
+    return Mesh(arr, axis_names)
