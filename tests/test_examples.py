@@ -32,3 +32,10 @@ def test_signal_toolkit():
     m.spectral_zoom_czt()
     m.dct_compression()
     m.packed_roundtrip()
+
+
+def test_nufft_imaging():
+    m = _load("nufft_imaging")
+    m.mri_radial_type1()
+    m.interferometry_type2()
+    m.uneven_sampling_type3()
