@@ -1104,10 +1104,12 @@ def strategy_name(strategy: dict) -> str:
     """Canonical short name, e.g. ``slab/c2`` or ``pencil2x4/c1``."""
     mode = strategy["mode"]
     c = strategy.get("pipeline_chunks", 1)
+    c2 = strategy.get("pipeline_chunks2", 1)
+    tail = f"/c{c}" + (f"/d{c2}" if c2 > 1 else "")
     if mode == "pencil" and "mesh_shape" in strategy:
         p1, p2 = strategy["mesh_shape"]
-        return f"pencil{p1}x{p2}/c{c}"
-    return f"{mode}/c{c}"
+        return f"pencil{p1}x{p2}{tail}"
+    return f"{mode}{tail}"
 
 
 def _default_pencil_shape(n_devices: int) -> Tuple[int, int]:
@@ -1162,6 +1164,14 @@ def candidate_strategies(shape, n_devices: int,
                     if c == 1 or c <= z // q1:
                         out.append({"mode": "pencil", "mesh_shape": (q1, q2),
                                     "pipeline_chunks": int(c)})
+                # second-collective overlap (the DCN-side knob on
+                # multi-slice meshes): raced on its own so the candidate
+                # count stays linear in chunk_candidates
+                for c in chunk_candidates:
+                    if 1 < c <= x // q2 and (x // q2) % c == 0:
+                        out.append({"mode": "pencil", "mesh_shape": (q1, q2),
+                                    "pipeline_chunks": 1,
+                                    "pipeline_chunks2": int(c)})
     return out
 
 
