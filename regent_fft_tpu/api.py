@@ -389,10 +389,11 @@ class set_workers:
     api.c:77-81``; the reference builds with ``--enable-openmp``,
     ``install.py:53``).  On TPU intra-chip parallelism is owned by
     XLA/Mosaic (every kernel already uses all VPU lanes and the full MXU),
-    so the worker count is advisory: it is recorded, visible via
-    :func:`get_workers`, and threaded through to scipy for any call that
-    falls back to pocketfft under the :mod:`regent_fft_tpu.scipy_backend`
-    adapter — but it neither throttles nor widens device execution.
+    so the worker count is purely advisory: it is recorded and visible
+    via :func:`get_workers` for API compatibility, but it neither
+    throttles nor widens device execution.  (Calls that fall back to
+    pocketfft under the :mod:`regent_fft_tpu.scipy_backend` adapter keep
+    whatever ``workers=`` argument the caller passed scipy directly.)
     """
 
     def __init__(self, workers: int):

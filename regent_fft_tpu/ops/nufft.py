@@ -74,6 +74,31 @@ def _grid_1d(x, n: int, p: int, tau: float):
     return idx, w
 
 
+def _spread_grid(ys, cr, ci, ns, p: int):
+    """Gaussian scatter-add spread of (cr, ci) at points ``ys`` onto the
+    FLAT oversampled grid (length prod(2 ns)); the single spread body
+    behind types 1 and 3 in every dimension."""
+    if len(ns) == 1:
+        idx, w = _grid_1d(ys[0], ns[0], p, _tau(ns[0], p))
+        total = _R * ns[0]
+    else:
+        idx, w = _nd_tap_product(ys, ns, p)
+        total = int(np.prod([_R * n for n in ns]))
+    sr = cr[..., :, None] * w
+    si = ci[..., :, None] * w
+    flat = idx.reshape(-1)
+    gr = jnp.zeros(sr.shape[:-2] + (total,), jnp.float32)
+    gi = jnp.zeros(si.shape[:-2] + (total,), jnp.float32)
+    gr = gr.at[..., flat].add(sr.reshape(sr.shape[:-2] + (-1,)))
+    gi = gi.at[..., flat].add(si.reshape(si.shape[:-2] + (-1,)))
+    return gr, gi
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _spread_jit(ys, cr, ci, ns, p: int):
+    return _spread_grid(ys, cr, ci, ns, p)
+
+
 def _deconv_1d(n: int, tau: float) -> np.ndarray:
     """sqrt(pi/tau) * exp(k^2 tau) for k = -n/2 .. n/2-1 (f64 host)."""
     k = np.arange(-(n // 2), (n + 1) // 2, dtype=np.float64)
@@ -116,14 +141,7 @@ def _fft_1d(gr, gi, inverse: bool):
 def _nufft1d1_impl(x, cr, ci, n: int, isign: int, p: int):
     tau = _tau(n, p)
     mr = _R * n
-    idx, w = _grid_1d(x, n, p, tau)                       # (nj, 2p)
-    sr = (cr[..., :, None] * w)                            # (..., nj, 2p)
-    si = (ci[..., :, None] * w)
-    flat = idx.reshape(-1)
-    gr = jnp.zeros(sr.shape[:-2] + (mr,), jnp.float32)
-    gi = jnp.zeros(si.shape[:-2] + (mr,), jnp.float32)
-    gr = gr.at[..., flat].add(sr.reshape(sr.shape[:-2] + (-1,)))
-    gi = gi.at[..., flat].add(si.reshape(si.shape[:-2] + (-1,)))
+    gr, gi = _spread_grid((x,), cr, ci, (n,), p)
     # f_k = sqrt(pi/tau) e^{k^2 tau} * DFT_coeff(k); with isign=+1 the
     # analysis integral (1/2pi) int f e^{-ikx} pairs with e^{+ikx_j}
     # synthesis, i.e. the FORWARD DFT of the grid divided by mr ... the
@@ -280,14 +298,7 @@ def _embed_to_dft(f, ns, mrs):
 def _nufftnd1_impl(coords, cr, ci, _unused, ns, isign: int, p: int):
     mrs = tuple(_R * n for n in ns)
     total = int(np.prod(mrs))
-    idx, w = _nd_tap_product(coords, ns, p)
-    sr = cr[..., :, None] * w
-    si = ci[..., :, None] * w
-    flat = idx.reshape(-1)
-    gr = jnp.zeros(sr.shape[:-2] + (total,), jnp.float32)
-    gi = jnp.zeros(si.shape[:-2] + (total,), jnp.float32)
-    gr = gr.at[..., flat].add(sr.reshape(sr.shape[:-2] + (-1,)))
-    gi = gi.at[..., flat].add(si.reshape(si.shape[:-2] + (-1,)))
+    gr, gi = _spread_grid(coords, cr, ci, ns, p)
     gr = gr.reshape(gr.shape[:-1] + mrs)
     gi = gi.reshape(gi.shape[:-1] + mrs)
     gr2, gi2 = _fft_nd(gr, gi, inverse=(isign > 0), ndim=len(ns))
@@ -402,23 +413,6 @@ def _t3_deconv(sigma, n3: int, tau: float):
         (sigma * sigma) * tau)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
-def _nufft1d3_impl(x, cr, ci, params, isign: int, p: int):
-    gamma, n3, tau = params
-    mr = _R * n3
-    h = 2.0 * math.pi / mr
-    y = x / gamma + math.pi                       # sources in [pi/2, 3pi/2]
-    idx, w = _grid_1d(y, n3, p, tau)              # taps interior: no wrap
-    sr = cr[..., :, None] * w
-    si = ci[..., :, None] * w
-    flat = idx.reshape(-1)
-    gr = jnp.zeros(sr.shape[:-2] + (mr,), jnp.float32)
-    gi = jnp.zeros(si.shape[:-2] + (mr,), jnp.float32)
-    gr = gr.at[..., flat].add(sr.reshape(sr.shape[:-2] + (-1,)))
-    gi = gi.at[..., flat].add(si.reshape(si.shape[:-2] + (-1,)))
-    return gr, gi
-
-
 def _nd_entry3(xs, c, ss, isign, eps):
     """Shared type-3 driver: per-dim spread params, one fused spread,
     inner type-2 at u = isign*sigma*h, per-target deconvolution."""
@@ -435,36 +429,22 @@ def _nd_entry3(xs, c, ss, isign, eps):
         X = float(jnp.max(jnp.abs(x)))
         S = float(jnp.max(jnp.abs(s)))
         dims.append(_t3_dim_params(X, S, p))
-    ndim = len(xs)
-    if ndim == 1:
-        gamma, n3, tau = dims[0]
-        gr, gi = _nufft1d3_impl(xs[0], cr, ci, dims[0], isign, p)
-        mr = _R * n3
-        sigma = ss[0] * gamma
-        u = (isign * 2.0 * math.pi / mr) * sigma
-        vr, vi = _nufft1d2_impl(u, gr, gi, 1, p)
-        d = _t3_deconv(sigma, n3, tau)
+    # Sources into [pi/2, 3pi/2]: the spread taps stay interior, so the
+    # non-periodicity of e^{i sigma x} is never violated by index wrap.
+    ys = tuple(x / g + math.pi for x, (g, _, _) in zip(xs, dims))
+    ns3 = tuple(n3 for (_, n3, _) in dims)
+    gr, gi = _spread_jit(ys, cr, ci, ns3, p)
+    us, d = [], 1.0
+    for s, (gamma, n3, tau) in zip(ss, dims):
+        sigma = s * gamma
+        us.append((isign * 2.0 * math.pi / (_R * n3)) * sigma)
+        d = d * _t3_deconv(sigma, n3, tau)
+    if len(xs) == 1:
+        vr, vi = _nufft1d2_impl(us[0], gr, gi, 1, p)
     else:
-        ys = tuple(x / g + math.pi for x, (g, _, _) in zip(xs, dims))
-        ns3 = tuple(n3 for (_, n3, _) in dims)
         mrs = tuple(_R * n3 for n3 in ns3)
-        # interior sources: _nd_tap_product's modular index never wraps
-        idx, w = _nd_tap_product(ys, ns3, p)
-        total = int(np.prod(mrs))
-        sr = cr[..., :, None] * w
-        si = ci[..., :, None] * w
-        flat = idx.reshape(-1)
-        gr = jnp.zeros(sr.shape[:-2] + (total,), jnp.float32)
-        gi = jnp.zeros(si.shape[:-2] + (total,), jnp.float32)
-        gr = gr.at[..., flat].add(sr.reshape(sr.shape[:-2] + (-1,)))
-        gi = gi.at[..., flat].add(si.reshape(si.shape[:-2] + (-1,)))
         gr = gr.reshape(gr.shape[:-1] + mrs)
         gi = gi.reshape(gi.shape[:-1] + mrs)
-        us, d = [], 1.0
-        for s, (gamma, n3, tau) in zip(ss, dims):
-            sigma = s * gamma
-            us.append((isign * 2.0 * math.pi / (_R * n3)) * sigma)
-            d = d * _t3_deconv(sigma, n3, tau)
         vr, vi = _nufftnd2_impl(tuple(us), gr, gi, None, mrs, 1, p)
     return _join_out(vr * d, vi * d)
 

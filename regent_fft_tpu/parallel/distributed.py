@@ -803,6 +803,7 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
                    backend=backend, dtype=dtype)
     core_x = _local_core((z // p1, y // p2, x), (2,), direction, **core_kw)
     core_y = _local_core((z // p1, y, x // p2), (1,), direction, **core_kw)
+    zsl1 = _chunked(pipeline_chunks, z // p1)
     xsl2 = _chunked(pipeline_chunks2, x // p2)
     core_z = _local_core((z, y // p1, (x // p2) // len(xsl2)), (0,),
                          direction, **core_kw)
@@ -817,11 +818,10 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
 
     def local_fn(xr, xi):
         xr, xi = core_x(xr, xi)                               # (Z/P1, Y/P2, X)
-        if pipeline_chunks <= 1:
+        if len(zsl1) == 1:
             xr, xi = _seg1(xr, xi)                            # (Z/P1, Y, X/P2)
         else:
-            outs = [_seg1(xr[sl], xi[sl])
-                    for sl in _chunked(pipeline_chunks, xr.shape[0])]
+            outs = [_seg1(xr[sl], xi[sl]) for sl in zsl1]
             xr = jnp.concatenate([o[0] for o in outs], axis=0)
             xi = jnp.concatenate([o[1] for o in outs], axis=0)
         if len(xsl2) == 1:
@@ -841,7 +841,7 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
                    out_specs=(out_spec, out_spec))
     desc = (f"(plan-distrib-pencil shape={shape} mesh=({p1}x{p2}) "
             f"fftX -> a2a[{a2}]"
-            f"{f'/{pipeline_chunks}chunks' if pipeline_chunks > 1 else ''}"
+            f"{f'/{len(zsl1)}chunks' if len(zsl1) > 1 else ''}"
             f" -> fftY -> a2a[{a1}]"
             f"{f'/{len(xsl2)}chunks' if len(xsl2) > 1 else ''}"
             f" -> fftZ"

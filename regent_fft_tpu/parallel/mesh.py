@@ -89,27 +89,40 @@ def make_multislice_mesh(dcn: int, ici: Optional[int] = None,
     Multi-slice TPU pods connect chips within a slice over ICI and
     slices over the much slower data-center network; a pencil plan over
     this mesh then pays exactly ONE collective per network tier (see
-    ``make_plan_pencil``'s DCN notes).  Built with
-    ``mesh_utils.create_hybrid_device_mesh`` when the runtime exposes
-    multiple slices, so intra-slice rows really are ICI-contiguous;
-    otherwise (CPU meshes, single slice) falls back to a reshaped
-    device list with the same axis semantics — useful for testing the
-    decomposition on ``--xla_force_host_platform_device_count`` meshes.
+    ``make_plan_pencil``'s DCN notes).  When the runtime exposes
+    multiple slices (``device.slice_index``), each mesh ROW is drawn
+    from one slice — so intra-row collectives really ride ICI even for
+    partial-pod selections; otherwise (CPU meshes, single slice) the
+    device list is reshaped with the same axis semantics — useful for
+    testing the decomposition on
+    ``--xla_force_host_platform_device_count`` meshes.
     """
     if devices is None:
         devices = jax.devices()
     dcn = int(dcn)
+    if dcn < 1:
+        raise ValueError(f"need at least one slice, got dcn={dcn}")
     if ici is None:
         ici = len(devices) // dcn
-    need = dcn * int(ici)
-    if len(devices) < need:
-        raise ValueError(f"need {need} devices, have {len(devices)}")
-    devices = devices[:need]
-    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
-    if len(slice_ids) > 1:
-        from jax.experimental import mesh_utils
-        arr = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(1, ici), dcn_mesh_shape=(dcn, 1), devices=devices)
+    ici = int(ici)
+    need = dcn * ici
+    if ici < 1 or len(devices) < need:
+        raise ValueError(
+            f"need {dcn}x{max(ici, 1)} devices, have {len(devices)}")
+    # Group by slice so a PARTIAL selection still spans dcn distinct
+    # slices (the flat jax.devices() order is slice-major: devices[:need]
+    # would silently draw everything from the first slice(s) and the
+    # "slice" axis would never cross DCN).
+    by_slice = {}
+    for d in devices:
+        by_slice.setdefault(getattr(d, "slice_index", 0), []).append(d)
+    if len(by_slice) > 1:
+        groups = [g for g in by_slice.values() if len(g) >= ici]
+        if len(groups) < dcn:
+            raise ValueError(
+                f"need {dcn} slices with >= {ici} devices each; have "
+                f"{ {k: len(v) for k, v in by_slice.items()} }")
+        arr = np.asarray([g[:ici] for g in groups[:dcn]])
     else:
-        arr = np.asarray(devices).reshape(dcn, ici)
+        arr = np.asarray(devices[:need]).reshape(dcn, ici)
     return Mesh(arr, axis_names)

@@ -52,6 +52,14 @@ def _from_tensor(x):
     dev = x.device
     if not (x.dtype.is_floating_point or x.dtype.is_complex):
         x = x.to(t.float32)  # torch promotes int/bool to the default dtype
+    # Half-precision classes numpy can't hold (bf16, chalf) — and f16,
+    # which the engine computes at f32 anyway — widen for the bridge;
+    # the result comes back in the f32 class (documented: computation is
+    # f32 unless x64 is enabled).
+    if x.dtype in (t.bfloat16, t.float16):
+        x = x.to(t.float32)
+    elif x.dtype == t.complex32:
+        x = x.to(t.complex64)
     wide = x.dtype in (t.float64, t.complex128)
     return x.detach().cpu().numpy(), dev, wide
 

@@ -25,7 +25,10 @@ from ..ops import factor as _factor
 #: ``fftw_set_timelimit(FFTW_NO_TIMELIMIT)`` analog (no planning cap).
 NO_TIMELIMIT = -1.0
 
-_TIMELIMIT = float(os.environ.get("REGENT_FFT_TIMELIMIT", NO_TIMELIMIT))
+try:
+    _TIMELIMIT = float(os.environ.get("REGENT_FFT_TIMELIMIT", NO_TIMELIMIT))
+except ValueError:  # malformed env var must not make the package unimportable
+    _TIMELIMIT = NO_TIMELIMIT
 
 
 def set_timelimit(seconds: float) -> None:
@@ -36,9 +39,11 @@ def set_timelimit(seconds: float) -> None:
     exceeded it stops exploring and settles for the best plan found).
     Here each candidate-racing loop (schedules, backends, distributed
     strategies) stops measuring further candidates once ``seconds`` of
-    wall-clock planning has elapsed; at least one candidate is always
-    timed so a winner exists.  ``NO_TIMELIMIT`` (negative) removes the
-    cap.  Estimate/model planning is unaffected (it never times).
+    wall-clock planning has elapsed — but never before at least one
+    candidate has timed SUCCESSFULLY (failures record inf and don't
+    satisfy the cap), so a usable winner always exists.  ``NO_TIMELIMIT``
+    (negative) removes the cap.  Estimate/model planning is unaffected
+    (it never times).
     """
     global _TIMELIMIT
     _TIMELIMIT = float(seconds)
@@ -55,8 +60,13 @@ class _PlanDeadline:
     def __init__(self):
         self.t0 = time.perf_counter()
 
-    def over(self) -> bool:
-        return _TIMELIMIT >= 0 and (time.perf_counter() - self.t0) > _TIMELIMIT
+    def over(self, timings: dict) -> bool:
+        """True once the cap is exhausted AND a usable winner exists
+        (failed candidates record inf and don't count — a race must not
+        settle on a candidate that failed to compile)."""
+        if _TIMELIMIT < 0 or (time.perf_counter() - self.t0) <= _TIMELIMIT:
+            return False
+        return any(v != float("inf") for v in timings.values())
 
 
 def candidate_schedules(n: int, max_radix: int = 128, cap: int = 8) -> List[Tuple[int, ...]]:
@@ -138,7 +148,7 @@ def measure_schedule(n: int, direction=None, precision: str = "highest",
     timings = {}
     deadline = _PlanDeadline()
     for sched in candidate_schedules(n, max_radix):
-        if timings and deadline.over():
+        if deadline.over(timings):
             break  # fftw_set_timelimit: settle for the best found so far
         step = _schedule_step_fn(n, sched, sign, prec, use_3m)
         try:
@@ -209,7 +219,7 @@ def measure_backends(spec, build_core, iters: int = 4, reps: int = 2):
     timings = {}
     deadline = _PlanDeadline()
     for b in cands:
-        if timings and deadline.over():
+        if deadline.over(timings):
             break  # fftw_set_timelimit analog
         try:
             core = build_core(dataclasses.replace(spec, backend=b))
@@ -306,7 +316,7 @@ def measure_distributed(shape, direction=None, norm=None,
     deadline = _PlanDeadline()
     for strat in cands:
         name = _dist.strategy_name(strat)
-        if timings and deadline.over():
+        if deadline.over(timings):
             break  # fftw_set_timelimit analog
         by_name[name] = strat
         try:

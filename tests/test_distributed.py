@@ -286,3 +286,23 @@ def test_pencil_chunks2_matches_unchunked():
                                    pipeline_chunks2=2)
     a, b = np.asarray(base(x)), np.asarray(chunked(x))
     np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6)
+
+
+def test_multislice_mesh_rejects_oversubscription():
+    import pytest
+    from regent_fft_tpu.parallel.mesh import make_multislice_mesh
+    with pytest.raises(ValueError):
+        make_multislice_mesh(16)        # 16 slices > 8 devices: ici floors to 0
+    with pytest.raises(ValueError):
+        make_multislice_mesh(2, 8)      # 16 devices needed, have 8
+    with pytest.raises(ValueError):
+        make_multislice_mesh(0, 4)
+
+
+def test_pencil_description_reports_clamped_chunks():
+    import regent_fft_tpu as rft
+    # z//p1 = 2 clamps pipeline_chunks=8 to 2; x//p2 = 8 clamps 16 to 8
+    p = rft.make_plan_pencil((8, 8, 16), mesh_shape=(4, 2),
+                             pipeline_chunks=8, pipeline_chunks2=16)
+    assert "a2a[fz]/2chunks" in p.description \
+        and "a2a[fy]/8chunks" in p.description, p.description

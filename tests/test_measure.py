@@ -298,3 +298,39 @@ def test_workers_api_parity():
     assert rft.get_workers() == 1
     with pytest.raises(ValueError):
         rft.set_workers(0)
+
+
+def test_timelimit_never_settles_on_a_failed_candidate(monkeypatch):
+    """With a zero cap and a first candidate that fails, the race must
+    keep going until something times successfully (inf never wins)."""
+    calls = {"n": 0}
+    real = measure.time_fn
+
+    def flaky(build, batch_shape, k=5, seed=0):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated compile failure")
+        return real(build, batch_shape, k=k, seed=seed)
+
+    monkeypatch.setattr(measure, "time_fn", flaky)
+    rft.set_timelimit(0.0)
+    try:
+        winner, timings = measure.measure_schedule(
+            64, batch=8, k=2, install=False)
+        finite = [t for t in timings.values() if t != float("inf")]
+        assert finite, timings          # a usable winner was measured
+        assert timings[" ".join(map(str, winner))] != float("inf")
+    finally:
+        rft.set_timelimit(measure.NO_TIMELIMIT)
+
+
+def test_malformed_timelimit_env_does_not_break_import():
+    import subprocess, sys
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import regent_fft_tpu as rft; print(rft.get_timelimit())"],
+        env={**__import__('os').environ, "REGENT_FFT_TIMELIMIT": "banana"},
+        capture_output=True, text=True, timeout=240)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.strip() == "-1.0"

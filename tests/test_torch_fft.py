@@ -103,3 +103,14 @@ def test_namespace_complete():
               and n not in ("torch", "Tensor", "common_args",
                             "factory_common_args")}
     assert theirs <= ours, theirs - ours
+
+
+def test_half_precision_inputs_bridge():
+    """bf16/f16 tensors must not crash the bridge; engine computes at f32
+    and returns the f32 complex class."""
+    for dt in (torch.bfloat16, torch.float16):
+        x = torch.randn(16).to(dt)
+        y = tfft.fft(x)
+        assert y.dtype == torch.complex64
+        ref = torch.fft.fft(x.to(torch.float32))
+        _agree(y, ref, tol=5e-2)        # half-precision data representation
