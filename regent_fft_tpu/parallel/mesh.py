@@ -99,6 +99,19 @@ def make_multislice_mesh(dcn: int, ici: Optional[int] = None,
     """
     if devices is None:
         devices = jax.devices()
+    arr = _select_multislice(devices, dcn, ici)
+    return Mesh(arr, axis_names)
+
+
+def _select_multislice(devices, dcn: int, ici: Optional[int]) -> np.ndarray:
+    """Pick a (dcn, ici) device array with one slice per ROW.
+
+    Pure selection logic (unit-testable without TPU hardware): groups by
+    ``device.slice_index`` so a PARTIAL selection still spans dcn
+    distinct slices — the flat ``jax.devices()`` order is slice-major,
+    so a naive ``devices[:need]`` would silently draw everything from
+    the first slice(s) and the "slice" axis would never cross DCN.
+    """
     dcn = int(dcn)
     if dcn < 1:
         raise ValueError(f"need at least one slice, got dcn={dcn}")
@@ -109,10 +122,6 @@ def make_multislice_mesh(dcn: int, ici: Optional[int] = None,
     if ici < 1 or len(devices) < need:
         raise ValueError(
             f"need {dcn}x{max(ici, 1)} devices, have {len(devices)}")
-    # Group by slice so a PARTIAL selection still spans dcn distinct
-    # slices (the flat jax.devices() order is slice-major: devices[:need]
-    # would silently draw everything from the first slice(s) and the
-    # "slice" axis would never cross DCN).
     by_slice = {}
     for d in devices:
         by_slice.setdefault(getattr(d, "slice_index", 0), []).append(d)
@@ -122,7 +131,12 @@ def make_multislice_mesh(dcn: int, ici: Optional[int] = None,
             raise ValueError(
                 f"need {dcn} slices with >= {ici} devices each; have "
                 f"{ {k: len(v) for k, v in by_slice.items()} }")
-        arr = np.asarray([g[:ici] for g in groups[:dcn]])
-    else:
-        arr = np.asarray(devices[:need]).reshape(dcn, ici)
-    return Mesh(arr, axis_names)
+        out = np.empty((dcn, ici), dtype=object)
+        for i, g in enumerate(groups[:dcn]):
+            for j in range(ici):
+                out[i, j] = g[j]
+        return out
+    out = np.empty((dcn, ici), dtype=object)
+    for k in range(need):
+        out[k // ici, k % ici] = devices[k]
+    return out

@@ -306,3 +306,28 @@ def test_pencil_description_reports_clamped_chunks():
                              pipeline_chunks=8, pipeline_chunks2=16)
     assert "a2a[fz]/2chunks" in p.description \
         and "a2a[fy]/8chunks" in p.description, p.description
+
+
+def test_multislice_selection_spans_slices():
+    """Partial-pod selection must draw each mesh row from ONE slice
+    (flat device order is slice-major; devices[:need] would collapse
+    onto slice 0 and the DCN axis would be a lie)."""
+    from collections import namedtuple
+    from regent_fft_tpu.parallel.mesh import _select_multislice
+    import pytest
+
+    D = namedtuple("D", ["id", "slice_index"])
+    # 2 slices x 8 chips, slice-major order (like jax.devices() on a pod)
+    devs = [D(s * 8 + i, s) for s in range(2) for i in range(8)]
+    arr = _select_multislice(devs, 2, 4)
+    assert arr.shape == (2, 4)
+    assert {d.slice_index for d in arr[0]} == {0}
+    assert {d.slice_index for d in arr[1]} == {1}
+    # uneven slices: the small one is skipped, not zero-padded
+    devs_uneven = [D(i, 0) for i in range(8)] + [D(100, 1)] \
+        + [D(200 + i, 2) for i in range(8)]
+    arr = _select_multislice(devs_uneven, 2, 8)
+    assert [row[0].slice_index for row in arr] == [0, 2]
+    # too few qualifying slices
+    with pytest.raises(ValueError):
+        _select_multislice(devs, 3, 8)
