@@ -788,6 +788,26 @@ class Plan:
         scale = 0.5 if self.spec.kind in (Kind.R2C, Kind.C2R) else 1.0
         return int(self.spec.batch * total * scale)
 
+    def cost(self) -> float:
+        """``fftw_cost`` analog (``/root/reference/fftw-3.3.8/api/
+        cost.c``): the planner cost model's estimate for this plan in
+        the model's calibrated time units.  Returns 0.0 when the native
+        model is unavailable or a length falls outside it — FFTW's
+        convention for "no cost information".  Useful for comparing
+        candidate specs without timing them (the planner="model" metric
+        exposed per plan)."""
+        from .native import planner as _native
+        if not _native.available():
+            return 0.0
+        total = 0.0
+        n_all = self.spec.logical_n
+        for n in self.spec.transform_lengths:
+            per = _native.schedule_cost(n, self.spec.max_radix)
+            if per is None or per <= 0:
+                return 0.0
+            total += per * (n_all // max(n, 1))
+        return self.spec.batch * total
+
     @property
     def bytes_ideal(self) -> int:
         """Minimum HBM traffic: read input once, write output once."""

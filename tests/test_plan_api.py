@@ -289,3 +289,20 @@ def test_cleanup_resets_caches_but_keeps_live_plans():
     rft.cleanup()
     assert not rft.cached_plans()
     np.testing.assert_allclose(np.asarray(plan(x)), y0, rtol=1e-6)
+
+
+def test_plan_cost_monotone_in_size():
+    """fftw_cost analog: calibrated-model estimate, monotone in problem
+    size, zero when the model has no information."""
+    import regent_fft_tpu as rft
+    from regent_fft_tpu.native import planner as native
+
+    mk = lambda shape: rft.make_plan(shape, axes=(1,), kind=rft.Kind.C2C,
+                                     direction=rft.Direction.FORWARD)
+    small, big = mk((4, 256)), mk((4, 1024))
+    if not native.available():
+        assert small.cost() == 0.0
+        return
+    assert 0 < small.cost() < big.cost()
+    # batch scales it linearly
+    assert abs(mk((8, 256)).cost() / small.cost() - 2.0) < 1e-6
