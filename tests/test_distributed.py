@@ -331,3 +331,45 @@ def test_multislice_selection_spans_slices():
     # too few qualifying slices
     with pytest.raises(ValueError):
         _select_multislice(devs, 3, 8)
+
+
+def test_random_distributed_problem_fuzz():
+    """check.pl analog for the distributed layer (the reference could
+    never fuzz distributed at all — its one distrib test is disabled,
+    SURVEY §4): random (shape, kind, strategy) problems on the 8-device
+    mesh, every feasible strategy raced against numpy."""
+    rng = np.random.default_rng(777)
+    n_dev = 8
+    kinds = [rft.Kind.C2C, rft.Kind.R2C, rft.Kind.C2R]
+    checked = 0
+    for trial in range(8):
+        kind = kinds[int(rng.integers(len(kinds)))]
+        # extents divisible enough that at least one strategy exists
+        dims = [int(8 * rng.integers(1, 4)) for _ in range(3)]
+        shape = tuple(dims)
+        cands = dist.candidate_strategies(shape, n_dev, (1, 2), kind=kind)
+        if not cands:
+            continue
+        strat = cands[int(rng.integers(len(cands)))]
+        plan = dist.build_strategy(strat, shape, norm=Norm.NONE,
+                                   n_devices=n_dev, kind=kind)
+        if kind == rft.Kind.C2C:
+            x = crand(shape)
+            ref = np.fft.fftn(x.astype(np.complex128))
+            got = np.asarray(plan(x))
+        elif kind == rft.Kind.R2C:
+            x = rng.standard_normal(shape).astype(np.float32)
+            ref = np.fft.rfftn(x.astype(np.float64))
+            got = np.asarray(plan(x))
+        else:  # C2R
+            xr = rng.standard_normal(shape).astype(np.float32)
+            spec = np.fft.rfftn(xr.astype(np.float64)).astype(np.complex64)
+            # backward-norm c2r inverts the unnormalized forward
+            plan = dist.build_strategy(strat, shape, norm=Norm.BACKWARD,
+                                       n_devices=n_dev, kind=kind)
+            ref = xr.astype(np.float64)
+            got = np.asarray(plan(spec))
+        rel = np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-30)
+        assert rel < 1e-4, (trial, kind, shape, strat, rel)
+        checked += 1
+    assert checked >= 5, f"only {checked} feasible problems drawn"
