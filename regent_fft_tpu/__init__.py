@@ -59,3 +59,13 @@ wisdom.autoload_system_wisdom()
 
 FORWARD = Direction.FORWARD
 BACKWARD = Direction.BACKWARD
+
+
+def __getattr__(name):
+    # Lazy ecosystem adapters (PEP 562): rft.torch_fft must not import
+    # torch (and rft.scipy_backend must not touch scipy's uarray
+    # machinery) unless actually used.
+    if name in ("torch_fft", "scipy_backend"):
+        import importlib
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
