@@ -306,3 +306,28 @@ def test_plan_cost_monotone_in_size():
     assert 0 < small.cost() < big.cost()
     # batch scales it linearly
     assert abs(mk((8, 256)).cost() / small.cost() - 2.0) < 1e-6
+
+
+def test_one_shots_compose_under_user_jit():
+    """The one-shot API must trace inside a USER's jax.jit (plans key on
+    tracer shapes; executors nest) — the idiomatic-JAX composition
+    guarantee the reference's task-launch API cannot offer."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(x):
+        return rft.ifft(rft.fft(x) * 2.0)
+
+    x = crand((8, 64))
+    y = np.asarray(f(jnp.asarray(x)))
+    assert np.linalg.norm(y - 2 * x) / np.linalg.norm(x) < 1e-5
+
+    @jax.jit
+    def g(v):
+        return rft.rfftn(v)
+
+    v = RNG.standard_normal((8, 16, 16)).astype(np.float32)
+    got = np.asarray(g(jnp.asarray(v)))
+    ref = np.fft.rfftn(v.astype(np.float64))
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
