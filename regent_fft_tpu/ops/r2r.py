@@ -77,7 +77,15 @@ def logical_size(n: int, kind: R2RKind) -> int:
 
 
 def _alt_signs(n: int):
-    return jnp.asarray(((-1.0) ** np.arange(n)).astype(np.float32))
+    """f64 host table; cast to the traced dtype at use sites (``_tab``)."""
+    return (-1.0) ** np.arange(n)
+
+
+def _tab(np_table, like):
+    """Constant-fold a host f64 table at the traced array's dtype — f32 on
+    the TPU path, f64 when x64 is enabled (FFTW r2r is double by default;
+    ``fftw-3.3.8/api/plan-r2r.c`` plans in the library's real type)."""
+    return jnp.asarray(np_table, like.dtype)
 
 
 def _fft_pair(n, direction, max_radix, precision, use_3m):
@@ -147,12 +155,12 @@ def build_r2r_1d(n: int, kind, max_radix: int = _factor.DEFAULT_MAX_RADIX,
         head = (k >= 1) & (k < (n + 1) // 2)
         tail = k > n // 2
         im_idx = np.where(head, (n - k) % n, np.where(tail, k, 0))
-        im_sign = head.astype(np.float32) - tail.astype(np.float32)
+        im_sign = head.astype(np.float64) - tail.astype(np.float64)
 
         def fn(x2):
             sr = jnp.take(x2, jnp.asarray(re_idx.astype(np.int32)), axis=1)
             si = jnp.take(x2, jnp.asarray(im_idx.astype(np.int32)), axis=1)
-            si = si * jnp.asarray(im_sign)
+            si = si * _tab(im_sign, si)
             yr, _ = bwd(sr, si)
             return yr
         return fn
@@ -169,13 +177,13 @@ def build_r2r_1d(n: int, kind, max_radix: int = _factor.DEFAULT_MAX_RADIX,
     if kind == R2RKind.REDFT10:  # DCT-II
         fwd = _fft_pair(n, Direction.FORWARD, max_radix, precision, use_3m)
         th = np.pi * np.arange(n) / (2.0 * n)
-        c2 = jnp.asarray((2.0 * np.cos(th)).astype(np.float32))
-        s2 = jnp.asarray((2.0 * np.sin(th)).astype(np.float32))
+        c2_np = 2.0 * np.cos(th)
+        s2_np = 2.0 * np.sin(th)
 
         def fn(x2):
             v = _reorder_even_odd(x2)
             vr, vi = fwd(v, jnp.zeros_like(v))
-            return c2 * vr + s2 * vi
+            return _tab(c2_np, vr) * vr + _tab(s2_np, vi) * vi
         return fn
 
     if kind == R2RKind.REDFT01:  # DCT-III = unnormalized inverse of DCT-II
@@ -188,19 +196,19 @@ def build_r2r_1d(n: int, kind, max_radix: int = _factor.DEFAULT_MAX_RADIX,
         th = np.pi * k / (2.0 * n)
         cr_np = np.cos(th); sr_np = np.sin(th)
         cr_np[0] = 1.0; sr_np[0] = 0.0
-        cw = jnp.asarray(cr_np.astype(np.float32))
-        sw = jnp.asarray(sr_np.astype(np.float32))
         flip_idx = jnp.asarray(((n - k) % n).astype(np.int32))
-        first = jnp.asarray((k == 0).astype(np.float32))
+        not_first = (k != 0).astype(np.float64)
 
         def fn(x2):
+            cw = _tab(cr_np, x2); sw = _tab(sr_np, x2)
+            nf = _tab(not_first, x2)
             u_rev = jnp.take(x2, flip_idx, axis=1)      # u[(n-k) % n]
-            u_rev = u_rev * (1.0 - first)               # u[n-0] := 0
+            u_rev = u_rev * nf                          # u[n-0] := 0
             # (u[k] - i u[n-k]) (cos + i sin) = (u cos + urev sin)
             #                                 + i (u sin - urev cos)
             vr = x2 * cw + u_rev * sw
             vi = x2 * sw - u_rev * cw
-            vi = vi * (1.0 - first)                     # V[0] = u[0]
+            vi = vi * nf                                # V[0] = u[0]
             yr, _ = bwd(vr, vi)
             return jnp.take(yr, perm, axis=1)
         return fn
@@ -232,17 +240,14 @@ def build_r2r_1d(n: int, kind, max_radix: int = _factor.DEFAULT_MAX_RADIX,
         j = np.arange(n)
         pre = np.exp(-1j * np.pi * j / (2.0 * n))
         post = 2.0 * np.exp(-1j * np.pi * (2 * j + 1) / (4.0 * n))
-        pre_r = jnp.asarray(pre.real.astype(np.float32))
-        pre_i = jnp.asarray(pre.imag.astype(np.float32))
-        post_r = jnp.asarray(post.real.astype(np.float32))
-        post_i = jnp.asarray(post.imag.astype(np.float32))
 
         def fn(x2):
             zpad = jnp.zeros_like(x2)
-            cr = jnp.concatenate([x2 * pre_r, zpad], axis=1)
-            ci = jnp.concatenate([x2 * pre_i, zpad], axis=1)
+            cr = jnp.concatenate([x2 * _tab(pre.real, x2), zpad], axis=1)
+            ci = jnp.concatenate([x2 * _tab(pre.imag, x2), zpad], axis=1)
             gr, gi = fwd(cr, ci)
-            return post_r * gr[:, :n] - post_i * gi[:, :n]
+            return (_tab(post.real, gr) * gr[:, :n]
+                    - _tab(post.imag, gi) * gi[:, :n])
         return fn
 
     # DST kinds II/III/IV via the sign-alternation DCT identities
@@ -251,15 +256,15 @@ def build_r2r_1d(n: int, kind, max_radix: int = _factor.DEFAULT_MAX_RADIX,
     if kind == R2RKind.RODFT10:
         base = build_r2r_1d(n, R2RKind.REDFT10, max_radix, precision, use_3m)
         alt = _alt_signs(n)
-        return lambda x2: jnp.flip(base(x2 * alt), axis=1)
+        return lambda x2: jnp.flip(base(x2 * _tab(alt, x2)), axis=1)
     if kind == R2RKind.RODFT01:
         base = build_r2r_1d(n, R2RKind.REDFT01, max_radix, precision, use_3m)
         alt = _alt_signs(n)
-        return lambda x2: alt * base(jnp.flip(x2, axis=1))
+        return lambda x2: _tab(alt, x2) * base(jnp.flip(x2, axis=1))
     if kind == R2RKind.RODFT11:
         base = build_r2r_1d(n, R2RKind.REDFT11, max_radix, precision, use_3m)
         alt = _alt_signs(n)
-        return lambda x2: jnp.flip(base(x2 * alt), axis=1)
+        return lambda x2: jnp.flip(base(x2 * _tab(alt, x2)), axis=1)
 
     raise ValueError(f"unknown r2r kind: {kind!r}")
 
@@ -307,9 +312,10 @@ class R2RPlan:
                             f"kinds=[{desc_kinds}] unnormalized)")
 
     def __call__(self, x):
-        """Execute on a real array.  Compute is float32 (the TPU-native
-        path); float64 input is accepted and downcast, mirroring the
-        numpy-style API's behavior when x64 is disabled."""
+        """Execute on a real array.  Compute follows the input dtype:
+        float32 on the TPU-native path, float64 when x64 is enabled
+        (FFTW's double-precision r2r); without x64, float64 input is
+        downcast by ``jnp.asarray`` like everywhere else in the API."""
         if self._destroyed:
             raise RuntimeError("plan was destroyed")
         x = jnp.asarray(x)
@@ -317,7 +323,7 @@ class R2RPlan:
             raise TypeError(f"r2r plans take real input, got {x.dtype}")
         if x.shape != self.shape:
             raise ValueError(f"input shape {x.shape} != planned {self.shape}")
-        return self._exec(x.astype(jnp.float32))
+        return self._exec(x)
 
     execute = __call__
 
@@ -484,9 +490,10 @@ def _scipy_r2r(x, family: str, typ: int, s, axes, norm, orthogonalize,
 def dct(x, type: int = 2, n=None, axis: int = -1, norm=None,
         overwrite_x=False, workers=None, orthogonalize=None):
     """DCT types 1-4 with full scipy.fft.dct semantics (``n`` crop/pad,
-    ``norm``, ``orthogonalize``); compute is f32 on the framework's own
-    r2r kinds.  ``overwrite_x``/``workers`` accepted for drop-in
-    compatibility (meaningless under XLA)."""
+    ``norm``, ``orthogonalize``); compute follows the input dtype (f32 on
+    the TPU path, f64 under x64) on the framework's own r2r kinds.
+    ``overwrite_x``/``workers`` accepted for drop-in compatibility
+    (meaningless under XLA)."""
     return _scipy_r2r(x, "dct", type, None if n is None else (n,), (axis,),
                       norm, orthogonalize, inverse=False)
 
@@ -552,4 +559,5 @@ def idht(x, axis: int = -1):
     (the 1/n factor applied here, mirroring scipy-style inverses)."""
     x = jnp.asarray(x)
     n = x.shape[axis]
-    return r2r(x, R2RKind.DHT, axis) / jnp.asarray(n, jnp.float32)
+    y = r2r(x, R2RKind.DHT, axis)
+    return y / jnp.asarray(n, y.dtype)

@@ -1191,6 +1191,7 @@ def build_strategy(strategy: dict, shape, direction=Direction.FORWARD,
         kw = dict(kw, mesh=make_fft_mesh(n_devices))
     if kind in (Kind.R2C, Kind.C2R):
         s.pop("pipeline_chunks", None)
+        s.pop("pipeline_chunks2", None)
         ctor = {("slab", Kind.R2C): make_plan_slab_r2c,
                 ("slab", Kind.C2R): make_plan_slab_c2r,
                 ("pencil", Kind.R2C): make_plan_pencil_r2c,

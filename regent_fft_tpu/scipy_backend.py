@@ -45,6 +45,8 @@ for the TPU engine.
 """
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 from . import api as _api
@@ -56,6 +58,8 @@ from .ops import fftlog as _fftlog
 __all__ = ["RegentFFTBackend", "enable", "disable"]
 
 _NOT = object()  # sentinel: handler declines, let scipy fall back
+
+_WARNED_FALLBACKS: set = set()  # function names that already warned once
 
 
 def _is_numpy(x) -> bool:
@@ -205,12 +209,26 @@ class RegentFFTBackend:
 
     @staticmethod
     def __ua_function__(method, args, kwargs):
-        handler = _HANDLERS.get(getattr(method, "__name__", None))
+        name = getattr(method, "__name__", None)
+        handler = _HANDLERS.get(name)
         if handler is None:
             return NotImplemented
         try:
             out = handler(*args, **kwargs)
-        except (TypeError, ValueError, NotImplementedError):
+        except NotImplementedError:
+            # deliberate "this argument combination is unsupported" signal
+            return NotImplemented
+        except (TypeError, ValueError) as e:
+            # Could be a genuine engine bug, not just an unsupported
+            # argument: fall back to pocketfft but say so once per function
+            # so acceleration is never lost silently.
+            if name not in _WARNED_FALLBACKS:
+                _WARNED_FALLBACKS.add(name)
+                warnings.warn(
+                    f"regent_fft_tpu scipy backend: {name}() raised "
+                    f"{type(e).__name__}: {e} — falling back to scipy for "
+                    f"this function call (warning shown once per function)",
+                    RuntimeWarning, stacklevel=2)
             return NotImplemented
         if out is _NOT:
             return NotImplemented
@@ -233,5 +251,10 @@ def enable(coerce: bool = False):
 def disable():
     """Restore scipy's default backend."""
     import scipy.fft
-    from scipy.fft._backend import _named_backends  # scipy's own registry
-    scipy.fft.set_global_backend(_named_backends["scipy"])
+    try:
+        # public string-registry form (scipy >= 1.5)
+        scipy.fft.set_global_backend("scipy")
+    except Exception:
+        # fallback for scipy versions whose string registration differs
+        from scipy.fft._backend import _named_backends
+        scipy.fft.set_global_backend(_named_backends["scipy"])

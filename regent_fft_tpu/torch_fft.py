@@ -143,15 +143,25 @@ def _dims(x, dim):
     return list(dim)
 
 
-def fftfreq(n, d=1.0, *, dtype=None, device=None, **kw):
+def fftfreq(n, d=1.0, *, out=None, dtype=None, layout=None, device=None,
+            requires_grad=False):
+    if out is not None:
+        raise NotImplementedError("out= is not supported")
     t = _require_torch()
     y = t.from_numpy(np.fft.fftfreq(int(n), d=float(d)))
     y = y.to(dtype or t.get_default_dtype())
-    return y.to(device) if device is not None else y
+    if device is not None:
+        y = y.to(device)
+    return y.requires_grad_(True) if requires_grad else y
 
 
-def rfftfreq(n, d=1.0, *, dtype=None, device=None, **kw):
+def rfftfreq(n, d=1.0, *, out=None, dtype=None, layout=None, device=None,
+             requires_grad=False):
+    if out is not None:
+        raise NotImplementedError("out= is not supported")
     t = _require_torch()
     y = t.from_numpy(np.fft.rfftfreq(int(n), d=float(d)))
     y = y.to(dtype or t.get_default_dtype())
-    return y.to(device) if device is not None else y
+    if device is not None:
+        y = y.to(device)
+    return y.requires_grad_(True) if requires_grad else y

@@ -26,10 +26,35 @@ rng = np.random.default_rng(0)
 out = {}
 x = (rng.standard_normal(1024) + 1j * rng.standard_normal(1024)).astype(np.complex128)
 out["c2c_1024"] = rel_l2(rft.fft(x), np.fft.fft(x))
+out["c2c_ifft"] = rel_l2(rft.ifft(x), np.fft.ifft(x))
+out["c2c_ortho"] = rel_l2(rft.fft(x, norm="ortho"), np.fft.fft(x, norm="ortho"))
+# non-pow2 smooth + prime sizes (mixed-radix / rader / bluestein paths)
+for n in (640, 1000, 101, 1009):
+    xn = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex128)
+    out[f"c2c_{n}"] = rel_l2(rft.fft(xn), np.fft.fft(xn))
+# rank sweep
+x2 = (rng.standard_normal((64, 48)) + 1j * rng.standard_normal((64, 48))).astype(np.complex128)
+out["c2c_2d"] = rel_l2(rft.fft2(x2), np.fft.fft2(x2))
 x3 = (rng.standard_normal((16, 16, 16)) + 1j * rng.standard_normal((16, 16, 16))).astype(np.complex128)
 out["c2c_3d"] = rel_l2(rft.fftn(x3), np.fft.fftn(x3))
+out["c2c_3d_inv"] = rel_l2(rft.ifftn(x3), np.fft.ifftn(x3))
+# batched plan API (interface generator, c128-typed)
+xb = (rng.standard_normal((8, 256)) + 1j * rng.standard_normal((8, 256))).astype(np.complex128)
+itf = rft.generate_fft_interface(2, np.complex128, np.complex128)
+p = itf.make_plan_batch((8, 256), batch_axis=0)
+out["plan_batch"] = rel_l2(p(xb), np.fft.fft(xb, axis=-1))
+# real transforms
 xr = rng.standard_normal(256).astype(np.float64)
 out["r2c"] = rel_l2(rft.rfft(xr), np.fft.rfft(xr))
+out["c2r"] = rel_l2(rft.irfft(rft.rfft(xr), 256), xr)
+xr3 = rng.standard_normal((12, 16, 20)).astype(np.float64)
+out["r2c_3d"] = rel_l2(rft.rfftn(xr3), np.fft.rfftn(xr3))
+out["c2r_3d"] = rel_l2(rft.irfftn(np.fft.rfftn(xr3), xr3.shape), xr3)
+# r2r kinds vs scipy (f64 path)
+import scipy.fft as sfft
+for kind in (1, 2, 3, 4):
+    out[f"dct{kind}"] = rel_l2(rft.dct(xr, type=kind), sfft.dct(xr, type=kind))
+    out[f"dst{kind}"] = rel_l2(rft.dst(xr, type=kind), sfft.dst(xr, type=kind))
 print(json.dumps(out))
 """
 
@@ -37,7 +62,7 @@ print(json.dumps(out))
 def test_complex128_accuracy():
     env = dict(os.environ, JAX_ENABLE_X64="1", JAX_PLATFORMS="cpu")
     r = subprocess.run([sys.executable, "-c", _SCRIPT], capture_output=True,
-                       text=True, timeout=300, env=env,
+                       text=True, timeout=600, env=env,
                        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stderr[-2000:]
     res = json.loads(r.stdout.strip().splitlines()[-1])
