@@ -33,7 +33,12 @@ from .parallel.distributed import (DistributedFFTPlan, make_plan_shards,
                                    make_plan_slab, make_plan_pencil,
                                    make_plan_slab_r2c, make_plan_slab_c2r,
                                    make_plan_pencil_r2c, make_plan_pencil_c2r,
+                                   make_plan_slab_1d,
                                    make_plan_distributed, destroy_plan_distrib)
+from .parallel.transpose import (TransposePlan, make_plan_transpose,
+                                 make_plan_many_transpose)
+from .parallel.distributed_r2r import (DistributedR2RPlan,
+                                       make_plan_slab_r2r)
 from .utils import wisdom
 from .utils.wisdom import (export_wisdom_to_string, export_wisdom_to_filename,
                            import_wisdom_from_string, import_wisdom_from_filename,

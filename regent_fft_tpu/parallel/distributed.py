@@ -415,7 +415,7 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
                    transposed_in: bool = False,
                    precision: str = "highest", use_3m: bool = False,
                    max_radix: int = 128, backend: str = "auto",
-                   pipeline_chunks: int = 1,
+                   pipeline_chunks: int = 1, howmany: int = 1,
                    donate: bool = False) -> DistributedFFTPlan:
     """Single global N-D C2C FFT, slab-decomposed over the first axis.
 
@@ -438,6 +438,15 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     chunk's ICI transfer behind the previous chunk's butterflies (the
     scheduled-exchange idea of
     ``/root/reference/fftw-3.3.8/mpi/transpose-pairwise.c:21-49``).
+
+    ``howmany > 1`` plans a BATCH of independent global transforms
+    (``fftw_mpi_plan_many_dft``'s howmany,
+    ``/root/reference/fftw-3.3.8/mpi/api.c:249-304``): the input gains a
+    LEADING batch axis — shape ``(howmany, *shape)`` — every collective
+    moves the whole batch in one exchange, and the local stages run
+    batched through the same cores.  FFTW interleaves the howmany tuple
+    innermost; on TPU the batch leads so the transform axes keep the
+    lane-contiguous layout the kernels want.
     """
     if transposed_in and transposed_out:
         raise ValueError("transposed_in and transposed_out are exclusive "
@@ -452,47 +461,58 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
         raise ValueError("slab decomposition needs rank >= 2")
     if shape[0] % p != 0 or shape[-1] % p != 0:
         raise ValueError(f"axes 0 and -1 must be divisible by mesh size {p}: {shape}")
+    howmany = int(howmany)
+    off = 1 if howmany > 1 else 0       # leading batch axis present?
+    bshape = ((howmany,) if off else ()) + shape
     n_total = int(np.prod(shape))
     scale = _norm_scale(n_total, direction, norm)
     core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
                    backend=backend, dtype=dtype)
     # Local stages through the plan core (kernel path on TPU): all
     # locally-complete axes as ONE multi-axis core (fused trailing-pair
-    # kernels apply), the slab axis as a single-axis core.
-    core_local = _local_core((shape[0] // p,) + shape[1:], range(1, nd_),
-                             direction, **core_kw)
-    core_ax0 = _local_core((shape[0],) + shape[1:-1] + (shape[-1] // p,),
-                           (0,), direction, **core_kw)
+    # kernels apply), the slab axis as a single-axis core.  With howmany,
+    # the batch is just an extra leading non-transformed axis of the
+    # local specs (the cores are batch-polymorphic over leading extents).
+    core_local = _local_core(
+        bshape[:off] + (shape[0] // p,) + shape[1:],
+        range(off + 1, off + nd_), direction, **core_kw)
+    core_ax0 = _local_core(
+        bshape[:off] + (shape[0],) + shape[1:-1] + (shape[-1] // p,),
+        (off,), direction, **core_kw)
     chunks = pipeline_chunks if nd_ >= 3 else 1
+    ax0, axl = off, off + nd_ - 1       # slab axis / last axis positions
 
     if transposed_in:
         # Reversed pipeline: (Z, ..., X/P) in -> fft(Z) -> one a2a back
         # to slabs -> fft(local axes) -> (Z/P, ..., X) out.
         def local_fn(xr, xi):
             xr, xi = core_ax0(xr, xi)
-            xr, xi = _a2a(xr, xi, axis_name, 0, nd_ - 1)
+            xr, xi = _a2a(xr, xi, axis_name, ax0, axl)
             xr, xi = core_local(xr, xi)
             return _apply_scale(xr, xi, scale)
 
-        slab_spec = P(axis_name, *([None] * (nd_ - 1)))
-        in_spec = P(*([None] * (nd_ - 1)), axis_name)
+        slab_spec = P(*([None] * off), axis_name, *([None] * (nd_ - 1)))
+        in_spec = P(*([None] * (off + nd_ - 1)), axis_name)
         fn = shard_map(local_fn, mesh=mesh, in_specs=(in_spec, in_spec),
                        out_specs=(slab_spec, slab_spec))
         desc = (f"(plan-distrib-slab shape={shape} P={p} axis={axis_name} "
+                f"{f'howmany={howmany} ' if off else ''}"
                 f"[transposed input] fft(axis0) -> all_to_all(ICI) -> "
                 f"local-{nd_-1}ax-fft)")
-        flops = 5.0 * n_total * math.log2(max(n_total, 2))
-        return DistributedFFTPlan(desc, mesh, in_spec, slab_spec, fn, shape,
+        flops = max(howmany, 1) * 5.0 * n_total * math.log2(max(n_total, 2))
+        return DistributedFFTPlan(desc, mesh, in_spec, slab_spec, fn, bshape,
                                   dtype, flops, donate)
 
     def _phase2(cr, ci):
         # Distributed transpose over ICI: gather axis 0, scatter axis -1,
         # transform the former slab axis, optionally transpose back.
-        cr, ci = _a2a(cr, ci, axis_name, nd_ - 1, 0)
+        cr, ci = _a2a(cr, ci, axis_name, axl, ax0)
         cr, ci = core_ax0(cr, ci)
         if not transposed_out:
-            cr, ci = _a2a(cr, ci, axis_name, 0, nd_ - 1)
+            cr, ci = _a2a(cr, ci, axis_name, ax0, axl)
         return cr, ci
+
+    chunk_ax = off + 1                  # axis no collective touches
 
     def local_fn(xr, xi):
         # (Z/P, ..., X): all locally-complete axes first.
@@ -500,24 +520,27 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
         if chunks <= 1:
             xr, xi = _phase2(xr, xi)
         else:
+            pre = (slice(None),) * chunk_ax
             outs = [
-                _phase2(xr[:, sl], xi[:, sl])
-                for sl in _chunked(chunks, xr.shape[1])
+                _phase2(xr[pre + (sl,)], xi[pre + (sl,)])
+                for sl in _chunked(chunks, xr.shape[chunk_ax])
             ]
-            xr = jnp.concatenate([o[0] for o in outs], axis=1)
-            xi = jnp.concatenate([o[1] for o in outs], axis=1)
+            xr = jnp.concatenate([o[0] for o in outs], axis=chunk_ax)
+            xi = jnp.concatenate([o[1] for o in outs], axis=chunk_ax)
         return _apply_scale(xr, xi, scale)
 
-    in_spec = P(axis_name, *([None] * (nd_ - 1)))
-    out_spec = (P(*([None] * (nd_ - 1)), axis_name) if transposed_out else in_spec)
+    in_spec = P(*([None] * off), axis_name, *([None] * (nd_ - 1)))
+    out_spec = (P(*([None] * (off + nd_ - 1)), axis_name)
+                if transposed_out else in_spec)
     fn = shard_map(local_fn, mesh=mesh, in_specs=(in_spec, in_spec),
                    out_specs=(out_spec, out_spec))
     desc = (f"(plan-distrib-slab shape={shape} P={p} axis={axis_name} "
+            f"{f'howmany={howmany} ' if off else ''}"
             f"local-{nd_-1}ax-fft -> all_to_all(ICI) -> fft(axis0)"
             f"{' [transposed output]' if transposed_out else ' -> all_to_all back'}"
             f"{f' [pipelined x{chunks}]' if chunks > 1 else ''})")
-    flops = 5.0 * n_total * math.log2(max(n_total, 2))
-    return DistributedFFTPlan(desc, mesh, in_spec, out_spec, fn, shape,
+    flops = max(howmany, 1) * 5.0 * n_total * math.log2(max(n_total, 2))
+    return DistributedFFTPlan(desc, mesh, in_spec, out_spec, fn, bshape,
                               dtype, flops, donate)
 
 
@@ -742,6 +765,136 @@ def make_plan_slab_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
                     donate)
 
 
+def _slab1d_factors(n: int, p: int) -> Tuple[int, int]:
+    """Pick n = R*C with P | R and P | C, R nearest sqrt(n) (balanced
+    local FFT lengths = balanced MXU tile sizes on both stages)."""
+    best = None
+    r = p
+    while r * p <= n:
+        if n % r == 0 and (n // r) % p == 0:
+            if best is None or abs(r - math.isqrt(n)) < abs(best - math.isqrt(n)):
+                best = r
+        r += p
+    if best is None:
+        raise ValueError(
+            f"distributed 1-D FFT needs n = R*C with {p} | R and {p} | C; "
+            f"n={n} has no such split on P={p} devices")
+    return best, n // best
+
+
+def make_plan_slab_1d(n, direction=Direction.FORWARD, norm=Norm.BACKWARD,
+                      dtype="complex64", mesh: Optional[Mesh] = None,
+                      axis_name: str = "fft", factors: Optional[Tuple[int, int]] = None,
+                      scrambled_in: bool = False, scrambled_out: bool = False,
+                      precision: str = "highest", use_3m: bool = False,
+                      max_radix: int = 128, backend: str = "auto",
+                      donate: bool = False) -> DistributedFFTPlan:
+    """Distributed 1-D (rank-1) C2C FFT: one vector too big for one chip.
+
+    Re-derivation of FFTW's rank-1 MPI solver
+    (``/root/reference/fftw-3.3.8/mpi/dft-rank1-bigvec.c``) as the
+    four-step factorization n = R*C over the mesh (Bailey's algorithm,
+    the mesh-level variant of the single-chip ``fft_axis0_fourstep``):
+    view x as the row-major (R, C) matrix, then
+
+        a2a -> FFT_R (columns, local) -> twiddle w^(k1*c) -> a2a
+            -> FFT_C (rows, local) -> [global transpose for natural order]
+
+    ``scrambled_out=True`` skips the final transpose collective and
+    returns the digit-reversed order (element (k1, k2) of the row-major
+    (R, C) grid holds X[k1 + R*k2]) — FFTW_MPI_SCRAMBLED_OUT
+    (``mpi/ifftw-mpi.h:31-34``): 2 collectives instead of 3.
+    ``scrambled_in=True`` accepts that order (FFTW_MPI_SCRAMBLED_IN) and
+    produces natural output with 2 collectives, so a forward/backward
+    round trip pays 4 collectives total.  The twiddle table is symmetric
+    (w^(a*b)), so BOTH orderings share one sharded table.
+
+    Plan tables: the (R, C) twiddle is precomputed in f64 on the host and
+    sharded over columns with the data — per-device table memory equals
+    one local plane.
+    """
+    if scrambled_in and scrambled_out:
+        raise ValueError("scrambled_in and scrambled_out are exclusive "
+                         "(use one natural boundary per plan)")
+    mesh = mesh or make_fft_mesh(axis_name=axis_name)
+    axis_name = mesh.axis_names[0]
+    p = int(mesh.shape[axis_name])
+    n = int(n)
+    if n % p:
+        raise ValueError(f"n={n} not divisible by mesh size {p}")
+    R, C = factors if factors is not None else _slab1d_factors(n, p)
+    R, C = int(R), int(C)
+    if R * C != n or R % p or C % p:
+        raise ValueError(f"factors {(R, C)} invalid: need R*C={n}, "
+                         f"{p} | R, {p} | C")
+    scale = _norm_scale(n, direction, norm)
+    core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
+                   backend=backend, dtype=dtype)
+    core_R = _local_core((R, C // p), (0,), direction, **core_kw)
+    core_C = _local_core((R // p, C), (1,), direction, **core_kw)
+    # Sharded twiddle table, f64 host precompute (in-kernel f32 synthesis
+    # measured less accurate AND slower — docs/tpu_notes.md r2).
+    sign = float(int(direction))
+    k1 = np.arange(R, dtype=np.float64)[:, None]
+    c = np.arange(C, dtype=np.float64)[None, :]
+    theta = sign * 2.0 * np.pi * (k1 * c) / n
+    plane_dt = jnp.bfloat16 if dtype == "complex32" else jnp.float32
+    tw_r = jnp.asarray(np.cos(theta), plane_dt)
+    tw_i = jnp.asarray(np.sin(theta), plane_dt)
+    tw_spec = P(None, axis_name)
+
+    def _twiddle(ar, ai, tr, ti):
+        return ar * tr - ai * ti, ar * ti + ai * tr
+
+    if scrambled_in:
+        def local_fn(xr, xi, tr, ti):
+            xr = xr.reshape(R // p, C); xi = xi.reshape(R // p, C)
+            xr, xi = core_C(xr, xi)                      # rows j2 (local C)
+            xr, xi = _a2a(xr, xi, axis_name, 1, 0)       # (R, C/P)
+            xr, xi = _twiddle(xr, xi, tr, ti)
+            xr, xi = core_R(xr, xi)                      # columns (local R)
+            xr, xi = _a2a(xr, xi, axis_name, 0, 1)       # (R/P, C) natural
+            xr, xi = _apply_scale(xr, xi, scale)
+            return xr.reshape(-1), xi.reshape(-1)
+    else:
+        def local_fn(xr, xi, tr, ti):
+            xr = xr.reshape(R // p, C); xi = xi.reshape(R // p, C)
+            xr, xi = _a2a(xr, xi, axis_name, 1, 0)       # (R, C/P)
+            xr, xi = core_R(xr, xi)                      # FFT_R columns
+            xr, xi = _twiddle(xr, xi, tr, ti)
+            xr, xi = _a2a(xr, xi, axis_name, 0, 1)       # (R/P, C)
+            xr, xi = core_C(xr, xi)                      # FFT_C rows
+            if not scrambled_out:
+                # global transpose (R, C) -> (C, R): natural order out
+                xr, xi = _a2a(xr, xi, axis_name, 1, 0)   # (R, C/P)
+                xr = jnp.swapaxes(xr, 0, 1)              # (C/P, R)
+                xi = jnp.swapaxes(xi, 0, 1)
+            xr, xi = _apply_scale(xr, xi, scale)
+            return xr.reshape(-1), xi.reshape(-1)
+
+    vec_spec = P(axis_name)
+    fn_inner = shard_map(local_fn, mesh=mesh,
+                         in_specs=(vec_spec, vec_spec, tw_spec, tw_spec),
+                         out_specs=(vec_spec, vec_spec))
+
+    def fn(xr, xi):
+        return fn_inner(xr, xi, tw_r, tw_i)
+
+    ncoll = 2 if (scrambled_in or scrambled_out) else 3
+    desc = (f"(plan-distrib-1d n={n}={R}x{C} P={p} four-step over ICI, "
+            f"{ncoll} collectives"
+            f"{' [scrambled in]' if scrambled_in else ''}"
+            f"{' [scrambled out]' if scrambled_out else ''})")
+    flops = 5.0 * n * math.log2(max(n, 2))
+
+    class _Slab1D(DistributedFFTPlan):
+        def _bf16_planes(self):
+            return self.dtype == "complex32"
+
+    return _Slab1D(desc, mesh, vec_spec, vec_spec, fn, (n,), dtype, flops,
+                   donate)
+
+
 def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
                      dtype="complex64", mesh: Optional[Mesh] = None,
                      mesh_shape: Optional[Tuple[int, int]] = None,
@@ -750,8 +903,14 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
                      precision: str = "highest", use_3m: bool = False,
                      max_radix: int = 128, backend: str = "auto",
                      pipeline_chunks: int = 1, pipeline_chunks2: int = 1,
+                     howmany: int = 1,
                      donate: bool = False) -> DistributedFFTPlan:
     """Single global 3-D C2C FFT, pencil-decomposed over a 2-D mesh.
+
+    ``howmany > 1`` batches independent global transforms over a LEADING
+    batch axis (input shape ``(howmany, Z, Y, X)``) — the
+    ``fftw_mpi_plan_many_dft`` analog (``mpi/api.c:249-304``); see
+    :func:`make_plan_slab`.
 
     Input (Z, Y, X) distributed as (Z/P1, Y/P2, X) — X-pencils.  Three local
     1-D FFT phases separated by two all_to_alls, each over ONE mesh axis
@@ -798,22 +957,29 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
             f"shape {shape} not divisible for pencil mesh ({p1},{p2}): "
             f"need P1|Z, P1|Y, P2|Y, P2|X")
     n_total = z * y * x
+    howmany = int(howmany)
+    off = 1 if howmany > 1 else 0
+    bshape = ((howmany,) if off else ()) + shape
     scale = _norm_scale(n_total, direction, norm)
     core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
                    backend=backend, dtype=dtype)
-    core_x = _local_core((z // p1, y // p2, x), (2,), direction, **core_kw)
-    core_y = _local_core((z // p1, y, x // p2), (1,), direction, **core_kw)
+    b = bshape[:off]
+    core_x = _local_core(b + (z // p1, y // p2, x), (off + 2,), direction,
+                         **core_kw)
+    core_y = _local_core(b + (z // p1, y, x // p2), (off + 1,), direction,
+                         **core_kw)
     zsl1 = _chunked(pipeline_chunks, z // p1)
     xsl2 = _chunked(pipeline_chunks2, x // p2)
-    core_z = _local_core((z, y // p1, (x // p2) // len(xsl2)), (0,),
+    core_z = _local_core(b + (z, y // p1, (x // p2) // len(xsl2)), (off,),
                          direction, **core_kw)
+    pre = (slice(None),) * off
 
     def _seg1(cr, ci):
-        cr, ci = _a2a(cr, ci, a2, 2, 1)                       # X <-> Y
+        cr, ci = _a2a(cr, ci, a2, off + 2, off + 1)           # X <-> Y
         return core_y(cr, ci)
 
     def _seg2(cr, ci):
-        cr, ci = _a2a(cr, ci, a1, 1, 0)                       # Y <-> Z
+        cr, ci = _a2a(cr, ci, a1, off + 1, off)               # Y <-> Z
         return core_z(cr, ci)
 
     def local_fn(xr, xi):
@@ -821,33 +987,35 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
         if len(zsl1) == 1:
             xr, xi = _seg1(xr, xi)                            # (Z/P1, Y, X/P2)
         else:
-            outs = [_seg1(xr[sl], xi[sl]) for sl in zsl1]
-            xr = jnp.concatenate([o[0] for o in outs], axis=0)
-            xi = jnp.concatenate([o[1] for o in outs], axis=0)
+            outs = [_seg1(xr[pre + (sl,)], xi[pre + (sl,)]) for sl in zsl1]
+            xr = jnp.concatenate([o[0] for o in outs], axis=off)
+            xi = jnp.concatenate([o[1] for o in outs], axis=off)
         if len(xsl2) == 1:
             xr, xi = _seg2(xr, xi)                            # (Z, Y/P1, X/P2)
         else:
-            outs = [_seg2(xr[:, :, sl], xi[:, :, sl]) for sl in xsl2]
-            xr = jnp.concatenate([o[0] for o in outs], axis=2)
-            xi = jnp.concatenate([o[1] for o in outs], axis=2)
+            pre2 = pre + (slice(None), slice(None))
+            outs = [_seg2(xr[pre2 + (sl,)], xi[pre2 + (sl,)]) for sl in xsl2]
+            xr = jnp.concatenate([o[0] for o in outs], axis=off + 2)
+            xi = jnp.concatenate([o[1] for o in outs], axis=off + 2)
         if not transposed_out:
-            xr, xi = _a2a(xr, xi, a1, 0, 1)
-            xr, xi = _a2a(xr, xi, a2, 1, 2)
+            xr, xi = _a2a(xr, xi, a1, off, off + 1)
+            xr, xi = _a2a(xr, xi, a2, off + 1, off + 2)
         return _apply_scale(xr, xi, scale)
 
-    in_spec = P(a1, a2, None)
-    out_spec = P(None, a1, a2) if transposed_out else in_spec
+    in_spec = P(*([None] * off), a1, a2, None)
+    out_spec = P(*([None] * off), None, a1, a2) if transposed_out else in_spec
     fn = shard_map(local_fn, mesh=mesh, in_specs=(in_spec, in_spec),
                    out_specs=(out_spec, out_spec))
     desc = (f"(plan-distrib-pencil shape={shape} mesh=({p1}x{p2}) "
+            f"{f'howmany={howmany} ' if off else ''}"
             f"fftX -> a2a[{a2}]"
             f"{f'/{len(zsl1)}chunks' if len(zsl1) > 1 else ''}"
             f" -> fftY -> a2a[{a1}]"
             f"{f'/{len(xsl2)}chunks' if len(xsl2) > 1 else ''}"
             f" -> fftZ"
             f"{' [transposed output]' if transposed_out else ' -> 2x a2a back'})")
-    flops = 5.0 * n_total * math.log2(max(n_total, 2))
-    return DistributedFFTPlan(desc, mesh, in_spec, out_spec, fn, shape,
+    flops = max(howmany, 1) * 5.0 * n_total * math.log2(max(n_total, 2))
+    return DistributedFFTPlan(desc, mesh, in_spec, out_spec, fn, bshape,
                               dtype, flops, donate)
 
 
@@ -1136,6 +1304,15 @@ def candidate_strategies(shape, n_devices: int,
     nd_ = len(shape)
     p = int(n_devices)
     out = []
+    if kind == Kind.C2C and nd_ == 1:
+        # rank-1 big-vector (mpi/dft-rank1-bigvec.c analog): feasible when
+        # n admits an R*C split with P | R and P | C.
+        try:
+            _slab1d_factors(shape[0], p)
+        except ValueError:
+            return out
+        out.append({"mode": "slab1d"})
+        return out
     if kind in (Kind.R2C, Kind.C2R):
         if nd_ >= 3 and shape[0] % p == 0 and shape[1] % p == 0:
             out.append({"mode": "slab", "pipeline_chunks": 1})
@@ -1205,6 +1382,11 @@ def build_strategy(strategy: dict, shape, direction=Direction.FORWARD,
             kw.pop("mesh", None)
             return ctor(shape, norm=norm, mesh_shape=ms, **s, **kw)
         return ctor(shape, norm=norm, **s, **kw)
+    if mode == "slab1d":
+        if n_devices is not None and "mesh" not in kw:
+            kw = dict(kw, mesh=make_fft_mesh(n_devices))
+        return make_plan_slab_1d(shape[0], direction=direction, norm=norm,
+                                 **s, **kw)
     if mode == "slab":
         return make_plan_slab(shape, direction=direction, norm=norm, **s, **kw)
     if mode == "pencil":
