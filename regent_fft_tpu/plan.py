@@ -58,7 +58,19 @@ class PlanSpec:
     max_radix: int = _factor.DEFAULT_MAX_RADIX
     backend: str = "auto"             # auto|xla|pallas
     donate: bool = False              # donate input buffer to the executor
-    planner: str = "estimate"         # estimate|model|measure (FFTW rigor analog)
+    # FFTW rigor ladder analog (kernel/planner.c:518-623 search depth):
+    # estimate (static heuristics) | model (calibrated cost model) |
+    # measure (race schedules + backends on device) | patient (measure
+    # PLUS the per-axis kernel-impl cross-product: axis0 fourstep/dma/
+    # grid x trailing-pair grid/ring/unfused — the r3 A/B probes,
+    # productized; winners persist in wisdom).
+    planner: str = "estimate"
+    # Kernel-impl overrides for the leading/mid-axis pass and the fused
+    # trailing-pair pass.  "auto" defers to the measured defaults (and the
+    # REGENT_FFT_AXIS0_IMPL / REGENT_FFT_F2_IMPL probe env vars);
+    # planner="patient" races the explicit values and pins the winner.
+    axis0_impl: str = "auto"          # auto|fourstep|dma|grid
+    f2_impl: str = "auto"             # auto|grid|ring|off (off = unfused pair)
     # Largest axis length executed as a single fused einsum contraction on
     # the XLA path (one read+write per axis — the bandwidth minimum; the
     # O(n^2) MXU flops stay cheap up to ~512).
@@ -92,6 +104,12 @@ class PlanSpec:
             raise ValueError("C2R transforms are backward-only")
         if self.precision not in _PRECISIONS:
             raise ValueError(f"precision must be one of {list(_PRECISIONS)}")
+        if self.axis0_impl not in ("auto", "fourstep", "dma", "grid"):
+            raise ValueError(f"axis0_impl must be auto|fourstep|dma|grid, "
+                             f"got {self.axis0_impl!r}")
+        if self.f2_impl not in ("auto", "grid", "ring", "off"):
+            raise ValueError(f"f2_impl must be auto|grid|ring|off, "
+                             f"got {self.f2_impl!r}")
         if self.max_radix < 2:
             raise ValueError(f"max_radix must be >= 2, got {self.max_radix}")
         if self.packed_layout and self.kind not in (Kind.R2C, Kind.C2R):
@@ -158,7 +176,15 @@ _F2_RING_DEFAULT = False
 
 def _backend_key(spec: PlanSpec) -> PlanSpec:
     return dataclasses.replace(spec, backend="auto", planner="estimate",
-                               donate=False)
+                               donate=False, axis0_impl="auto",
+                               f2_impl="auto")
+
+
+# Patient-planner winners: _backend_key(spec) -> {"axis0_impl": ...,
+# "f2_impl": ..., "backend": ...}.  The deep-search half of the FFTW
+# rigor ladder (PATIENT widens the solver space the planner races,
+# kernel/planner.c:518-623); persisted/restored via utils.wisdom.
+_PATIENT_WISDOM: dict = {}
 
 
 def _packed_real_ok(n_r: int) -> bool:
@@ -318,6 +344,7 @@ def _build_core_inner(spec: PlanSpec):
                 steps.append(("stockham_gap", ndim - 3, (z, x)))
                 axes_list = [ndim - 2] + axes_list[3:]
         if (backend in ("stockham", "hybrid") and kernels_ok
+                and spec.f2_impl != "off"
                 and len(axes_list) >= 2 and ndim >= 2
                 and axes_list[0] == ndim - 1 and axes_list[1] == ndim - 2):
             from .ops import pallas_stockham as _ps
@@ -421,7 +448,11 @@ def _build_core_inner(spec: PlanSpec):
                 # 11.15) and 256^3x4 (post=64K: plan 11.57 -> 10.81)
                 _dma_min = int(_os.environ.get("REGENT_FFT_DMA_MIN_POST",
                                                "65536"))
-                _a0impl = _os.environ.get("REGENT_FFT_AXIS0_IMPL", "auto")
+                # Spec override (patient-planner winner) beats the probe
+                # env var; both default "auto".
+                _a0impl = (spec.axis0_impl if spec.axis0_impl != "auto"
+                           else _os.environ.get("REGENT_FFT_AXIS0_IMPL",
+                                                "auto"))
                 if (not interp and a != xr.ndim - 1
                         and _a0impl in ("auto", "fourstep")
                         and (xr.dtype == jnp.float32
@@ -459,7 +490,8 @@ def _build_core_inner(spec: PlanSpec):
             elif kind_ == "stockham2":
                 from .ops import pallas_stockham as _ps
                 interp = jax.default_backend() != "tpu"
-                _f2 = _os.environ.get("REGENT_FFT_F2_IMPL", "auto")
+                _f2 = (spec.f2_impl if spec.f2_impl != "auto"
+                       else _os.environ.get("REGENT_FFT_F2_IMPL", "auto"))
                 n1, n2 = arg
                 if (not interp and _f2 in ("auto", "ring")
                         and _f2 != "grid"
@@ -728,7 +760,7 @@ class Plan:
         self.spec = spec
         self._cdtype = _compute_dtype(spec)
         exec_spec = spec
-        if spec.planner == "measure":
+        if spec.planner in ("measure", "patient"):
             # FFTW_MEASURE analog: time candidate radix schedules AND
             # whole-core backend alternatives on the device; install
             # schedule winners as wisdom, execute with the fastest backend.
@@ -746,6 +778,24 @@ class Plan:
                 self.measurements["backend"] = {"winner": winner,
                                                 "timings": timings}
                 exec_spec = dataclasses.replace(spec, backend=winner)
+        if spec.planner == "patient":
+            # PATIENT tier: deepen the search to the per-axis kernel-impl
+            # cross-product (measure_patient docstring) when no explicit
+            # impl override was given; winners persist like backends.
+            from .utils import measure as _measure
+            key = _backend_key(spec)
+            pw = _PATIENT_WISDOM.get(key)
+            ptimings = "cached-wisdom"
+            if pw is None:
+                pw, ptimings = _measure.measure_patient(exec_spec,
+                                                        _build_core)
+                _PATIENT_WISDOM[key] = dict(pw)
+            self.measurements["patient"] = {"winner": dict(pw),
+                                            "timings": ptimings}
+            exec_spec = dataclasses.replace(
+                exec_spec,
+                axis0_impl=pw.get("axis0_impl", exec_spec.axis0_impl),
+                f2_impl=pw.get("f2_impl", exec_spec.f2_impl))
         core = _build_core(exec_spec)
         self._core = core  # unjitted split-plane core (timing/inspection)
         if spec.kind == Kind.R2C:

@@ -231,6 +231,65 @@ def measure_backends(spec, build_core, iters: int = 4, reps: int = 2):
     return winner, timings
 
 
+def measure_patient(spec, build_core, iters: int = 4, reps: int = 2):
+    """PATIENT-tier race: the per-axis kernel-impl cross-product.
+
+    FFTW's PATIENT mode widens the solver space the planner is willing to
+    time (``kernel/planner.c:518-623``: ESTIMATE consults heuristics,
+    MEASURE times a restricted solver set, PATIENT/EXHAUSTIVE lift the
+    restrictions).  The analog here: MEASURE races radix schedules and
+    whole-core backends; PATIENT additionally cross-races the kernel
+    implementation choices the r3 hardware probes explored by hand —
+
+      * leading/mid-axis pass: fourstep wide-run ring | single-pass DMA
+        ring | grid butterfly (``REGENT_FFT_AXIS0_IMPL`` productized);
+      * trailing-pair pass: fused grid | fused plane-ring | UNFUSED
+        separate passes (``REGENT_FFT_F2_IMPL`` + fusion-off);
+
+    because the winners are shape- and device-dependent (512^3: fourstep
+    beats ring beats grid; 1024^3 bf16: grid beats fourstep — measured,
+    docs/tpu_notes.md).  Candidates are pruned to the impls the built
+    plan can actually dispatch, raced under ``set_timelimit``, and the
+    winner is returned as a spec-override dict for ``_PATIENT_WISDOM``.
+
+    Returns ``(winner_dict, {"axis0=.. f2=..": seconds})``.
+    """
+    import dataclasses
+    import jax
+    from . import timing as _timing
+
+    base = dataclasses.replace(spec, planner="estimate")
+    steps = getattr(build_core(base), "_plan_steps", None) or []
+    ndim = len(spec.shape)
+    has_f2 = any(k == "stockham2" for k, _, _ in steps)
+    has_mid = any(k == "stockham" and a != ndim - 1 for k, a, _ in steps)
+    f2_opts = ["auto"] + (["ring", "off"] if has_f2 else [])
+    a0_opts = ["auto"] + (["fourstep", "dma", "grid"]
+                          if (has_mid or has_f2) else [])
+    timings = {}
+    by_name = {}
+    deadline = _PlanDeadline()
+    for f2 in f2_opts:
+        for a0 in a0_opts:
+            name = f"axis0={a0} f2={f2}"
+            if deadline.over(timings):
+                break
+            cand = dataclasses.replace(base, axis0_impl=a0, f2_impl=f2)
+            by_name[name] = cand
+            try:
+                core = build_core(cand)
+                step, make_carry = _timing.core_chain(core, cand)
+                timings[name] = _timing.time_chain(step, make_carry, iters,
+                                                   reps)
+            except Exception:
+                timings[name] = float("inf")
+    winner_name = min(timings, key=timings.get)
+    w = by_name[winner_name]
+    winner = {"axis0_impl": w.axis0_impl, "f2_impl": w.f2_impl,
+              "backend": w.backend}
+    return winner, timings
+
+
 def measure_distributed(shape, direction=None, norm=None,
                         n_devices: Optional[int] = None, kind=None,
                         chunk_candidates: Sequence[int] = (1, 2, 4),
