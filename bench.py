@@ -31,6 +31,7 @@ Usage: python bench.py [--size 512] [--iters 6] [--no-suite]
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import math
 import os
@@ -106,20 +107,52 @@ def bench_3d_c2c(size: int, iters: int, precision: str = "highest"):
     t_xla = _timed_pairfn(xla_fftn_pair, shape, iters, unroll=1)
 
     # --- accuracy gate 2: full size, on-device, vs XLA's fftn ---
-    rel_xla = None
-    if time.monotonic() < budget - 60:
+    def relcheck_for(c):
         @jax.jit
         def relcheck(seed):
             kr, ki = jax.random.split(jax.random.PRNGKey(seed))
             a = jax.random.normal(kr, shape, jnp.float32)
             b = jax.random.normal(ki, shape, jnp.float32)
-            yr, yi = core(a, b)
+            yr, yi = c(a, b)
             zr, zi = xla_fftn_pair(a, b)
             num = jnp.sqrt(jnp.sum((yr - zr) ** 2 + (yi - zi) ** 2))
             den = jnp.sqrt(jnp.sum(zr ** 2 + zi ** 2))
             return num / den
-        rel_xla = float(relcheck(7))
+        return float(relcheck(7))
+
+    rel_xla = None
+    if time.monotonic() < budget - 60:
+        rel_xla = relcheck_for(core)
         assert rel_xla < 1e-5, f"cross-check vs XLA fftn failed: {rel_xla}"
+
+    # --- precision ladder (VERDICT r3 #2): headline = fastest tier whose
+    # MEASURED error passes the 1e-6 BASELINE gate.  The "high" tier (b32
+    # MXU scheme) is ~12% faster but measures ~4.5e-6 at 512^3 — above
+    # the gate — so "highest" stays the headline; both tiers' errors are
+    # published here so the selection is evidence, not assertion.
+    ladder = None
+    if precision == "highest" and time.monotonic() < budget - 90:
+        try:
+            high_core = _build_core(dataclasses.replace(spec,
+                                                        precision="high"))
+            rel_high = relcheck_for(high_core)
+            ladder = {
+                "gate": 1e-6,
+                "rule": "fastest tier with measured rel err < gate",
+                "highest": {"rel_vs_xla_fftn": rel_xla, "gated": "pass"},
+                "high": {"rel_vs_xla_fftn": rel_high,
+                         "gated": "pass" if rel_high < 1e-6 else "fail",
+                         "note": "b32 2-way bf16 split caps at ~2^-17 "
+                                 "data error (docs/tpu_notes.md)"},
+            }
+            if rel_high < 1e-6:
+                t_high = _timed_pairfn(high_core, shape, iters)
+                ladder["high"]["time_ms"] = round(t_high * 1e3, 3)
+                if t_high < t_ours:
+                    t_ours = t_high
+                    ladder["headline_tier"] = "high"
+        except Exception as e:
+            ladder = {"error": repr(e)}
 
     # --- measured-bandwidth baseline (same methodology) ---
     # Probe with the same working-set size as one split-complex operand.
@@ -145,6 +178,7 @@ def bench_3d_c2c(size: int, iters: int, precision: str = "highest"):
             "xla_fftn_gflops": round(gflops_xla, 1),
             "rel_err_vs_f64_64cubed": rel_f64,
             "rel_vs_xla_fftn_fullsize": rel_xla,
+            "precision_ladder": ladder,
             "accuracy_gate2": ("ok" if rel_xla is not None else
                                "skipped (bench deadline; r3-measured "
                                "5.5e-7)"),
@@ -265,7 +299,7 @@ def bench_suite(iters: int = 6, deadline: float = None):
                       "gflops": round(pflops / t / 1e9, 1)}
 
     bl = _bl.build_bluestein_1d(p, _D.FORWARD,
-                                _f.next_fast_len(2 * p - 1), 128,
+                                _f.bluestein_pad(p), 128,
                                 jax.lax.Precision.HIGHEST, False)
     fams.append(prow("1d_c2c_prime1009_batch512_bluestein", bl))
 

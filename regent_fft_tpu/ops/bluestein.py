@@ -47,6 +47,28 @@ def _bluestein_tables(n: int, m: int, sign: int, dtype=np.float32):
     )
 
 
+def _inner_kernel_pair(m: int, direction: Direction):
+    """(B, m) butterfly-kernel FFT for the inner transforms, or None.
+
+    When the padded size m is a power of two on TPU, the Stockham VPU
+    kernel runs the inner transforms ~2.4x faster than the einsum path
+    (the reason :func:`~regent_fft_tpu.ops.factor.plan_factors` prefers
+    pow2 padding in kernel range) — the Bluestein analog of FFTW
+    planning its inner problems through the full solver registry
+    (``fftw-3.3.8/dft/bluestein.c`` calls ``X(mkplan_d)``)."""
+    import os
+    import jax
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("REGENT_FFT_BLUESTEIN_KERNEL", "1") != "0"
+            and m >= 64 and (m & (m - 1)) == 0):
+        from . import pallas_stockham as _ps
+        if m <= _ps.MAX_LAST_N:
+            def fn(zr, zi, _d=direction):
+                return _ps.fft_axis_stockham(zr, zi, -1, _d)
+            return fn
+    return None
+
+
 def build_bluestein_1d(n: int, direction: Direction, m: int,
                        max_radix: int, precision, use_3m: bool = False):
     """Build fn((B, n) re, im) -> (re, im): unscaled DFT via chirp-z."""
@@ -56,9 +78,14 @@ def build_bluestein_1d(n: int, direction: Direction, m: int,
     # Inner transforms are always smooth-size mixed radix, never Bluestein.
     fwd = build_c2c_1d(m, Direction.FORWARD, max_radix, precision, use_3m)
     inv = build_c2c_1d(m, Direction.BACKWARD, max_radix, precision, use_3m)
+    kfwd = _inner_kernel_pair(m, Direction.FORWARD)
+    kinv = _inner_kernel_pair(m, Direction.BACKWARD)
 
     def fn(xr, xi):
         dt = np.float64 if xr.dtype == jnp.float64 else np.float32
+        # the butterfly kernels are f32-only; f64 keeps the einsum path
+        f, g = ((kfwd, kinv) if kfwd is not None and dt == np.float32
+                else (fwd, inv))
         cr_np, ci_np, hr_np, hi_np = _bluestein_tables(n, m, sign, dt)
         inv_scale = dt(1.0 / m)
         b = xr.shape[0]
@@ -68,9 +95,9 @@ def build_bluestein_1d(n: int, direction: Direction, m: int,
         pad = [(0, 0), (0, m - n)]
         ar = jnp.pad(ar, pad)
         ai = jnp.pad(ai, pad)
-        fr, fi = fwd(ar, ai)                          # FFT_M(a)
+        fr, fi = f(ar, ai)                            # FFT_M(a)
         gr, gi = cmul_elem(fr, fi, jnp.asarray(hr_np)[None], jnp.asarray(hi_np)[None])
-        vr, vi = inv(gr, gi)                          # IFFT_M (unscaled)
+        vr, vi = g(gr, gi)                            # IFFT_M (unscaled)
         vr = vr[:, :n] * inv_scale
         vi = vi[:, :n] * inv_scale
         return cmul_elem(vr, vi, cr, ci)              # X = c * conv

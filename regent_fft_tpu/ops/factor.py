@@ -265,4 +265,18 @@ def plan_factors(n: int, max_radix: int = DEFAULT_MAX_RADIX,
         return ("mixed", factors)
     if len(prime_factors(n)) == 1 and is_smooth(n - 1, max_radix):
         return ("rader", n - 1)
-    return ("bluestein", next_fast_len(2 * n - 1, max_radix))
+    return ("bluestein", bluestein_pad(n, max_radix))
+
+
+def bluestein_pad(n: int, max_radix: int = DEFAULT_MAX_RADIX) -> int:
+    """Padded inner size for a Bluestein transform of length n.
+
+    Prefers power-of-two padding when it costs <= 20% extra length: pow2
+    inner sizes run the TPU butterfly kernel (~2.4x the einsum path,
+    docs/tpu_notes.md) and pow2 einsum schedules are no worse elsewhere.
+    (FFTW's bluestein.c pads to whatever its planner solves fastest;
+    the pow2 preference is this engine's measured equivalent.)
+    """
+    m = next_fast_len(2 * n - 1, max_radix)
+    m2 = 1 << (2 * n - 2).bit_length()
+    return m2 if m2 <= 1.2 * m else m

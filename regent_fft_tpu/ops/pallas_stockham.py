@@ -64,7 +64,8 @@ _ENV_KNOBS = ("REGENT_FFT_TILE_IMPL", "REGENT_FFT_F2_SCRATCH",
               "REGENT_FFT_A0FS_PREC", "REGENT_FFT_TAIL_MT",
               "REGENT_FFT_DMA_X", "REGENT_FFT_MXU_IMPL",
               "REGENT_FFT_C2R_IMPL", "REGENT_FFT_F2_PLANES",
-              "REGENT_FFT_F2_VMEM_MB")
+              "REGENT_FFT_F2_VMEM_MB", "REGENT_FFT_F2_BODY",
+              "REGENT_FFT_F2_TILE")
 
 
 # Per-plan MXU-scheme override stack (see precision_override): lets
@@ -1042,11 +1043,28 @@ def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
     wr_np, wi_np = tabs(n, sign)
     s = np.float32(scale)
     odt = _odt(io)
+    import os as _os
+    # fused2-ring probe knobs (docs/tpu_notes.md r4): body attribution
+    # (noc = valid manual-ring copy floor; bf1/bf2 = one butterfly only,
+    # WRONG results, timing attribution only) and tile substitution
+    # (mxu = _mxu_tile HIGHEST-3M four-step for both axes; mxu2 = VPU
+    # first axis, MXU second — the compute-bound ring is the one context
+    # the r2 all-MXU negative did not cover).
+    f2_body = _os.environ.get("REGENT_FFT_F2_BODY", "full")
+    f2_tile = _os.environ.get("REGENT_FFT_F2_TILE", "auto")
     if fuse_last:
         assert ncols == 1, "fuse_last requires whole-plane slabs"
         strips = _sane_strips(max(1, (n * x) // 65536), n, x)
         tile2, tabs2 = _tile_impl(io, x)
         w2r_np, w2i_np = tabs2(x, sign)
+        if f2_tile in ("mxu", "mxu2") and mxu_tile_supported(x):
+            tile2 = functools.partial(_mxu_tile,
+                                      precision=jax.lax.Precision.HIGHEST)
+            w2r_np, w2i_np = _mxu_tables(x, sign)
+        if f2_tile == "mxu" and mxu_tile_supported(n):
+            tile = functools.partial(_mxu_tile,
+                                     precision=jax.lax.Precision.HIGHEST)
+            wr_np, wi_np = _mxu_tables(n, sign)
     sw = x // strips if strips > 1 else x
 
     def kernel(xr_hbm, xi_hbm, wr_ref, wi_ref, *rest):
@@ -1106,11 +1124,19 @@ def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
             @pl.when(i >= k)
             def _():
                 wait_out(slot, i - k)
-            if fuse_last:
+            if fuse_last and f2_body == "noc":
+                # manual-ring copy floor (valid, unlike grid copy-only)
+                ur[slot] = vr[slot]
+                ui[slot] = vi[slot]
+            elif fuse_last:
                 # both trailing axes on the plane slab: axis-0 strips
                 # into the transposed scratch, lane-axis strips out
                 for t in range(strips):
                     sl = slice(t * sw, (t + 1) * sw)
+                    if f2_body == "bf2":   # attribution: skip butterfly 1
+                        tsr[sl, :] = vr[slot, :, sl].astype(jnp.float32).T
+                        tsi[sl, :] = vi[slot, :, sl].astype(jnp.float32).T
+                        continue
                     fr, fi = tile(vr[slot, :, sl].astype(jnp.float32),
                                   vi[slot, :, sl].astype(jnp.float32),
                                   n, sign, wr_ref[:], wi_ref[:])
@@ -1119,8 +1145,11 @@ def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
                 sw2 = n // strips
                 for t in range(strips):
                     sl = slice(t * sw2, (t + 1) * sw2)
-                    br, bi = tile2(tsr[:, sl], tsi[:, sl], x, sign,
-                                   w2r_ref[:], w2i_ref[:])
+                    if f2_body == "bf1":   # attribution: skip butterfly 2
+                        br, bi = tsr[:, sl], tsi[:, sl]
+                    else:
+                        br, bi = tile2(tsr[:, sl], tsi[:, sl], x, sign,
+                                       w2r_ref[:], w2i_ref[:])
                     if scale != 1.0:
                         br = br * s
                         bi = bi * s

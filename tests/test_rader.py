@@ -116,3 +116,48 @@ def test_rader_flops_accounting_small_convolution():
                               direction=Direction.FORWARD, max_radix=16))
     assert plan.algorithm_flops > 0
     assert "rader" in plan.describe() or plan.describe()
+
+
+# ---------------------------------------------------------------------------
+# Prime-size auto-path honesty (VERDICT r3 #8)
+# ---------------------------------------------------------------------------
+
+def test_auto_path_picks_rader_for_smooth_pminus1():
+    # p=1009: p-1 = 1008 = 2^4*3^2*7 is smooth -> rader (measured 2.1-2.4x
+    # faster than Bluestein on hardware, docs/tpu_notes.md); the planner
+    # must dispatch it.
+    from regent_fft_tpu.ops import factor as f
+    kind, info = f.plan_factors(1009, 128)
+    assert kind == "rader" and info == 1008
+
+
+def test_bluestein_pad_prefers_pow2_in_kernel_range():
+    from regent_fft_tpu.ops import factor as f
+    # 2*1009-1 = 2017: 5-smooth pad is 2025, pow2 2048 costs 1.1% more
+    # length but runs the butterfly-kernel inner path -> pow2 wins.
+    assert f.bluestein_pad(1009) == 2048
+    # 2*1094-1 = 2187 = 3^7 is already smooth; pow2 4096 would cost 87%
+    # more length -> smooth pad stays.
+    assert f.bluestein_pad(1094) == 2187
+    # plan_factors routes non-smooth-p-1 primes through the padded size.
+    kind, info = f.plan_factors(1019, 128)   # 1018 = 2 * 509, not smooth
+    assert kind == "bluestein" and info == f.bluestein_pad(1019)
+
+
+def test_bluestein_pow2_pad_correct():
+    # End-to-end correctness of the pow2-padded chirp-z on the fallback
+    # (einsum) path.
+    import jax
+    from regent_fft_tpu.dtypes import Direction
+    from regent_fft_tpu.ops.bluestein import build_bluestein_1d
+    rng = np.random.default_rng(2)
+    n = 1019
+    x = (rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))
+         ).astype(np.complex64)
+    fn = build_bluestein_1d(n, Direction.FORWARD, 2048, 128,
+                            jax.lax.Precision.HIGHEST)
+    yr, yi = fn(np.real(x).astype(np.float32), np.imag(x).astype(np.float32))
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft(x, axis=1)
+    err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert err < 2e-6, err
