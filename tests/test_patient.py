@@ -22,6 +22,13 @@ from regent_fft_tpu.utils.verify import rel_l2, tolerance
 RNG = np.random.default_rng(5)
 
 
+@pytest.fixture(autouse=True)
+def _clean_patient_wisdom():
+    # Don't leak patient winners into later test files' wisdom exports.
+    yield
+    _PATIENT_WISDOM.clear()
+
+
 def crand(shape):
     return (RNG.standard_normal(shape)
             + 1j * RNG.standard_normal(shape)).astype(np.complex64)

@@ -139,7 +139,9 @@ def test_plan_accounting_and_print(capsys):
 
 
 def test_wisdom_roundtrip(tmp_path):
-    rft.clear_plan_cache()
+    # Hermetic: earlier tests may leave schedule/backend/patient wisdom
+    # populated, and export_wisdom serializes ALL categories.
+    rft.forget_wisdom()
     rft.make_plan((4, 96), axes=(1,), kind=rft.Kind.C2C, direction=rft.FORWARD)
     path = tmp_path / "wisdom.json"
     rft.export_wisdom_to_filename(str(path))
