@@ -65,7 +65,7 @@ _ENV_KNOBS = ("REGENT_FFT_TILE_IMPL", "REGENT_FFT_F2_SCRATCH",
               "REGENT_FFT_DMA_X", "REGENT_FFT_MXU_IMPL",
               "REGENT_FFT_C2R_IMPL", "REGENT_FFT_F2_PLANES",
               "REGENT_FFT_F2_VMEM_MB", "REGENT_FFT_F2_BODY",
-              "REGENT_FFT_F2_TILE")
+              "REGENT_FFT_F2_TILE", "REGENT_FFT_F2_RING_STRIPS")
 
 
 # Per-plan MXU-scheme override stack (see precision_override): lets
@@ -368,14 +368,16 @@ def _tile_impl(io: str, n: int):
 
 
 def _tail_precision() -> str:
-    """MXU scheme of the tail contractions: 'highest' (6-pass f32
-    emulation), 'b3' (manual bf16x3: split hi/lo, ONE K-concatenated
-    DEFAULT dot per product — Mosaic rejects Precision.HIGH so the
-    3-pass scheme must be hand-built), 'b32' (bf16x3 folded into TWO
-    shared-rhs 4M dots), or 'default' (single bf16 pass, complex32-grade
-    error)."""
+    """MXU scheme of the tail contractions: 'h4' (4M shared-rhs fold at
+    f32 HIGHEST — two dots at K=2mt; exact f32 accuracy and the default:
+    measured 512^3 fused2 9.28 -> 7.96 ms, rel err unchanged at 1.5e-7,
+    docs/tpu_notes.md r4), 'highest' (3M Karatsuba, 3 dots at K=mt),
+    'b3' (manual bf16x3: split hi/lo, ONE K-concatenated DEFAULT dot per
+    product — Mosaic rejects Precision.HIGH so the 3-pass scheme must be
+    hand-built), 'b32' (bf16x3 folded into TWO shared-rhs 4M dots), or
+    'default' (single bf16 pass, complex32-grade error)."""
     import os
-    return os.environ.get("REGENT_FFT_TAIL_PREC", "highest")
+    return os.environ.get("REGENT_FFT_TAIL_PREC", "h4")
 
 
 def _bf16_hl(x):
@@ -1054,7 +1056,9 @@ def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
     f2_tile = _os.environ.get("REGENT_FFT_F2_TILE", "auto")
     if fuse_last:
         assert ncols == 1, "fuse_last requires whole-plane slabs"
-        strips = _sane_strips(max(1, (n * x) // 65536), n, x)
+        strips = _sane_strips(int(_os.environ.get(
+            "REGENT_FFT_F2_RING_STRIPS",
+            str(max(1, (n * x) // 65536)))), n, x)
         tile2, tabs2 = _tile_impl(io, x)
         w2r_np, w2i_np = tabs2(x, sign)
         if f2_tile in ("mxu", "mxu2") and mxu_tile_supported(x):
@@ -1370,7 +1374,9 @@ def _a0fs_precision() -> str:
     import os
     if _PREC_OVERRIDE:
         return _PREC_OVERRIDE[-1]
-    return os.environ.get("REGENT_FFT_A0FS_PREC", "highest")
+    # h4 default: 4M shared-rhs fold at f32 HIGHEST — measured 512^3
+    # a0fs 9.21 -> 7.18 ms at rel err 1.25e-7 (docs/tpu_notes.md r4).
+    return os.environ.get("REGENT_FFT_A0FS_PREC", "h4")
 
 
 def _dg0_3m(mr, mi, ar, ai):
@@ -1396,6 +1402,13 @@ def _dg0_3m(mr, mi, ar, ai):
         t2 = dg(mi, ai, prec)
         t3 = dg(mr + mi, ar + ai, prec)
         return t1 - t2, t3 - t1 - t2
+    if p == "h4":
+        # 4M shared-rhs fold at f32 HIGHEST (see _dg_3m 'h4'): two dots
+        # at K=2r instead of 3M's three at K=r — exact f32 accuracy.
+        rhs = cata([ar, ai])
+        yr = dg(catm([mr, -mi]), rhs, jax.lax.Precision.HIGHEST)
+        yi = dg(catm([mi, mr]), rhs, jax.lax.Precision.HIGHEST)
+        return yr, yi
     if p == "b6":
         lr1, rr1 = _b6_operands(catm, cata, _bf16_hml(mr), _bf16_hml(ar))
         li1, ri1 = _b6_operands(catm, cata, _bf16_hml(mi), _bf16_hml(ai))
@@ -1778,6 +1791,11 @@ def _dg_3m(tr, ti, a3r, a3i):
     splits cap at ~2^-17 data representation error; the 3-way split
     removes it) while keeping b32's one-streaming-dot dispatch shape."""
     p = _tail_precision()
+    if p == "h4" and tr.shape[1] < 32:
+        # Mosaic fails layout inference on the K=2mt fold at mt=16
+        # (measured: n=1024 last-axis kernel, opaque UNIMPLEMENTED
+        # through the attach); small tails keep the 3M form.
+        p = "highest"
     catm = functools.partial(jnp.concatenate, axis=-1)   # lhs (mt', K)
     cata = functools.partial(jnp.concatenate, axis=-2)   # rhs (L, K, v)
 
@@ -1793,6 +1811,17 @@ def _dg_3m(tr, ti, a3r, a3i):
         t2 = dg(ti, a3i, prec)
         t3 = dg(tr + ti, a3r + a3i, prec)
         return t1 - t2, t3 - t1 - t2
+    if p == "h4":
+        # 4M fold at full f32 HIGHEST: the real/imag forms share one
+        # K=2mt rhs, so the complex contraction is TWO dots instead of
+        # 3M's three.  MACs x1.33 but dispatch count x2/3 and K doubles —
+        # the "dispatch shape beats MAC count at small K" lesson
+        # (docs/tpu_notes.md, b32 vs b3) applied WITHOUT the bf16 split's
+        # 2^-17 accuracy cap.  Exact f32 accuracy, same as 'highest'.
+        rhs = cata([a3r, a3i])
+        yr = dg(catm([tr, -ti]), rhs, jax.lax.Precision.HIGHEST)
+        yi = dg(catm([ti, tr]), rhs, jax.lax.Precision.HIGHEST)
+        return yr, yi
     if p == "b6":
         lr1, rr1 = _b6_operands(catm, cata, _bf16_hml(tr), _bf16_hml(a3r))
         li1, ri1 = _b6_operands(catm, cata, _bf16_hml(ti), _bf16_hml(a3i))
