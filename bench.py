@@ -282,10 +282,13 @@ def bench_suite(iters: int = 6, deadline: float = None):
     from regent_fft_tpu.dtypes import Direction as _D
     from regent_fft_tpu.ops import bluestein as _bl
     from regent_fft_tpu.ops import factor as _f
+    from regent_fft_tpu.ops import rader as _rd
     p, pb = 1009, 512
     pshape = (pb, p)
     pflops = pb * _f.fft_flops_convention(p)
-    fams.append(entry("1d_c2c_prime1009_batch512_rader", PlanSpec(
+    # auto = whatever plan_factors routes p to (bluestein since r4; the
+    # planner-honesty gate: this row must match the fastest forced row)
+    fams.append(entry("1d_c2c_prime1009_batch512_auto", PlanSpec(
         shape=pshape, axes=(1,), kind=Kind.C2C,
         direction=Direction.FORWARD, norm=Norm.NONE)))
 
@@ -297,6 +300,10 @@ def bench_suite(iters: int = 6, deadline: float = None):
                                  seed0=300))
         return name, {"time_ms": round(t * 1e3, 3),
                       "gflops": round(pflops / t / 1e9, 1)}
+
+    rd = _rd.build_rader_1d(p, _D.FORWARD, 128,
+                            jax.lax.Precision.HIGHEST, False)
+    fams.append(prow("1d_c2c_prime1009_batch512_rader", rd))
 
     bl = _bl.build_bluestein_1d(p, _D.FORWARD,
                                 _f.bluestein_pad(p), 128,

@@ -22,6 +22,15 @@ from typing import List, Optional, Tuple
 # 128 matches the MXU systolic-array edge.
 DEFAULT_MAX_RADIX = 128
 
+# Largest power-of-two length the Pallas butterfly kernels accept
+# (ops/pallas_stockham.py MAX_LAST_N); sizes in this range run ~2.4x the
+# einsum path on TPU, which drives the rader-vs-bluestein choice below.
+KERNEL_POW2_MAX = 2048
+
+
+def _is_pow2(n: int) -> bool:
+    return n > 0 and (n & (n - 1)) == 0
+
 
 def prime_factors(n: int) -> List[int]:
     """Prime factorization, smallest first."""
@@ -263,9 +272,20 @@ def plan_factors(n: int, max_radix: int = DEFAULT_MAX_RADIX,
         if len(factors) == 1:
             return ("direct", n)
         return ("mixed", factors)
+    m = bluestein_pad(n, max_radix)
     if len(prime_factors(n)) == 1 and is_smooth(n - 1, max_radix):
-        return ("rader", n - 1)
-    return ("bluestein", bluestein_pad(n, max_radix))
+        # Rader vs Bluestein for a prime: Rader does ~half the inner-FFT
+        # work, but the ENGINE of each inner FFT dominates on TPU — a
+        # pow2 size in butterfly-kernel range runs ~2.4x the einsum
+        # mixed-radix path.  Measured p=1009 (BENCH r4): bluestein with
+        # m=2048 kernel inners 0.085 ms vs rader's L=1008 einsum 0.156.
+        # So prefer Rader only when its convolution length L = n-1 gets
+        # the kernel too, or when Bluestein's m does not.
+        rader_kernel = _is_pow2(n - 1) and n - 1 <= KERNEL_POW2_MAX
+        bluestein_kernel = _is_pow2(m) and m <= KERNEL_POW2_MAX
+        if rader_kernel or not bluestein_kernel:
+            return ("rader", n - 1)
+    return ("bluestein", m)
 
 
 def bluestein_pad(n: int, max_radix: int = DEFAULT_MAX_RADIX) -> int:

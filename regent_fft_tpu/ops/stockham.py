@@ -153,16 +153,55 @@ def direct_dft_axis(xr, xi, axis: int, n: int, sign: int, precision,
     out = ix[:axis] + "z" + ix[axis + 1:]
     expr = f"{ix},{ix[axis]}z->{out}"
 
+    return _cplx_einsum(expr, xr, xi, dr, di, precision, use_3m)
+
+
+def _cplx_einsum(expr, vr, vi, mr, mi, precision, use_3m=False) -> Pair:
+    """Complex einsum contraction ``(vr + i vi) . (mr + i mi)`` where
+    ``expr`` contracts one operand letter against the matrix's first axis
+    and emits 'z' (the matrix's second axis) in its place.
+
+    Scheme per :func:`_xla_cmul_scheme`; 'h4' issues ONE einsum on
+    K-concatenated operands with the paired matrix [[mr, mi], [-mi, mr]]
+    and splits [yr | yi] from the doubled z axis.
+    """
     def _c(v, m):
         return jnp.einsum(expr, v, m, preferred_element_type=v.dtype,
                           precision=precision)
 
     if use_3m:
-        t1 = _c(xr, dr)
-        t2 = _c(xi, di)
-        t3 = _c(xr + xi, dr + di)
+        t1 = _c(vr, mr)
+        t2 = _c(vi, mi)
+        t3 = _c(vr + vi, mr + mi)
         return t1 - t2, t3 - t1 - t2
-    return _c(xr, dr) - _c(xi, di), _c(xr, di) + _c(xi, dr)
+    if _xla_cmul_scheme() == "h4":
+        lhs, rest = expr.split(",")
+        kpos = lhs.index(rest[0])      # contracted letter's operand axis
+        v2 = jnp.concatenate([vr, vi], axis=kpos)
+        m2 = jnp.concatenate(
+            [jnp.concatenate([mr, mi], axis=1),
+             jnp.concatenate([-mi, mr], axis=1)], axis=0)
+        y2 = _c(v2, m2)
+        zpos = expr.split("->")[1].index("z")
+        nz = mr.shape[1]
+        tak = [slice(None)] * y2.ndim
+        tak[zpos] = slice(0, nz)
+        yr = y2[tuple(tak)]
+        tak[zpos] = slice(nz, 2 * nz)
+        return yr, y2[tuple(tak)]
+    return _c(vr, mr) - _c(vi, mi), _c(vr, mi) + _c(vi, mr)
+
+
+def _xla_cmul_scheme() -> str:
+    """Complex-contraction form of the XLA einsum stages: '4m' (four
+    dots), '3m' (Karatsuba — the bf16 path), or 'h4' (ONE dot: the split
+    operands concatenate along the contracted axis and the paired DFT
+    matrix [[mr, mi], [-mi, mr]] produces [yr | yi] stacked along the
+    output axis — a 2K x 2N dispatch instead of four K x N ones, fixing
+    the small-K MXU underutilization that makes non-pow2 radices slow;
+    same trick as the Pallas kernels' h4 tails, docs/tpu_notes.md r4)."""
+    import os
+    return os.environ.get("REGENT_FFT_XLA_CMUL", "h4")
 
 
 def mixed_radix_fft_axis(xr, xi, axis: int, n: int, n1: int, sign: int,
@@ -205,13 +244,7 @@ def mixed_radix_fft_axis(xr, xi, axis: int, n: int, n1: int, sign: int,
                           precision=precision)
 
     def _cplx(expr, vr, vi, mr, mi):
-        if use_3m:
-            t1 = _c(expr, vr, mr)
-            t2 = _c(expr, vi, mi)
-            t3 = _c(expr, vr + vi, mr + mi)
-            return t1 - t2, t3 - t1 - t2
-        return (_c(expr, vr, mr) - _c(expr, vi, mi),
-                _c(expr, vr, mi) + _c(expr, vi, mr))
+        return _cplx_einsum(expr, vr, vi, mr, mi, precision, use_3m)
 
     ar, ai = _cplx(e1, xr, xi, d1r, d1i)                    # k1 in place
     ar, ai = ar * twr - ai * twi, ar * twi + ai * twr       # W_n^{k1 nu2}

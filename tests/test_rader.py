@@ -29,11 +29,17 @@ def test_primitive_root():
 
 
 def test_planner_dispatch():
-    # 509 prime, 508 = 4*127 smooth (127 <= 128) -> rader
-    assert factor.plan_factors(509)[0] == "rader"
-    assert factor.plan_factors(509)[1] == 508
-    # 257 prime, 256 = 2^8 -> rader
+    # 509 prime: 508 = 4*127 is smooth, but bluestein's pad m=1024 is a
+    # kernel-range pow2 while rader's L=508 is not — bluestein wins on
+    # TPU (measured p=1009: 0.085 vs 0.156 ms, BENCH r4)
+    assert factor.plan_factors(509) == ("bluestein", 1024)
+    assert factor.plan_factors(1009) == ("bluestein", 2048)
+    # 257 prime, 256 = 2^8 kernel-range pow2 -> rader keeps it (half the
+    # inner-FFT length of bluestein's m=1024, same engine)
     assert factor.plan_factors(257) == ("rader", 256)
+    # 12289 prime: L = 12288 smooth but m = 32768 exceeds kernel range
+    # on both sides -> rader's ~half work wins (einsum vs einsum)
+    assert factor.plan_factors(12289)[0] == "rader"
     # 719 prime, 718 = 2*359 (359 > 128) -> bluestein keeps it
     assert factor.plan_factors(719)[0] == "bluestein"
     # primes <= max_radix stay direct
@@ -78,33 +84,40 @@ def test_rader_batched_2d_axis():
 
 
 def test_rader_fewer_flops_than_bluestein():
-    """The point of Rader: ~half Bluestein's work for p-1 smooth."""
-    p = 509
-    spec_r = PlanSpec(shape=(p,), axes=(0,), kind=Kind.C2C,
-                      direction=Direction.FORWARD, norm=Norm.NONE)
-    rader_flops = make_plan(spec_r).algorithm_flops
-    # Force the Bluestein path by a max_radix that breaks 508's smoothness
-    # (508 = 4*127; cap 64 makes 127 non-smooth while 509 still needs a
-    # big-prime path).
-    spec_b = PlanSpec(shape=(p,), axes=(0,), kind=Kind.C2C,
-                      direction=Direction.FORWARD, norm=Norm.NONE,
-                      max_radix=64)
-    assert factor.plan_factors(p, 64)[0] == "bluestein"
-    bluestein_flops = make_plan(spec_b).algorithm_flops
-    # In matmul-form flops the advantage is the halved transform length
-    # (508 vs 1024 padded), partially offset by 508's worse radix sum
-    # (127+4): ~20% fewer flops here, and half the HBM passes either way.
-    assert rader_flops < 0.85 * bluestein_flops
+    """The point of Rader: ~half Bluestein's work for p-1 smooth.
+
+    p=2053: both strategies run einsum inner FFTs (bluestein's pad 4116+
+    is outside kernel-pow2 range), so the planner routes rader and the
+    flops advantage is the halved convolution length.
+    """
+    p = 2053
+    assert factor.plan_factors(p)[0] == "rader"
+    # Compare the two strategies' flop formulas at the SAME max_radix
+    # (forcing bluestein through a smaller max_radix would also change
+    # the schedule economics and confound the comparison):
+    # rader: 2 FFTs of L = p-1 + one spectral cmul pass;
+    # bluestein: 2 FFTs of m >= 2p-1 + three cmul passes.
+    L = p - 1
+    m = factor.bluestein_pad(p, 128)
+    rader_flops = 2 * factor.stage_flops(L, factor.factorize(L, 128)) + 6 * L
+    blue_flops = (2 * factor.stage_flops(m, factor.factorize(m, 128))
+                  + 18 * m)
+    assert rader_flops < 0.85 * blue_flops
 
 
 def test_print_plan_names_rader(capsys):
-    # n=1009 > xla_direct_max so the general 1-D pipeline (rader) runs;
-    # 509 would execute as ONE direct dense contraction and the
-    # step-aware print_plan now reports that honestly.
-    spec = PlanSpec(shape=(1009,), axes=(0,), kind=Kind.C2C,
+    # n=2053 > xla_direct_max so the general 1-D pipeline (rader) runs;
+    # smaller primes would execute as ONE direct dense contraction and
+    # the step-aware print_plan reports that honestly.  (1009 now routes
+    # bluestein — its m=2048 rides the pow2 kernel, BENCH r4.)
+    spec = PlanSpec(shape=(2053,), axes=(0,), kind=Kind.C2C,
                     direction=Direction.FORWARD, norm=Norm.NONE)
     make_plan(spec).print_plan()
-    assert "rader(1009" in capsys.readouterr().out
+    assert "rader(2053" in capsys.readouterr().out
+    spec_b = PlanSpec(shape=(1009,), axes=(0,), kind=Kind.C2C,
+                      direction=Direction.FORWARD, norm=Norm.NONE)
+    make_plan(spec_b).print_plan()
+    assert "bluestein(1009" in capsys.readouterr().out
 
 
 def test_rader_flops_accounting_small_convolution():
@@ -122,13 +135,18 @@ def test_rader_flops_accounting_small_convolution():
 # Prime-size auto-path honesty (VERDICT r3 #8)
 # ---------------------------------------------------------------------------
 
-def test_auto_path_picks_rader_for_smooth_pminus1():
-    # p=1009: p-1 = 1008 = 2^4*3^2*7 is smooth -> rader (measured 2.1-2.4x
-    # faster than Bluestein on hardware, docs/tpu_notes.md); the planner
-    # must dispatch it.
+def test_auto_path_picks_measured_fastest_prime_engine():
+    # The auto path must match the measured-fastest strategy per size
+    # class (VERDICT r3 #8; BENCH r4 p=1009: bluestein-pow2-kernel
+    # 0.085 ms < rader 0.156 < jnp 0.194):
     from regent_fft_tpu.ops import factor as f
-    kind, info = f.plan_factors(1009, 128)
-    assert kind == "rader" and info == 1008
+    # kernel-range pow2 pad -> bluestein even though p-1 is smooth
+    assert f.plan_factors(1009, 128) == ("bluestein", 2048)
+    # rader's own convolution is a kernel-range pow2 -> rader (half the
+    # inner length, same engine)
+    assert f.plan_factors(257, 128) == ("rader", 256)
+    # both engines einsum (m > kernel range) -> rader's ~half work wins
+    assert f.plan_factors(2053, 128) == ("rader", 2052)
 
 
 def test_bluestein_pad_prefers_pow2_in_kernel_range():
