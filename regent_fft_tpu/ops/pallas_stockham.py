@@ -117,7 +117,12 @@ def _tb_for(n: int) -> int:
 # Largest tail sub-transform finished on the MXU (see _stockham_tile).
 # REGENT_FFT_TAIL_MT overrides for A/B probes (one config per process:
 # _packed_tables is lru-cached on (n, sign) only).
-TAIL_MT = 32
+# 64 (r4): with the h4 tail scheme the 64/256/1024-class sizes drop one
+# radix-4 head stage in favor of a wider K=2mt MXU tail — measured
+# n=1024 batch 4096 c2c 0.163 -> 0.143 ms, r2c 0.165 -> 0.147
+# (scripts/probe_r2c_1d.py); 512-class schedules are unchanged (mt=32
+# either way).  128 fails Mosaic compile at 512^2 blocks (tpu_notes).
+TAIL_MT = 64
 
 
 def _tail_mt_cap() -> int:

