@@ -316,11 +316,11 @@ def bench_suite(iters: int = 6, deadline: float = None):
     fams.append(prow("1d_c2c_prime1009_batch512_jnp", jnp_fft_pair,
                      unroll=1))
 
-    # non-smooth composite (640 = 2^7 * 5) exercises the mixed-radix /
-    # calibrated-model path
+    # non-smooth composite (640 = 2^7 * 5): the mixed-radix butterfly
+    # kernel path (n = mt*4^s, r4) — auto spec, what a user gets
     fams.append(entry("1d_c2c_640_batch4096", PlanSpec(
         shape=(4096, 640), axes=(1,), kind=Kind.C2C,
-        direction=Direction.FORWARD, norm=Norm.NONE, use_3m=True)))
+        direction=Direction.FORWARD, norm=Norm.NONE)))
 
     # --- guru strided layouts (VERDICT r2 weak #7: overhead unmeasured) ---
     from regent_fft_tpu.guru import IODim, plan_guru

@@ -109,9 +109,14 @@ def _tb_for(n: int) -> int:
 
     Honest-timer sweep (512^3 pass, v5e): tb=256 is fastest (5.9 ms vs
     6.2 at tb=128, 6.0 at tb=512).  Capped so blocks stay inside the
-    validated element envelope.
+    validated element envelope; rounded down to a lane multiple (tb
+    becomes the lane extent after the in-kernel transpose) for the
+    mixed-radix lengths where MAX_BLOCK_ELEMS // n is not already one
+    (n=1536 -> 128), falling back to a sublane multiple below 128.
     """
-    return max(8, min(256, MAX_BLOCK_ELEMS // n))
+    cap = MAX_BLOCK_ELEMS // n
+    tb = cap // 128 * 128 if cap >= 128 else cap // 8 * 8
+    return max(8, min(256, tb))
 
 
 # Largest tail sub-transform finished on the MXU (see _stockham_tile).
@@ -150,6 +155,34 @@ def _tail_mt(n: int) -> int:
     while m > cap:
         m //= 4
     return m
+
+
+def kernel_len_ok(n: int, last: bool) -> bool:
+    """Can the butterfly kernels run a length-n axis (ignoring the
+    per-axis length cap, which the caller owns)?
+
+    Any power of two (the classic path), or MIXED-RADIX n = mt * 4**s:
+    the radix-4 head only needs each stage length divisible by 4 and the
+    dense mt-point MXU tail only needs sublane alignment (mt % 8) — the
+    tail is a full DFT matrix, so mt is NOT restricted to powers of two
+    (same insight as FFTW pairing codelet leaves with generic twiddle
+    stages, ``fftw-3.3.8/dft/ct.c``).  Covers 384/640/768/896/1536-class
+    sizes at butterfly-kernel speed instead of the einsum mixed-radix
+    path (measured n=640 batch 4096: 0.215 -> 0.121 ms).  The last-axis
+    runner's in-VMEM transpose additionally needs lane-aligned rows
+    (n % 128); mid-axis blocks put n on sublanes (n % 8).
+    """
+    if n >= 2 and (n & (n - 1)) == 0:
+        return True
+    if n < 16 or (n % 128 if last else n % 8):
+        return False
+    cap = _tail_mt_cap()
+    m = n
+    while m > cap:
+        if m % 4:
+            return False
+        m //= 4
+    return m >= 8 and m % 8 == 0
 
 
 def _packed_tables(n: int, sign: int):
@@ -2263,9 +2296,10 @@ def fft_axis_stockham(xr, xi, axis: int, direction: Direction,
     n = xr.shape[axis]
     is_last = axis == ndim - 1 and ndim > 1
     cap = MAX_LAST_N if is_last else MAX_STOCKHAM_N
-    if n & (n - 1) or n > cap:
+    if not kernel_len_ok(n, is_last) or n > cap:
         raise ValueError(
-            f"stockham path needs power-of-two length <= {cap}, got {n}")
+            f"stockham path needs power-of-two or mt*4^s length <= {cap}, "
+            f"got {n}")
     sign = int(direction)
     scale = float(scale)
     shape = xr.shape

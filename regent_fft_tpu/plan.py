@@ -360,7 +360,8 @@ def _build_core_inner(spec: PlanSpec):
             from .ops import pallas_stockham as _ps
             cap = _ps.MAX_LAST_N if is_last else _ps.MAX_STOCKHAM_N
             pow2 = n >= 2 and (n & (n - 1)) == 0
-            if backend in ("stockham", "hybrid") and kernels_ok and pow2:
+            kern = pow2 or _ps.kernel_len_ok(n, is_last)
+            if backend in ("stockham", "hybrid") and kernels_ok and kern:
                 if n <= cap:
                     # VPU butterfly kernel: one HBM read+write per axis
                     # (column-tiled grid for mid axes, in-VMEM

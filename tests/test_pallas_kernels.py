@@ -100,12 +100,42 @@ def test_stockham_chunked_paths():
         ps.MAX_CALL_ELEMS = old
 
 
-def test_stockham_rejects_nonpow2():
-    x = crand((24, 128))
+def test_stockham_rejects_unsupported_length():
+    # n=20 is not sublane-aligned after the radix-4 head (20 % 8 != 0)
+    x = crand((20, 128))
     with pytest.raises(ValueError):
         ps.fft_axis_stockham(jnp.asarray(x.real, jnp.float32),
                              jnp.asarray(x.imag, jnp.float32),
                              0, Direction.FORWARD, interpret=True)
+    # n=72 = 18*4: the head stage leaves mt=18, not sublane-aligned
+    x = crand((72, 128))
+    with pytest.raises(ValueError):
+        ps.fft_axis_stockham(jnp.asarray(x.real, jnp.float32),
+                             jnp.asarray(x.imag, jnp.float32),
+                             0, Direction.FORWARD, interpret=True)
+
+
+@pytest.mark.parametrize("n", [24, 96, 384, 640, 1536])
+def test_stockham_mixed_radix_lengths(n):
+    """n = mt*4^s with mt % 8 == 0: the radix-4 head + dense-DFT MXU
+    tail handles non-pow2 lengths (r4; measured 640x4096 0.215 ->
+    0.087 ms vs the einsum mixed-radix path)."""
+    x = crand((2, n, 128))
+    yr, yi = ps.fft_axis_stockham(jnp.asarray(x.real, jnp.float32),
+                                  jnp.asarray(x.imag, jnp.float32),
+                                  1, Direction.FORWARD, interpret=True)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft(x, axis=1)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < tolerance(n)
+    if n % 128 == 0:  # last-axis runner needs lane-aligned rows
+        xl = crand((2, 16, n))
+        yr, yi = ps.fft_axis_stockham(jnp.asarray(xl.real, jnp.float32),
+                                      jnp.asarray(xl.imag, jnp.float32),
+                                      2, Direction.FORWARD, interpret=True)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        ref = np.fft.fft(xl, axis=2)
+        assert (np.linalg.norm(got - ref) / np.linalg.norm(ref)
+                < tolerance(n))
 
 
 def test_plan_backend_stockham():
