@@ -48,7 +48,12 @@ LANE_TILE = 128
 MAX_BLOCK_ELEMS = 262144   # hardware-validated per-block element cap
 MAX_STOCKHAM_N = 2048      # mid-axis (column-tiled) kernels
 MAX_LAST_N = 2048          # last-axis kernels (narrower row tiles)
-MAX_CALL_ELEMS = 4 * 1024 * 1024
+# Per-pallas_call operand cap: calls beyond it split through lax.map,
+# which SERIALIZES chunks (no cross-chunk DMA overlap — measured 1.85x
+# on 65536x1024 c2c, r4).  The round-1 "compiler limits" that set the
+# old 4M value no longer reproduce: 64M-element operands compile and
+# run at full rate, so the cap now only guards truly huge calls.
+MAX_CALL_ELEMS = 64 * 1024 * 1024
 
 
 
@@ -1894,14 +1899,27 @@ def _dg_3m(tr, ti, a3r, a3i):
     return yr, yi
 
 
+def _r2c_mt2(n: int) -> int:
+    """Tail-matrix row count for the r2c kernel: the untangle only
+    consumes bins k <= n/2, i.e. tail rows q <= mt/2 — the other half of
+    each tail contraction is pure waste (the old kernel computed all mt
+    rows and masked).  Rounded up to a sublane multiple for MXU-friendly
+    output tiles."""
+    mt = _tail_mt(n)
+    return min(mt, -(-(mt // 2 + 1) // 8) * 8)
+
+
 def _r2c_tables(n: int):
     """FORWARD packed tables extended with reversed-row tail matrices.
 
-    Row layout of the returned (T + 3*mt, mt) planes:
-      [0, T)           head-stage twiddles (forward sign)
-      [T, T+mt)        tail DFT matrix D
-      [T+mt, T+2mt)    Drev1[q] = D[mt-q-1]   (reversal, l >= 1 columns)
-      [T+2mt, T+3mt)   Drev0[q] = D[(mt-q) % mt]  (reversal, l = 0 column)
+    Row layout of the returned (T + 3*mt2, mt) planes, mt2 = _r2c_mt2(n)
+    (HALF-spectrum tail rows — bins k > n/2 are never consumed by the
+    Hermitian untangle, so their tail rows are dropped at plan time
+    instead of masked at run time):
+      [0, T)             head-stage twiddles (forward sign)
+      [T, T+mt2)         tail DFT rows D[0:mt2]
+      [T+mt2, T+2mt2)    Drev1[q] = D[mt-q-1]   (reversal, l >= 1 columns)
+      [T+2mt2, T+3mt2)   Drev0[q] = D[(mt-q) % mt]  (reversal, l = 0 column)
 
     These give Zrev[k] = Z[(n-k) mod n] from the SAME head value the
     normal tail consumes: for k = q*L + l, (n-k) mod n = (mt-q-1)*L +
@@ -1911,50 +1929,63 @@ def _r2c_tables(n: int):
     row-pair kernel (which ran forward AND backward full-length
     transforms to avoid data reversal; docs/tpu_notes.md "Mosaic has no
     sublane flip").
+
+    All tail rows are pre-scaled by the untangle's 1/2 so the Hermitian
+    combine in the kernel is pure add/sub.
     """
     wr, wi, _ = _packed_tables(n, -1)
     mt = _tail_mt(n)
+    mt2 = _r2c_mt2(n)
     T = wr.shape[0] - mt
-    tail_r, tail_i = wr[T:], wi[T:]
+    tail_r, tail_i = 0.5 * wr[T:], 0.5 * wi[T:]
     rev1_r, rev1_i = tail_r[::-1], tail_i[::-1]
     rev0_r = np.roll(rev1_r, 1, axis=0)
     rev0_i = np.roll(rev1_i, 1, axis=0)
-    wr_full = np.concatenate([wr, rev1_r, rev0_r], axis=0)
-    wi_full = np.concatenate([wi, rev1_i, rev0_i], axis=0)
+    wr_full = np.concatenate([wr[:T], tail_r[:mt2], rev1_r[:mt2],
+                              rev0_r[:mt2]], axis=0)
+    wi_full = np.concatenate([wi[:T], tail_i[:mt2], rev1_i[:mt2],
+                              rev0_i[:mt2]], axis=0)
     return wr_full, wi_full
 
 
 def _fwd_and_rev_spectra(zr, zi, n: int, wr_full, wi_full, tb: int):
-    """(Z, Zrev) spectra of one complex block via ONE shared butterfly
-    head and two MXU tails (see :func:`_r2c_tables`)."""
+    """(Z, Zrev) HALF spectra (bins [0, mt2*L), mt2*L >= n/2 + 1) of one
+    complex block via ONE shared butterfly head and two half-row MXU
+    tails (see :func:`_r2c_tables`)."""
     mt = _tail_mt(n)
+    mt2 = _r2c_mt2(n)
     L = n // mt
-    T = wr_full.shape[0] - 3 * mt
+    S = mt2 * L
+    T = wr_full.shape[0] - 3 * mt2
     hr, hi = _stockham_head(zr, zi, n, -1, wr_full, wi_full)   # (L, mt, tb)
-    tr, ti = wr_full[T:T + mt], wi_full[T:T + mt]
-    ar3, ai3 = _dg_3m(tr, ti, hr, hi)                          # (mt, L, tb)
-    ar, ai = ar3.reshape(n, tb), ai3.reshape(n, tb)
+    tr, ti = wr_full[T:T + mt2], wi_full[T:T + mt2]
+    ar3, ai3 = _dg_3m(tr, ti, hr, hi)                          # (mt2, L, tb)
+    ar, ai = ar3.reshape(S, tb), ai3.reshape(S, tb)
     # reversed spectrum: leading-axis flip (l -> L-l for l >= 1) + the
     # row-permuted tail matrices; fix the l = 0 column with Drev0.
-    r1r, r1i = wr_full[T + mt:T + 2 * mt], wi_full[T + mt:T + 2 * mt]
-    r0r, r0i = wr_full[T + 2 * mt:], wi_full[T + 2 * mt:]
+    r1r, r1i = wr_full[T + mt2:T + 2 * mt2], wi_full[T + mt2:T + 2 * mt2]
+    r0r, r0i = wr_full[T + 2 * mt2:T + 3 * mt2], \
+        wi_full[T + 2 * mt2:T + 3 * mt2]
     if L > 1:
         # leading-axis reversal as static slice-concat (Mosaic has no
-        # `rev` primitive, even for untiled leading dims; L <= 64)
+        # `rev` primitive, even for untiled leading dims; L <= 16).  A
+        # 16x16 permutation DOT at HIGHEST was measured SLOWER (2.24 ->
+        # 2.86 ms at 1024x65536 — tiny-K emulation dots lose to the
+        # relayout, r4): do not retry.
         order = [slice(0, 1)] + [slice(l, l + 1)
                                  for l in range(L - 1, 0, -1)]
         hpr = jnp.concatenate([hr[sl] for sl in order], axis=0)
         hpi = jnp.concatenate([hi[sl] for sl in order], axis=0)
     else:
         hpr, hpi = hr, hi
-    bmr, bmi = _dg_3m(r1r, r1i, hpr, hpi)                      # (mt, L, tb)
-    b0r, b0i = _dg_3m(r0r, r0i, hr[0:1], hi[0:1])              # (mt, 1, tb)
+    bmr, bmi = _dg_3m(r1r, r1i, hpr, hpi)                      # (mt2, L, tb)
+    b0r, b0i = _dg_3m(r0r, r0i, hr[0:1], hi[0:1])              # (mt2, 1, tb)
     if L > 1:
         br3 = jnp.concatenate([b0r, bmr[:, 1:, :]], axis=1)
         bi3 = jnp.concatenate([b0i, bmi[:, 1:, :]], axis=1)
     else:
         br3, bi3 = b0r, b0i
-    return ar, ai, br3.reshape(n, tb), bi3.reshape(n, tb)
+    return ar, ai, br3.reshape(S, tb), bi3.reshape(S, tb)
 
 
 @functools.lru_cache(maxsize=256)
@@ -1999,10 +2030,13 @@ def _runner_last_r2c(n: int, tb: int, interpret: bool = False,
     w_out = m if packed else (min(n, -(-h // 128) * 128) if narrow else n)
 
     def untangle_write(ar, ai, br, bi, yr_ref, yi_ref):
-        x1r = 0.5 * (ar + br)
-        x1i = 0.5 * (ai - bi)
-        x2r = 0.5 * (ai + bi)
-        x2i = -0.5 * (ar - br)
+        # spectra arrive PRE-HALVED (the 1/2 is folded into the tail
+        # tables, _r2c_tables), so the Hermitian combine is add/sub only
+        S = ar.shape[0]   # mt2*L >= h (shared head) or n (twotransform)
+        x1r = ar + br
+        x1i = ai - bi
+        x2r = ai + bi
+        x2i = br - ar
         if packed:
             # bins 0..m-1; imag(bin 0) := re(bin m)  (both are real)
             x1i = jnp.concatenate([x1r[m:m + 1], x1i[1:m]], axis=0)
@@ -2010,13 +2044,18 @@ def _runner_last_r2c(n: int, tb: int, interpret: bool = False,
             x1r = x1r[:m]
             x2r = x2r[:m]
         else:
-            k = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 0)
-            keep = k < h
-            z = jnp.float32(0.0)
-            x1r = jnp.where(keep, x1r, z)[:w_out]
-            x1i = jnp.where(keep, x1i, z)[:w_out]
-            x2r = jnp.where(keep, x2r, z)[:w_out]
-            x2i = jnp.where(keep, x2i, z)[:w_out]
+            def fit(x):
+                # narrow: garbage bins >= h are sliced off by the caller;
+                # padded feeds later kernel passes, so zero them
+                if not narrow:
+                    k = jax.lax.broadcasted_iota(jnp.int32, (S, tb), 0)
+                    x = jnp.where(k < h, x, jnp.float32(0.0))
+                if S < w_out:
+                    return jnp.concatenate(
+                        [x, jnp.zeros((w_out - S, tb), jnp.float32)],
+                        axis=0)
+                return x[:w_out]
+            x1r, x1i, x2r, x2i = fit(x1r), fit(x1i), fit(x2r), fit(x2i)
         # the two row blocks store to the two halves of the output block
         # (original row order — no interleave relayout)
         yr_ref[0:tb, :] = x1r.T
@@ -2038,7 +2077,10 @@ def _runner_last_r2c(n: int, tb: int, interpret: bool = False,
             zi = zo_ref[:].T
             ar, ai = _stockham_tile(zr, zi, n, -1, wfr_ref[:], wfi_ref[:])
             br, bi = _stockham_tile(zr, zi, n, +1, wbr_ref[:], wbi_ref[:])
-            untangle_write(ar, ai, br, bi, yr_ref, yi_ref)
+            # untangle_write expects pre-halved spectra (the shared-head
+            # path folds the 1/2 into its tables)
+            untangle_write(0.5 * ar, 0.5 * ai, 0.5 * br, 0.5 * bi,
+                           yr_ref, yi_ref)
 
     def run(x2):
         """x2: (B, n) real, B a multiple of 2*tb -> (B, w_out) planes."""
@@ -2098,8 +2140,11 @@ def _runner_last_c2r(n: int, tb: int, interpret: bool = False,
     import os
     shared = os.environ.get("REGENT_FFT_C2R_IMPL", "shared") == "shared"
     if shared:
-        prev_np = np.zeros((n, n), np.float32)
-        prev_np[np.arange(1, n), n - np.arange(1, n)] = 1.0
+        # G is zero outside rows [1, m), so only the first m columns of
+        # the (n, n) reversal permutation ever multiply a nonzero row —
+        # the stored (n, m) slice halves the dot's MACs (r4)
+        prev_np = np.zeros((n, m), np.float32)
+        prev_np[n - np.arange(1, m), np.arange(1, m)] = 1.0
 
     def kernel(yr_ref, yi_ref, wbr_ref, wbi_ref, *rest):
         if shared:
@@ -2134,10 +2179,12 @@ def _runner_last_c2r(n: int, tb: int, interpret: bool = False,
         gi = jnp.where(tail, x1i - x2r, z)
         if shared:
             # G'[k] = conj(G[n-k]) via the permutation dot (exact at
-            # HIGHEST; G is zero outside [1, m-1] so no masking needed)
+            # HIGHEST); G is zero outside rows [1, m), so the stored
+            # (n, m) slice of the permutation contracts only those rows
+            # — exact, half the MACs (r4)
             def rev_dot(x):
                 return jax.lax.dot_general(
-                    prev_ref[:], x, (((1,), (0,)), ((), ())),
+                    prev_ref[:], x[:m], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
             wr = hr + rev_dot(gr)
@@ -2165,7 +2212,7 @@ def _runner_last_c2r(n: int, tb: int, interpret: bool = False,
         specs = [ibs, ibs, ws, ws]
         if shared:
             ops.append(jnp.asarray(prev_np))
-            specs.append(pl.BlockSpec((n, n), lambda i: (0, 0),
+            specs.append(pl.BlockSpec(prev_np.shape, lambda i: (0, 0),
                                       memory_space=pltpu.VMEM))
         return pl.pallas_call(
             kernel, grid=(rows // (2 * tb),),
