@@ -15,9 +15,12 @@ The kernel spectrum H = FFT_M(h) is precomputed on the host in float64
 runtime cost is 2 smooth FFTs + O(M) elementwise work.
 
 Rader's algorithm (``fftw-3.3.8/dft/rader.c``) lives in ``ops/rader.py``;
-the planner prefers it for primes whose p-1 is smooth (measured 2.1-2.4x
-faster than Bluestein at p=1009) and falls back to Bluestein here for
-sizes where neither Rader nor the smooth mixed-radix path applies.
+the planner chooses between them by ENGINE, not operation count
+(``factor.plan_factors``): Bluestein wins whenever its pow2 pad m rides
+the butterfly kernels (measured p=1009: 0.085 ms vs Rader's 0.156 —
+the m=2048 kernel convolution beats the L=1008 einsum one despite ~2x
+the flops), while Rader wins when its own L = p-1 is a kernel-range
+pow2 (p=257) or when both engines fall back to einsum (p=2053).
 """
 from __future__ import annotations
 

@@ -360,7 +360,11 @@ def _build_core_inner(spec: PlanSpec):
             from .ops import pallas_stockham as _ps
             cap = _ps.MAX_LAST_N if is_last else _ps.MAX_STOCKHAM_N
             pow2 = n >= 2 and (n & (n - 1)) == 0
-            kern = pow2 or _ps.kernel_len_ok(n, is_last)
+            # mixed-radix (mt*4^s) kernel from n >= 128: below that the
+            # fused direct einsum wins (measured r4: n=24 0.034 vs
+            # 0.067 ms, n=96 0.056 vs 0.064; n=160 kernel 0.098 vs
+            # 0.134, n=384 kernel 0.069 vs 0.158)
+            kern = pow2 or (n >= 128 and _ps.kernel_len_ok(n, is_last))
             if backend in ("stockham", "hybrid") and kernels_ok and kern:
                 if n <= cap:
                     # VPU butterfly kernel: one HBM read+write per axis
