@@ -322,6 +322,14 @@ def bench_suite(iters: int = 6, deadline: float = None):
         shape=(4096, 640), axes=(1,), kind=Kind.C2C,
         direction=Direction.FORWARD, norm=Norm.NONE)))
 
+    # mixed-radix 3-D (the common scientific grid size FFTW users run):
+    # fused2(384,384) + DMA-ring axis 0, all butterfly kernels (r4).
+    # jnp.fft.fftn cannot compile this size through the attach (its
+    # non-pow2 expansion exceeds the remote-compile request limit).
+    fams.append(entry("3d_c2c_384cubed", PlanSpec(
+        shape=(384, 384, 384), axes=(0, 1, 2), kind=Kind.C2C,
+        direction=Direction.FORWARD, norm=Norm.NONE)))
+
     # --- guru strided layouts (VERDICT r2 weak #7: overhead unmeasured) ---
     from regent_fft_tpu.guru import IODim, plan_guru
     gn, gb = 1024, 512

@@ -976,10 +976,19 @@ def fft_axes_gap_stockham(xr, xi, direction: Direction, scale: float = 1.0,
     return yr.reshape(shape), yi.reshape(shape)
 
 
+def _fusable_len(n: int, last: bool) -> bool:
+    """Per-axis length gate for the fused trailing-pair kernels: any
+    power of two (the classic path), or a mixed-radix kernel length
+    (n = mt*4^s) from 128 up — the same floor below which the fused
+    direct einsum wins single-axis (plan.py r4 measurements)."""
+    if n >= 2 and (n & (n - 1)) == 0:
+        return True
+    return n >= 128 and kernel_len_ok(n, last)
+
+
 def fused2_supported(n1: int, n2: int) -> bool:
     """Can the (n1, n2) trailing-axes pair run as ONE fused kernel pass?"""
-    pow2 = lambda n: n >= 2 and (n & (n - 1)) == 0
-    return (pow2(n1) and pow2(n2)
+    return (_fusable_len(n1, False) and _fusable_len(n2, True)
             and n1 * n2 <= MAX_FUSED2_ELEMS
             and n2 >= LANE_TILE          # lanes dim must be a lane tile
             and n1 >= 16 and n2 >= 16)   # in-VMEM transpose legality
@@ -1289,7 +1298,7 @@ def axis0_dma_supported(n: int, post: int) -> bool:
     """Can the manual-DMA leading/mid-axis runner handle (n, post)
     planes?  Two slab modes: strided 512-lane columns (big post) or
     whole contiguous (n, post) planes (post <= 2048)."""
-    if not (n >= 2 and (n & (n - 1)) == 0 and 16 <= n <= MAX_STOCKHAM_N):
+    if not (16 <= n <= MAX_STOCKHAM_N and _fusable_len(n, False)):
         return False
     if post % 512 == 0 and post >= 2048 and (n * 512) <= MAX_BLOCK_ELEMS:
         return True
@@ -1332,7 +1341,7 @@ def fused2_ring_supported(n1: int, n2: int) -> bool:
     """Can the manual plane-ring run BOTH trailing axes in one pass?
     Needs a whole (n1, n2) plane per slab plus the fused2 tile limits."""
     return (n1 >= 16 and n2 >= LANE_TILE
-            and (n1 & (n1 - 1)) == 0 and (n2 & (n2 - 1)) == 0
+            and _fusable_len(n1, False) and _fusable_len(n2, True)
             and n1 <= MAX_STOCKHAM_N and n2 <= MAX_STOCKHAM_N
             and n1 * n2 <= MAX_BLOCK_ELEMS)
 

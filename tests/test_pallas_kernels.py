@@ -115,6 +115,21 @@ def test_stockham_rejects_unsupported_length():
                              0, Direction.FORWARD, interpret=True)
 
 
+@pytest.mark.parametrize("pair", [(384, 128), (128, 384), (160, 256)])
+def test_fused2_mixed_radix_pair(pair):
+    """Trailing-axes pair kernel accepts mixed-radix lengths (r4):
+    384^3-class scientific grids ride the one-pass fused kernel."""
+    n1, n2 = pair
+    assert ps.fused2_supported(n1, n2)
+    x = crand((2, n1, n2))
+    yr, yi = ps.fft_axes2_stockham(jnp.asarray(x.real, jnp.float32),
+                                   jnp.asarray(x.imag, jnp.float32),
+                                   Direction.FORWARD, interpret=True)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft2(x, axes=(1, 2))
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < tolerance(n1 * n2)
+
+
 @pytest.mark.parametrize("n", [24, 96, 384, 640, 1536])
 def test_stockham_mixed_radix_lengths(n):
     """n = mt*4^s with mt % 8 == 0: the radix-4 head + dense-DFT MXU
