@@ -50,10 +50,11 @@ MAX_STOCKHAM_N = 2048      # mid-axis (column-tiled) kernels
 MAX_LAST_N = 2048          # last-axis kernels (narrower row tiles)
 # Per-pallas_call operand cap: calls beyond it split through lax.map,
 # which SERIALIZES chunks (no cross-chunk DMA overlap — measured 1.85x
-# on 65536x1024 c2c, r4).  The round-1 "compiler limits" that set the
-# old 4M value no longer reproduce: 64M-element operands compile and
-# run at full rate, so the cap now only guards truly huge calls.
-MAX_CALL_ELEMS = 64 * 1024 * 1024
+# on 65536x1024 c2c, and 57 -> 37 ms on the 1024^3 complex32 last-axis
+# pass, r4).  The round-1 "compiler limits" that set the old 4M value
+# no longer reproduce: 2^30-element operands (a full 1024^3 plane pair)
+# compile and run at full rate, so the cap only guards anything bigger.
+MAX_CALL_ELEMS = 1 << 30
 
 
 
