@@ -363,6 +363,115 @@ def _mxu_tile(xr, xi, n: int, sign: int, wr_all, wi_all,
     return dr.reshape(n, v), di.reshape(n, v)
 
 
+def _mxu_tile_fs4m(xr, xi, n: int, sign: int, wr_all, wi_all,
+                   precision=jax.lax.Precision.DEFAULT):
+    """Four-step like :func:`_mxu_tile` but each complex dot uses the 4M
+    shared-rhs fold (the h4 tail trick at DEFAULT): lhs = [M_r | -M_i] /
+    [M_i | M_r] against ONE rhs concat [v_r ; v_i].  Karatsuba's three
+    full-element VPU combines (t1-t2, t3-t1-t2, vr+vi) become a single
+    rhs concat per stage — at bf16 DEFAULT the doubled-K MACs are ~free,
+    the VPU passes are not.  Same :func:`_mxu_tables` planes."""
+    n1, n2 = _mxu_split(n)
+    v = xr.shape[-1]
+    w1r, w1i = wr_all[:n1, :n1], wi_all[:n1, :n1]
+    w2r, w2i = wr_all[n1:n1 + n2, :n2], wi_all[n1:n1 + n2, :n2]
+    twr = wr_all[n1 + n2:, :n2]
+    twi = wi_all[n1 + n2:, :n2]
+    l1r = jnp.concatenate([w1r, -w1i], axis=1)     # (n1, 2n1)
+    l1i = jnp.concatenate([w1i, w1r], axis=1)
+    l2r = jnp.concatenate([w2r, -w2i], axis=1)     # (n2, 2n2)
+    l2i = jnp.concatenate([w2i, w2r], axis=1)
+
+    def dg0(m_, a_):  # contract rhs axis 0 -> (k, n2, v)
+        return jax.lax.dot_general(
+            m_, a_, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    def dg1(m_, a_):  # contract rhs axis 1 -> (k, n1, v)
+        return jax.lax.dot_general(
+            m_, a_, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    acat = jnp.concatenate([xr.reshape(n1, n2, v),
+                            xi.reshape(n1, n2, v)], axis=0)  # (2n1, n2, v)
+    br = dg0(l1r, acat)                            # (k1, n2, v)
+    bi = dg0(l1i, acat)
+    cr = br * twr[:, :, None] - bi * twi[:, :, None]
+    ci = br * twi[:, :, None] + bi * twr[:, :, None]
+    ccat = jnp.concatenate([cr, ci], axis=1)       # (n1, 2n2, v)
+    dr = dg1(l2r, ccat)                            # (k2, n1, v)
+    di = dg1(l2i, ccat)
+    return dr.reshape(n, v), di.reshape(n, v)
+
+
+@functools.lru_cache(maxsize=64)
+def _mxu_tw_tables(n: int, sign: int):
+    """Packed planes for :func:`_mxu_tile_tw`: rows [0, n1) = W1
+    (width n1), rows [n1, n1 + n1*n2) = the twiddle-folded second-factor
+    matrix W2T[k1, k2, j2] = W2[k2, j2] * tw[k1, j2] flattened to
+    (k1*n2 + k2, j2) — combined angle 2*pi*sign*j2*(k2/n2 + k1/n)."""
+    n1, n2 = _mxu_split(n)
+    w = max(n1, n2)
+    k1 = np.arange(n1)
+    k2 = np.arange(n2)
+    j2 = np.arange(n2)
+    th1 = 2.0 * np.pi * float(sign) * np.outer(k1, k1) / n1
+    # (k1, k2, j2)
+    tht = 2.0 * np.pi * float(sign) * (
+        k2[None, :, None] * j2[None, None, :] / n2
+        + k1[:, None, None] * j2[None, None, :] / n)
+
+    def pad(a):
+        return np.pad(a, ((0, 0), (0, w - a.shape[1])))
+    wr = np.concatenate([pad(np.cos(th1)),
+                         pad(np.cos(tht).reshape(n1 * n2, n2))]
+                        ).astype(np.float32)
+    wi = np.concatenate([pad(np.sin(th1)),
+                         pad(np.sin(tht).reshape(n1 * n2, n2))]
+                        ).astype(np.float32)
+    return wr, wi
+
+
+def _mxu_tile_tw(xr, xi, n: int, sign: int, wr_all, wi_all,
+                 precision=jax.lax.Precision.DEFAULT):
+    """Four-step with the inter-factor twiddle FOLDED into a k1-batched
+    stage-2 ``dot_general`` (lhs (n1, n2, 2n2) = [W2T_r | -W2T_i]): the
+    full-element VPU complex twiddle pass disappears into table MACs.
+    Cost moved instead to one (n1, n2, v) -> (n2, n1, v) transpose of
+    the batched output (batch dims lead, the DFT order needs k2 major).
+    Tables from :func:`_mxu_tw_tables`."""
+    n1, n2 = _mxu_split(n)
+    v = xr.shape[-1]
+    w1r, w1i = wr_all[:n1, :n1], wi_all[:n1, :n1]
+    w2tr = wr_all[n1:, :n2].reshape(n1, n2, n2)    # [k1, k2, j2]
+    w2ti = wi_all[n1:, :n2].reshape(n1, n2, n2)
+    l1r = jnp.concatenate([w1r, -w1i], axis=1)
+    l1i = jnp.concatenate([w1i, w1r], axis=1)
+    l2r = jnp.concatenate([w2tr, -w2ti], axis=2)   # (n1, k2, 2n2)
+    l2i = jnp.concatenate([w2ti, w2tr], axis=2)
+
+    def dg0(m_, a_):
+        return jax.lax.dot_general(
+            m_, a_, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    def dgb(m_, a_):  # batch over k1, contract j2
+        return jax.lax.dot_general(
+            m_, a_, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    acat = jnp.concatenate([xr.reshape(n1, n2, v),
+                            xi.reshape(n1, n2, v)], axis=0)
+    br = dg0(l1r, acat)                            # (k1, j2, v)
+    bi = dg0(l1i, acat)
+    bcat = jnp.concatenate([br, bi], axis=1)       # (k1, 2n2, v)
+    dr = dgb(l2r, bcat)                            # (k1, k2, v)
+    di = dgb(l2i, bcat)
+    dr = dr.transpose(1, 0, 2)                     # (k2, k1, v)
+    di = di.transpose(1, 0, 2)
+    return dr.reshape(n, v), di.reshape(n, v)
+
+
 @functools.lru_cache(maxsize=64)
 def _direct_tables(n: int, sign: int):
     """Dense DFT_n matrix planes for :func:`_direct_tile`."""
@@ -392,8 +501,10 @@ def _direct_tile(xr, xi, n: int, sign: int, wr, wi,
 def _mxu_impl() -> str:
     """complex32 block-compute tile: 'direct' (one dense DFT_n dot;
     default — measured 2.8x faster than fourstep at 256^3 AND slightly
-    more accurate: one bf16 rounding stage instead of two + twiddle) or
-    'fourstep' (two short-K dots + twiddle)."""
+    more accurate: one bf16 rounding stage instead of two + twiddle),
+    'fourstep' (two 3M short-K dots + VPU twiddle), 'fs4m' (4M
+    shared-rhs folds, no Karatsuba combines), or 'fstw' (fs4m stage 1 +
+    twiddle-folded batched stage 2)."""
     import os
     return os.environ.get("REGENT_FFT_MXU_IMPL", "direct")
 
@@ -403,11 +514,22 @@ def _tile_impl(io: str, n: int):
     use an all-MXU DEFAULT tile when the length admits it — the VPU
     butterfly cost doesn't shrink at bf16, the MXU's does.  Direct is
     capped at n=512 (the dense DFT_n table pair costs 8*n^2 bytes of
-    VMEM; past that the four-step's packed tables win)."""
+    VMEM; past that the four-step's packed tables win).  Above the
+    direct cap the four-step scheme is selectable (REGENT_FFT_MXU_IMPL):
+    'fs4m'/'fstw' trade Karatsuba's full-element VPU combines (and for
+    fstw the twiddle pass) for extra MACs, which are ~free at bf16."""
     if io == "bf16" and mxu_tile_supported(n):
-        if _mxu_impl() == "direct" and n <= 512:
+        impl = _mxu_impl()
+        if impl == "direct" and n <= 512:
             return _direct_tile, _direct_tables
-        return _mxu_tile, _mxu_tables
+        if impl == "fs4m":
+            return _mxu_tile_fs4m, _mxu_tables
+        if impl == "fourstep":
+            return _mxu_tile, _mxu_tables
+        # default above the direct cap: twiddle-folded batched four-step
+        # (measured r4: n=1024 last-axis 1.154 -> 0.652 ms vs 'fourstep',
+        # mid-axis 1.945 -> 1.055; rel err 5.6e-3 -> 4.7e-3)
+        return _mxu_tile_tw, _mxu_tw_tables
     return _stockham_tile, (lambda n_, s_: _packed_tables(n_, s_)[:2])
 
 
