@@ -1244,6 +1244,14 @@ def _runner_axis0_dma(n: int, x: int, ncols: int, sign: int, k: int,
             tile = functools.partial(_mxu_tile,
                                      precision=jax.lax.Precision.HIGHEST)
             wr_np, wi_np = _mxu_tables(n, sign)
+        if f2_tile in ("fstw", "fstw2") and mxu_tile_supported(x):
+            tile2 = functools.partial(_mxu_tile_tw,
+                                      precision=jax.lax.Precision.HIGHEST)
+            w2r_np, w2i_np = _mxu_tw_tables(x, sign)
+        if f2_tile == "fstw" and mxu_tile_supported(n):
+            tile = functools.partial(_mxu_tile_tw,
+                                     precision=jax.lax.Precision.HIGHEST)
+            wr_np, wi_np = _mxu_tw_tables(n, sign)
     sw = x // strips if strips > 1 else x
 
     def kernel(xr_hbm, xi_hbm, wr_ref, wi_ref, *rest):
@@ -1540,6 +1548,25 @@ def _dft_mat(r: int, sign: int):
     return np.cos(th).astype(np.float32), np.sin(th).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def _a0fs_tw_mats(n: int, sign: int):
+    """(r2, r1, r1) twiddle-folded stage-a matrices for the leading-axis
+    four-step: M_b[k,j] = W_r1[k,j] * W_n^{k*b} = diag(tw_b) @ W_r1.
+    The four-step twiddle depends only on the OUTPUT row k and the slab
+    index b, so it rides the contraction's lhs — same K, zero extra
+    MACs, and the full-slab VPU complex-twiddle pass disappears (the
+    fstw discovery applied at f32: here the fold does not even raise the
+    dot count).  f64-generated (more exact than the in-kernel f32
+    cos/sin synthesis it replaces)."""
+    r1, r2 = _a0fs_split(n)
+    k = np.arange(r1)
+    b = np.arange(r2)
+    th = 2.0 * np.pi * float(sign) * (
+        np.outer(k, k)[None, :, :] / r1
+        + b[:, None, None] * k[None, :, None] / n)
+    return np.cos(th).astype(np.float32), np.sin(th).astype(np.float32)
+
+
 def _a0fs_precision() -> str:
     """MXU scheme of the four-step stage contractions — same options as
     :func:`_tail_precision` (Mosaic rejects Precision.HIGH; the 3-pass
@@ -1638,11 +1665,11 @@ def _runner_a0fs(stage: str, n: int, r1: int, r2: int, g: int, x: int,
 
     stage "a": view (pre*r1, r2, mid/g, g, x); slab [p*r1:+r1, b, c] =
         rows spaced r2 apart; r1-point DFT over the slab's leading axis
-        (3M HIGHEST ``dot_general`` on the (r1, r1) matrix — leading-axis
+        (``dot_general`` per :func:`_a0fs_precision` — leading-axis
         contraction of a 3-D operand is Mosaic-native); the four-step
-        twiddle W_n^{k1 * b} is synthesized in-kernel from the slab's b
-        (per-row scalars — zero table traffic); written back to the SAME
-        rows.
+        twiddle W_n^{k1 * b} is FOLDED into the per-slab lhs matrix
+        (diag(tw_b) @ W_r1, :func:`_a0fs_tw_mats` — same K, no VPU
+        twiddle pass); written back to the SAME rows.
     stage "b": view (pre*n, mid/g, g, x); slab [p*n + k1*r2:+r2, c] =
         one contiguous group, r2-point DFT over the leading axis; rows
         written to the 5-D view (pre*r2, r1, mid/g, g, x) at
@@ -1655,10 +1682,16 @@ def _runner_a0fs(stage: str, n: int, r1: int, r2: int, g: int, x: int,
     (``mpi/dft-rank1-bigvec.c``), re-shaped for DMA run granularity.
     """
     r = r1 if stage == "a" else r2
-    wr_np, wi_np = _dft_mat(r, sign)
-    s = np.float32(scale)
+    if stage == "a":
+        # twiddle-folded per-slab matrices (see _a0fs_tw_mats)
+        wr_np, wi_np = _a0fs_tw_mats(n, sign)
+    else:
+        wr_np, wi_np = _dft_mat(r, sign)
+        if scale != 1.0:
+            # fold the norm scale into the f64-generated stage-b matrix
+            wr_np = (wr_np.astype(np.float64) * scale).astype(np.float32)
+            wi_np = (wi_np.astype(np.float64) * scale).astype(np.float32)
     odt = _odt(io)
-    s2pi = 2.0 * np.pi * float(sign) / float(n)
     per = (r2 if stage == "a" else r1) * nc
 
     def kernel(xr_hbm, xi_hbm, wr_ref, wi_ref, yr_hbm, yi_hbm,
@@ -1717,22 +1750,17 @@ def _runner_a0fs(stage: str, n: int, r1: int, r2: int, g: int, x: int,
                 ur[slot] = vr[slot]
                 ui[slot] = vi[slot]
             else:
-                _, b, _ = _idx(i)
-                # four-step twiddle W_n^{row * b} (stage a) — synthesized
-                # per slab; f32-exact (row*b/n < r1, see _runner_cols_tw)
-                kv = jax.lax.broadcasted_iota(
-                    jnp.int32, (r, 1, 1), 0).astype(jnp.float32)
-                th = jnp.float32(s2pi) * kv * b.astype(jnp.float32)
-                twr = jnp.cos(th)
-                twi = jnp.sin(th)
-                fr, fi = _dg0_3m(wr_ref[:], wi_ref[:],
+                if stage == "a":
+                    # four-step twiddle rides the lhs matrix (selected
+                    # per slab by b — _a0fs_tw_mats); the stage-b norm
+                    # scale is likewise folded at table build
+                    _, b, _ = _idx(i)
+                    mr, mi = wr_ref[b], wi_ref[b]
+                else:
+                    mr, mi = wr_ref[:], wi_ref[:]
+                fr, fi = _dg0_3m(mr, mi,
                                  vr[slot].astype(jnp.float32),
                                  vi[slot].astype(jnp.float32))
-                if stage == "a":
-                    fr, fi = fr * twr - fi * twi, fr * twi + fi * twr
-                elif scale != 1.0:
-                    fr = fr * s
-                    fi = fi * s
                 ur[slot] = fr.astype(odt)
                 ui[slot] = fi.astype(odt)
             pltpu.make_async_copy(ur.at[slot], _dst(yr_hbm, i),
