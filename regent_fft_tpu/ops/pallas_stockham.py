@@ -71,7 +71,8 @@ _ENV_KNOBS = ("REGENT_FFT_TILE_IMPL", "REGENT_FFT_F2_SCRATCH",
               "REGENT_FFT_DMA_X", "REGENT_FFT_MXU_IMPL",
               "REGENT_FFT_C2R_IMPL", "REGENT_FFT_F2_PLANES",
               "REGENT_FFT_F2_VMEM_MB", "REGENT_FFT_F2_BODY",
-              "REGENT_FFT_F2_TILE", "REGENT_FFT_F2_RING_STRIPS")
+              "REGENT_FFT_F2_TILE", "REGENT_FFT_F2_RING_STRIPS",
+              "REGENT_FFT_RADIX8")
 
 
 # Per-plan MXU-scheme override stack (see precision_override): lets
@@ -141,25 +142,81 @@ def _tail_mt_cap() -> int:
     return int(os.environ.get("REGENT_FFT_TAIL_MT", "0")) or TAIL_MT
 
 
-def _plan_stages(n: int):
-    """HEAD radix-4 schedule: butterfly stages while the remaining
-    sub-length exceeds TAIL_MT (every head stage keeps its butterfly span
-    h = m/4 >= 16, i.e. full sublane tiles — the padded sub-8-row stages
-    that used to dominate kernel time are gone)."""
-    cap = _tail_mt_cap()
-    stages = []
+def _radix8_on() -> bool:
+    """Radix-8 head stages for power-of-two lengths (VERDICT r4 #1a:
+    cut the butterfly VPU flop count — FFTW ships n1_8/t1_8 codelets for
+    the same reason, ``fftw-3.3.8/dft/scalar/codelets/codlist.c``).  One
+    radix-8 stage replaces 1.5 radix-4 stages: fewer full-slab VPU
+    passes and fewer twiddle multiplies per element; n=512 collapses to
+    ONE head stage + a 64-point tail.
+
+    Measured NEUTRAL on v5e (r5 A/B, scripts/probe_radix8.py, honest
+    timer): 512^3 fused2 grid 7.86 vs 7.82 ms, ring 8.01 vs 7.82, full
+    512^3 plan 15.43 vs 15.51, 1-D 2048x2048 0.158 vs 0.162,
+    512x8192 0.138 vs 0.143 — every delta inside the attach's noise
+    band.  The head saving is cancelled by the doubled tail MACs (the
+    radix-8 plans land on mt=64 where radix-4 lands on mt=32 at n=512),
+    confirming the r4 attribution that the heads are NOT flop-bound.
+    Default OFF to keep the r4-measured headline configs; the knob stays
+    for future hardware where VPU-vs-MXU balance differs.  Split-radix
+    (same flop class, irregular slabs = MORE relayout) is ruled out by
+    this measurement a fortiori.  Same one-config-per-process caveat as
+    REGENT_FFT_TAIL_MT (_packed_tables is cached on (n, sign))."""
+    import os
+    return os.environ.get("REGENT_FFT_RADIX8", "0") == "1"
+
+
+@functools.lru_cache(maxsize=1024)
+def _stage_radices_for(n: int, cap: int, r8: bool):
+    """Head-stage radices (largest first) leaving an mt-point MXU tail.
+
+    Power-of-two n with radix-8 enabled: minimize the stage count onto
+    the largest tail <= cap — a radix-8 stages + b radix-4 stages with
+    3a + 2b = log2(n) - log2(tail), maximizing a (each radix-8 stage
+    saves half a full-slab VPU pass over its radix-4 expansion).
+    Everything else (mixed-radix n = mt*4^s, r8 off): the classic
+    divide-by-4 walk."""
+    if r8 and n > cap and (n & (n - 1)) == 0:
+        k = n.bit_length() - 1
+        for j in range(cap.bit_length() - 1, 2, -1):   # tail 2^j, largest
+            d = k - j
+            if d == 1:          # 3a + 2b = 1 has no solution
+                continue
+            a = d // 3
+            while a >= 0 and (d - 3 * a) % 2:
+                a -= 1
+            if a >= 0:
+                return (8,) * a + (4,) * ((d - 3 * a) // 2)
+    radices = []
     m = n
     while m > cap:
-        stages.append((4, m))
+        radices.append(4)
         m //= 4
+    return tuple(radices)
+
+
+def _stage_radices(n: int):
+    return _stage_radices_for(n, _tail_mt_cap(), _radix8_on())
+
+
+def _plan_stages(n: int):
+    """HEAD butterfly schedule: radix-4 (and radix-8 for pow2 lengths,
+    :func:`_radix8_on`) stages while the remaining sub-length exceeds
+    TAIL_MT (every head stage keeps its butterfly span h = m/r >= 16,
+    i.e. full sublane tiles — the padded sub-8-row stages that used to
+    dominate kernel time are gone)."""
+    stages = []
+    m = n
+    for r in _stage_radices(n):
+        stages.append((r, m))
+        m //= r
     return stages
 
 
 def _tail_mt(n: int) -> int:
-    cap = _tail_mt_cap()
     m = n
-    while m > cap:
-        m //= 4
+    for r in _stage_radices(n):
+        m //= r
     return m
 
 
@@ -231,6 +288,49 @@ def _cmul(br, bi, wr, wi):
     return br * wr - bi * wi, br * wi + bi * wr
 
 
+_SQRT_HALF = 0.7071067811865476
+
+
+def _bfly_core(q, r: int, s: float):
+    """One r-point DFT across r pre-sliced (re, im) slab pairs — the
+    butterfly of a self-sorting Stockham stage, un-twiddled (the caller
+    applies the stage twiddles to outputs 1..r-1).  Output index k is
+    spectral bin k of the r-point DFT (sign s), matching the Stockham
+    out[k*L + l] digit order.
+
+    radix-4: 3 adds-layers + one s*i rotation; radix-8 (the FFTW
+    n1_8-codelet analog): radix-2 split into even bins = radix-4 of the
+    sums and odd bins = rotated differences, costing two sqrt(1/2)
+    rotator scalings — ~25% fewer VPU flops per element than the two
+    radix-4 stages it replaces, in ONE slab pass instead of two."""
+    if r == 4:
+        (q0r, q0i), (q1r, q1i), (q2r, q2i), (q3r, q3i) = q
+        t0r, t0i = q0r + q2r, q0i + q2i
+        t1r, t1i = q0r - q2r, q0i - q2i
+        t2r, t2i = q1r + q3r, q1i + q3i
+        t3r, t3i = q1r - q3r, q1i - q3i
+        it3r, it3i = -s * t3i, s * t3r
+        return [(t0r + t2r, t0i + t2i), (t1r + it3r, t1i + it3i),
+                (t0r - t2r, t0i - t2i), (t1r - it3r, t1i - it3i)]
+    assert r == 8, r
+    a = [(q[j][0] + q[j + 4][0], q[j][1] + q[j + 4][1]) for j in range(4)]
+    b = [(q[j][0] - q[j + 4][0], q[j][1] - q[j + 4][1]) for j in range(4)]
+    e = _bfly_core(a, 4, s)                      # even bins 0, 2, 4, 6
+    (b0r, b0i), (b1r, b1i), (b2r, b2i), (b3r, b3i) = b
+    ib2r, ib2i = -s * b2i, s * b2r               # s*i * B2
+    ur, ui = b0r + ib2r, b0i + ib2i
+    vr, vi = b0r - ib2r, b0i - ib2i
+    ib3r, ib3i = -s * b3i, s * b3r               # s*i * B3
+    pr, pi = b1r + ib3r, b1i + ib3i
+    qr_, qi_ = b1r - ib3r, b1i - ib3i
+    c = _SQRT_HALF
+    # c8 * p with c8 = c*(1 + s*i); c8^3 * q with c8^3 = c*(-1 + s*i)
+    cpr, cpi = c * (pr - s * pi), c * (pi + s * pr)
+    cqr, cqi = c * (-qr_ - s * qi_), c * (s * qr_ - qi_)
+    return [e[0], (ur + cpr, ui + cpi), e[1], (vr + cqr, vi + cqi),
+            e[2], (ur - cpr, ui - cpi), e[3], (vr - cqr, vi - cqi)]
+
+
 def _stockham_tile_flat(xr, xi, n: int, sign: int, wr_all, wi_all):
     """Relayout-minimal variant of :func:`_stockham_tile`.
 
@@ -248,27 +348,18 @@ def _stockham_tile_flat(xr, xi, n: int, sign: int, wr_all, wi_all):
     slabs = [(xr, xi)]
     for (r, m), offs in zip(_plan_stages(n), offsets):
         h = m // r
-        ws = []
-        for (start, hh) in offs:
-            ws.append(wr_all[start:start + hh, :1])
-            ws.append(wi_all[start:start + hh, :1])
-        w1r, w1i, w2r, w2i, w3r, w3i = ws
+        ws = [(wr_all[st:st + hh, :1], wi_all[st:st + hh, :1])
+              for (st, hh) in offs]
         L = len(slabs)
-        out = [None] * (4 * L)
+        out = [None] * (r * L)
         for l, (ar, ai) in enumerate(slabs):
-            q0r, q0i = ar[0*h:1*h], ai[0*h:1*h]
-            q1r, q1i = ar[1*h:2*h], ai[1*h:2*h]
-            q2r, q2i = ar[2*h:3*h], ai[2*h:3*h]
-            q3r, q3i = ar[3*h:4*h], ai[3*h:4*h]
-            t0r, t0i = q0r + q2r, q0i + q2i
-            t1r, t1i = q0r - q2r, q0i - q2i
-            t2r, t2i = q1r + q3r, q1i + q3i
-            t3r, t3i = q1r - q3r, q1i - q3i
-            it3r, it3i = -s * t3i, s * t3r
-            out[0*L + l] = (t0r + t2r, t0i + t2i)
-            out[1*L + l] = _pair_cmul(t1r + it3r, t1i + it3i, w1r, w1i)
-            out[2*L + l] = _pair_cmul(t0r - t2r, t0i - t2i, w2r, w2i)
-            out[3*L + l] = _pair_cmul(t1r - it3r, t1i - it3i, w3r, w3i)
+            q = [(ar[j * h:(j + 1) * h], ai[j * h:(j + 1) * h])
+                 for j in range(r)]
+            ys = _bfly_core(q, r, s)
+            out[l] = ys[0]
+            for k in range(1, r):
+                out[k * L + l] = _pair_cmul(ys[k][0], ys[k][1],
+                                            ws[k - 1][0], ws[k - 1][1])
         slabs = out
     mt = _tail_mt(n)
     L = len(slabs)
@@ -1589,6 +1680,13 @@ def _dg0_3m(mr, mi, ar, ai):
     while K triples/sextuples, fixing the tiny-K MXU underutilization
     of the (r, r) stage matmuls."""
     p = _a0fs_precision()
+    if p == "h4" and mr.shape[1] < 32:
+        # Mirror _dg_3m's guard: Mosaic fails layout inference on the
+        # K=2r fold below K=32 (measured at mt=16 on the tail form, same
+        # fold shape); axis0_fourstep_supported admits n=64 (r1=r2=8,
+        # folded K=16), a regime the 512^3 hardware validation (r=16/32)
+        # never exercised.  Small stages keep the exact 3M form.
+        p = "highest"
     catm = functools.partial(jnp.concatenate, axis=-1)
     cata = functools.partial(jnp.concatenate, axis=0)
 
@@ -1951,29 +2049,16 @@ def _stockham_head(xr, xi, n: int, sign: int, wr_all, wi_all):
     _, _, offsets = _packed_tables(n, sign)
     for (r, m), offs in zip(_plan_stages(n), offsets):
         h = m // r
-        ws = []
-        for (start, hh) in offs:
-            ws.append(wr_all[start:start + hh, :1])
-            ws.append(wi_all[start:start + hh, :1])
-        w1r, w1i = ws[0][None], ws[1][None]
-        w2r, w2i = ws[2][None], ws[3][None]
-        w3r, w3i = ws[4][None], ws[5][None]
-        q0r, q0i = ar[:, 0*h:1*h, :], ai[:, 0*h:1*h, :]
-        q1r, q1i = ar[:, 1*h:2*h, :], ai[:, 1*h:2*h, :]
-        q2r, q2i = ar[:, 2*h:3*h, :], ai[:, 2*h:3*h, :]
-        q3r, q3i = ar[:, 3*h:4*h, :], ai[:, 3*h:4*h, :]
-        t0r, t0i = q0r + q2r, q0i + q2i
-        t1r, t1i = q0r - q2r, q0i - q2i
-        t2r, t2i = q1r + q3r, q1i + q3i
-        t3r, t3i = q1r - q3r, q1i - q3i
-        it3r, it3i = -s * t3i, s * t3r
-        y0r, y0i = t0r + t2r, t0i + t2i
-        y1r, y1i = _cmul(t1r + it3r, t1i + it3i, w1r, w1i)
-        y2r, y2i = _cmul(t0r - t2r, t0i - t2i, w2r, w2i)
-        y3r, y3i = _cmul(t1r - it3r, t1i - it3i, w3r, w3i)
-        ar = jnp.stack([y0r, y1r, y2r, y3r], axis=0).reshape(4 * L, h, v)
-        ai = jnp.stack([y0i, y1i, y2i, y3i], axis=0).reshape(4 * L, h, v)
-        L *= 4
+        ws = [(wr_all[st:st + hh, :1][None], wi_all[st:st + hh, :1][None])
+              for (st, hh) in offs]
+        q = [(ar[:, j * h:(j + 1) * h, :], ai[:, j * h:(j + 1) * h, :])
+             for j in range(r)]
+        ys = _bfly_core(q, r, s)
+        outs = [ys[0]] + [_cmul(yr_, yi_, wr_, wi_)
+                          for (yr_, yi_), (wr_, wi_) in zip(ys[1:], ws)]
+        ar = jnp.stack([o[0] for o in outs], axis=0).reshape(r * L, h, v)
+        ai = jnp.stack([o[1] for o in outs], axis=0).reshape(r * L, h, v)
+        L *= r
     mt = _tail_mt(n)
     return ar.reshape(L, mt, v), ai.reshape(L, mt, v)
 
@@ -2128,7 +2213,9 @@ def _fwd_and_rev_spectra(zr, zi, n: int, wr_full, wi_full, tb: int):
         wi_full[T + 2 * mt2:T + 3 * mt2]
     if L > 1:
         # leading-axis reversal as static slice-concat (Mosaic has no
-        # `rev` primitive, even for untiled leading dims; L <= 16).  A
+        # `rev` primitive, even for untiled leading dims; L = n/mt can
+        # reach 64: at n=2048 _tail_mt's divide-by-4 walk under the
+        # TAIL_MT=64 cap lands on mt=32).  A
         # 16x16 permutation DOT at HIGHEST was measured SLOWER (2.24 ->
         # 2.86 ms at 1024x65536 — tiny-K emulation dots lose to the
         # relayout, r4): do not retry.

@@ -207,6 +207,51 @@ def _tangle_packed(xr, xi, loc_axes, sh_axis: int, axis_name, p: int):
             jnp.where(mask, (x0i + nqr)[..., None], xi[..., :m]))
 
 
+def _constrain(x, sharding):
+    """with_sharding_constraint, skipped when the array's extents do not
+    divide the sharding (uneven-block plans: jax NamedShardings require
+    divisibility; the executor pads to blocks internally, so the
+    constraint is a layout hint we can safely drop)."""
+    spec = sharding.spec
+    mesh = sharding.mesh
+    for dim, names in enumerate(spec):
+        if names is None:
+            continue
+        if isinstance(names, str):
+            names = (names,)
+        size = int(np.prod([mesh.shape[nm] for nm in names]))
+        if x.shape[dim] % size:
+            return x
+    return jax.lax.with_sharding_constraint(x, sharding)
+
+
+def _blk(n: int, p: int) -> int:
+    """FFTW's ``XM(default_block)`` analog — ceil(n/p) with a short last
+    block (``/root/reference/fftw-3.3.8/mpi/block.c:39``).  shard_map
+    needs EQUAL shards, so uneven distributions are realized as
+    pad-to-block inside the plan (zeros ride the collectives; the
+    transform axes are always sliced back to their true length before
+    being transformed) with a crop on exit."""
+    return -(-int(n) // int(p))
+
+
+def _pad_axis(x, axis: int, to: int):
+    """Zero-pad ``axis`` up to length ``to`` (no-op when already there)."""
+    cur = x.shape[axis]
+    if cur == to:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, to - cur)
+    return jnp.pad(x, cfg)
+
+
+def _slice_axis(x, axis: int, to: int):
+    """Slice ``axis`` down to its true length ``to`` (no-op if equal)."""
+    if x.shape[axis] == to:
+        return x
+    return jax.lax.slice_in_dim(x, 0, to, axis=axis)
+
+
 def _chunked(n_chunks: int, extent: int):
     """Chunk slices along an axis for the overlap pipeline (1 = off)."""
     c = max(1, min(n_chunks, extent))
@@ -257,8 +302,8 @@ class DistributedFFTPlan:
                       else jnp.float32)
         if sx.re.shape != self.global_shape:
             raise ValueError(f"input shape {sx.re.shape} != planned {self.global_shape}")
-        xr = jax.lax.with_sharding_constraint(sx.re, self.in_sharding)
-        xi = jax.lax.with_sharding_constraint(sx.im, self.in_sharding)
+        xr = _constrain(sx.re, self.in_sharding)
+        xi = _constrain(sx.im, self.in_sharding)
         yr, yi = self._fn(xr, xi)
         return from_split(SplitComplex(yr, yi), jnp.complex64 if self.dtype != "complex32" else "complex32")
 
@@ -369,8 +414,7 @@ def make_plan_shards(shape, kind=Kind.C2C, direction=Direction.FORWARD,
                 if x.shape != shape:
                     raise ValueError(
                         f"input shape {x.shape} != planned {shape}")
-                x = jax.lax.with_sharding_constraint(
-                    x.astype(jnp.float32), self.in_sharding)
+                x = _constrain(x.astype(jnp.float32), self.in_sharding)
                 yr, yi = self._fn(x)
                 return from_split(SplitComplex(yr, yi), jnp.complex64)
             execute = __call__
@@ -400,8 +444,8 @@ def make_plan_shards(shape, kind=Kind.C2C, direction=Direction.FORWARD,
             if sx.re.shape != half_global:
                 raise ValueError(f"input shape {sx.re.shape} != planned "
                                  f"half layout {half_global}")
-            xr = jax.lax.with_sharding_constraint(sx.re, self.in_sharding)
-            xi = jax.lax.with_sharding_constraint(sx.im, self.in_sharding)
+            xr = _constrain(sx.re, self.in_sharding)
+            xi = _constrain(sx.im, self.in_sharding)
             return self._fn(xr, xi)
         execute = __call__
 
@@ -459,8 +503,15 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     nd_ = len(shape)
     if nd_ < 2:
         raise ValueError("slab decomposition needs rank >= 2")
-    if shape[0] % p != 0 or shape[-1] % p != 0:
-        raise ValueError(f"axes 0 and -1 must be divisible by mesh size {p}: {shape}")
+    # Uneven block distribution (FFTW XM(default_block),
+    # ``/root/reference/fftw-3.3.8/mpi/block.c:39``): non-divisible axes
+    # are padded to p*ceil(n/p) blocks inside the plan — the pad rows are
+    # zeros (or placeholder spectrum lanes that never feed a transform at
+    # padded length: every transform axis is sliced to its TRUE length
+    # while locally complete) and the output is cropped on exit.
+    n0, nl = shape[0], shape[-1]
+    n0p, nlp = p * _blk(n0, p), p * _blk(nl, p)
+    uneven0, unevenl = n0p != n0, nlp != nl
     howmany = int(howmany)
     off = 1 if howmany > 1 else 0       # leading batch axis present?
     bshape = ((howmany,) if off else ()) + shape
@@ -474,32 +525,48 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     # the batch is just an extra leading non-transformed axis of the
     # local specs (the cores are batch-polymorphic over leading extents).
     core_local = _local_core(
-        bshape[:off] + (shape[0] // p,) + shape[1:],
+        bshape[:off] + (_blk(n0, p),) + shape[1:],
         range(off + 1, off + nd_), direction, **core_kw)
     core_ax0 = _local_core(
-        bshape[:off] + (shape[0],) + shape[1:-1] + (shape[-1] // p,),
+        bshape[:off] + (n0,) + shape[1:-1] + (_blk(nl, p),),
         (off,), direction, **core_kw)
     chunks = pipeline_chunks if nd_ >= 3 else 1
     ax0, axl = off, off + nd_ - 1       # slab axis / last axis positions
+    flops = max(howmany, 1) * 5.0 * n_total * math.log2(max(n_total, 2))
+    unv = f" [uneven blocks {n0}->{n0p}|{nl}->{nlp}]" \
+        if (uneven0 or unevenl) else ""
 
     if transposed_in:
         # Reversed pipeline: (Z, ..., X/P) in -> fft(Z) -> one a2a back
         # to slabs -> fft(local axes) -> (Z/P, ..., X) out.
         def local_fn(xr, xi):
-            xr, xi = core_ax0(xr, xi)
+            xr, xi = core_ax0(xr, xi)           # axis0 true length
+            if uneven0:                         # zeros ride the a2a
+                xr = _pad_axis(xr, ax0, n0p)
+                xi = _pad_axis(xi, ax0, n0p)
             xr, xi = _a2a(xr, xi, axis_name, ax0, axl)
+            if unevenl:                         # slice BEFORE transforming
+                xr = _slice_axis(xr, axl, nl)
+                xi = _slice_axis(xi, axl, nl)
             xr, xi = core_local(xr, xi)
             return _apply_scale(xr, xi, scale)
 
         slab_spec = P(*([None] * off), axis_name, *([None] * (nd_ - 1)))
         in_spec = P(*([None] * (off + nd_ - 1)), axis_name)
-        fn = shard_map(local_fn, mesh=mesh, in_specs=(in_spec, in_spec),
-                       out_specs=(slab_spec, slab_spec))
+        fn_inner = shard_map(local_fn, mesh=mesh, in_specs=(in_spec, in_spec),
+                             out_specs=(slab_spec, slab_spec))
+        if uneven0 or unevenl:
+            def fn(xr, xi):
+                xr, xi = _pad_axis(xr, axl, nlp), _pad_axis(xi, axl, nlp)
+                yr, yi = fn_inner(xr, xi)
+                return (_slice_axis(yr, ax0, n0),
+                        _slice_axis(yi, ax0, n0))
+        else:
+            fn = fn_inner
         desc = (f"(plan-distrib-slab shape={shape} P={p} axis={axis_name} "
                 f"{f'howmany={howmany} ' if off else ''}"
                 f"[transposed input] fft(axis0) -> all_to_all(ICI) -> "
-                f"local-{nd_-1}ax-fft)")
-        flops = max(howmany, 1) * 5.0 * n_total * math.log2(max(n_total, 2))
+                f"local-{nd_-1}ax-fft{unv})")
         return DistributedFFTPlan(desc, mesh, in_spec, slab_spec, fn, bshape,
                                   dtype, flops, donate)
 
@@ -507,8 +574,14 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
         # Distributed transpose over ICI: gather axis 0, scatter axis -1,
         # transform the former slab axis, optionally transpose back.
         cr, ci = _a2a(cr, ci, axis_name, axl, ax0)
+        if uneven0:                     # axis 0 now locally complete:
+            cr = _slice_axis(cr, ax0, n0)   # transform at TRUE length
+            ci = _slice_axis(ci, ax0, n0)
         cr, ci = core_ax0(cr, ci)
         if not transposed_out:
+            if uneven0:
+                cr = _pad_axis(cr, ax0, n0p)
+                ci = _pad_axis(ci, ax0, n0p)
             cr, ci = _a2a(cr, ci, axis_name, ax0, axl)
         return cr, ci
 
@@ -517,6 +590,11 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     def local_fn(xr, xi):
         # (Z/P, ..., X): all locally-complete axes first.
         xr, xi = core_local(xr, xi)
+        if unevenl:
+            # the LAST axis is already transformed: padding its spectrum
+            # with placeholder zero lanes only evens the a2a split
+            xr = _pad_axis(xr, axl, nlp)
+            xi = _pad_axis(xi, axl, nlp)
         if chunks <= 1:
             xr, xi = _phase2(xr, xi)
         else:
@@ -532,14 +610,22 @@ def make_plan_slab(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     in_spec = P(*([None] * off), axis_name, *([None] * (nd_ - 1)))
     out_spec = (P(*([None] * (off + nd_ - 1)), axis_name)
                 if transposed_out else in_spec)
-    fn = shard_map(local_fn, mesh=mesh, in_specs=(in_spec, in_spec),
-                   out_specs=(out_spec, out_spec))
+    fn_inner = shard_map(local_fn, mesh=mesh, in_specs=(in_spec, in_spec),
+                         out_specs=(out_spec, out_spec))
+    if uneven0 or unevenl:
+        def fn(xr, xi):
+            xr, xi = _pad_axis(xr, ax0, n0p), _pad_axis(xi, ax0, n0p)
+            yr, yi = fn_inner(xr, xi)
+            if not transposed_out:
+                yr, yi = _slice_axis(yr, ax0, n0), _slice_axis(yi, ax0, n0)
+            return _slice_axis(yr, axl, nl), _slice_axis(yi, axl, nl)
+    else:
+        fn = fn_inner
     desc = (f"(plan-distrib-slab shape={shape} P={p} axis={axis_name} "
             f"{f'howmany={howmany} ' if off else ''}"
             f"local-{nd_-1}ax-fft -> all_to_all(ICI) -> fft(axis0)"
             f"{' [transposed output]' if transposed_out else ' -> all_to_all back'}"
-            f"{f' [pipelined x{chunks}]' if chunks > 1 else ''})")
-    flops = max(howmany, 1) * 5.0 * n_total * math.log2(max(n_total, 2))
+            f"{f' [pipelined x{chunks}]' if chunks > 1 else ''}{unv})")
     return DistributedFFTPlan(desc, mesh, in_spec, out_spec, fn, bshape,
                               dtype, flops, donate)
 
@@ -565,17 +651,26 @@ def make_plan_slab_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
     nd_ = len(shape)
     if nd_ < 3:
         raise ValueError("slab r2c needs rank >= 3 (use single-chip rfftn below that)")
-    if shape[0] % p or shape[1] % p:
-        raise ValueError(f"axes 0 and 1 must be divisible by mesh size {p}: {shape}")
+    # Uneven blocks (mpi/block.c:39 analog; see make_plan_slab): axis 0
+    # is zero-padded at entry (zero REAL rows transform to zero spectrum
+    # rows), axis 1 is padded with placeholder lanes AFTER its local
+    # transform; both are cropped on exit.
+    n0, n1 = shape[0], shape[1]
+    n0p, n1p = p * _blk(n0, p), p * _blk(n1, p)
+    uneven0, uneven1 = n0p != n0, n1p != n1
+    uneven = uneven0 or uneven1
     n_total = int(np.prod(shape))
     scale = _norm_scale(n_total, Direction.FORWARD, norm)
     core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
                    backend=backend)
-    local_real = (shape[0] // p,) + shape[1:]
+    local_real = (_blk(n0, p),) + shape[1:]
     xh = shape[-1] // 2 + 1
     mid_axes = tuple(range(1, nd_ - 1))
     from ..ops import pallas_stockham as _ps
-    packed = _ps.r2c_packed_supported(shape[-1])
+    # The packed-transport untangle's modular frequency reversal runs
+    # over the GLOBAL sharded-axis extent, which padding would corrupt —
+    # uneven shapes take the unpacked path.
+    packed = _ps.r2c_packed_supported(shape[-1]) and not uneven
     if packed:
         # Nyquist-packed transport (STATUS r2 limitation 4 closed): the
         # half spectrum crosses every collective at n/2 lanes (lane-
@@ -610,27 +705,45 @@ def make_plan_slab_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
         core_mid = _local_core(local_real[:-1] + (xh,), mid_axes,
                                Direction.FORWARD, **core_kw)
         core_z = _local_core(
-            (shape[0],) + (shape[1] // p,) + shape[2:-1] + (xh,), (0,),
+            (n0,) + (_blk(n1, p),) + shape[2:-1] + (xh,), (0,),
             Direction.FORWARD, **core_kw)
 
         def local_fn(x):
             xr, xi = core_r2c(x)                                 # halve X
             xr, xi = core_mid(xr, xi)                            # mid axes
+            if uneven1:   # axis 1 already transformed: placeholder lanes
+                xr = _pad_axis(xr, 1, n1p)
+                xi = _pad_axis(xi, 1, n1p)
             xr, xi = _a2a(xr, xi, axis_name, 1, 0)
+            if uneven0:   # slab axis locally complete: TRUE length
+                xr = _slice_axis(xr, 0, n0)
+                xi = _slice_axis(xi, 0, n0)
             xr, xi = core_z(xr, xi)                              # slab axis
             if not transposed_out:
+                if uneven0:
+                    xr = _pad_axis(xr, 0, n0p)
+                    xi = _pad_axis(xi, 0, n0p)
                 xr, xi = _a2a(xr, xi, axis_name, 0, 1)
             return _apply_scale(xr, xi, scale)
 
     in_spec = P(axis_name, *([None] * (nd_ - 1)))
     out_spec = (P(None, axis_name, *([None] * (nd_ - 2)))
                 if transposed_out else in_spec)
-    fn = shard_map(local_fn, mesh=mesh, in_specs=(in_spec,),
-                   out_specs=(out_spec, out_spec))
+    fn_inner = shard_map(local_fn, mesh=mesh, in_specs=(in_spec,),
+                         out_specs=(out_spec, out_spec))
+    if uneven:
+        def fn(x):
+            yr, yi = fn_inner(_pad_axis(x, 0, n0p))
+            if not transposed_out:
+                yr, yi = _slice_axis(yr, 0, n0), _slice_axis(yi, 0, n0)
+            return _slice_axis(yr, 1, n1), _slice_axis(yi, 1, n1)
+    else:
+        fn = fn_inner
     half = shape[:-1] + (shape[-1] // 2 + 1,)
     desc = (f"(plan-distrib-slab-r2c real-shape={shape} half={half} P={p} "
             f"r2c(X)+fft(mid) -> a2a(Y<->Z) -> fft(Z)"
-            f"{' [transposed output]' if transposed_out else ' -> a2a back'})")
+            f"{' [transposed output]' if transposed_out else ' -> a2a back'}"
+            f"{f' [uneven blocks {n0}->{n0p}|{n1}->{n1p}]' if uneven else ''})")
     flops = 2.5 * n_total * math.log2(max(n_total, 2))
 
     class _R2CPlan(DistributedFFTPlan):
@@ -642,8 +755,7 @@ def make_plan_slab_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
             x = jnp.asarray(_require_real(x, "slab R2C plan"))
             if x.shape != shape:
                 raise ValueError(f"input shape {x.shape} != planned {shape}")
-            x = jax.lax.with_sharding_constraint(
-                x.astype(jnp.float32), self.in_sharding)
+            x = _constrain(x.astype(jnp.float32), self.in_sharding)
             yr, yi = self._fn(x)
             return from_split(SplitComplex(yr, yi), jnp.complex64)
         execute = __call__
@@ -673,17 +785,21 @@ def make_plan_slab_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
     nd_ = len(shape)
     if nd_ < 3:
         raise ValueError("slab c2r needs rank >= 3")
-    if shape[0] % p or shape[1] % p:
-        raise ValueError(f"axes 0 and 1 must be divisible by mesh size {p}: {shape}")
+    # Uneven blocks: reverse of make_plan_slab_r2c — padded input
+    # spectrum rows/lanes are sliced off before each inverse transform.
+    n0, n1 = shape[0], shape[1]
+    n0p, n1p = p * _blk(n0, p), p * _blk(n1, p)
+    uneven0, uneven1 = n0p != n0, n1p != n1
+    uneven = uneven0 or uneven1
     n_total = int(np.prod(shape))
     scale = _norm_scale(n_total, Direction.BACKWARD, norm)
     core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
                    backend=backend)
-    local_real = (shape[0] // p,) + shape[1:]
+    local_real = (_blk(n0, p),) + shape[1:]
     xh = shape[-1] // 2 + 1
     mid_axes = tuple(range(1, nd_ - 1))
     from ..ops import pallas_stockham as _ps
-    packed = _ps.r2c_packed_supported(shape[-1])
+    packed = _ps.r2c_packed_supported(shape[-1]) and not uneven
     if packed:
         # Nyquist-packed transport, c2r side: tangle the endpoint bins
         # into packed lane 0 at INPUT (with the conjugate-even projection
@@ -722,15 +838,27 @@ def make_plan_slab_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
         core_mid = _local_core(local_real[:-1] + (xh,), mid_axes,
                                Direction.BACKWARD, **core_kw)
         core_z = _local_core(
-            (shape[0],) + (shape[1] // p,) + shape[2:-1] + (xh,), (0,),
+            (n0,) + (_blk(n1, p),) + shape[2:-1] + (xh,), (0,),
             Direction.BACKWARD, **core_kw)
 
         def local_fn(xr, xi):
             if not transposed_in:
                 # (Z/P, Y, Xh) -> gather Z, shard Y
+                if uneven1:   # placeholder lanes even the axis-1 split
+                    xr = _pad_axis(xr, 1, n1p)
+                    xi = _pad_axis(xi, 1, n1p)
                 xr, xi = _a2a(xr, xi, axis_name, 1, 0)
+            if uneven0:       # Z locally complete: drop padded bins
+                xr = _slice_axis(xr, 0, n0)
+                xi = _slice_axis(xi, 0, n0)
             xr, xi = core_z(xr, xi)                              # inverse Z
+            if uneven0:
+                xr = _pad_axis(xr, 0, n0p)
+                xi = _pad_axis(xi, 0, n0p)
             xr, xi = _a2a(xr, xi, axis_name, 0, 1)
+            if uneven1:       # Y locally complete: drop padded bins
+                xr = _slice_axis(xr, 1, n1)
+                xi = _slice_axis(xi, 1, n1)
             xr, xi = core_mid(xr, xi)                            # inverse mid
             y = core_c2r(xr, xi)                                 # unpack X
             if scale != 1.0:
@@ -740,13 +868,23 @@ def make_plan_slab_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
     slab_spec = P(axis_name, *([None] * (nd_ - 1)))
     in_spec = (P(None, axis_name, *([None] * (nd_ - 2)))
                if transposed_in else slab_spec)
-    fn = shard_map(local_fn, mesh=mesh, in_specs=(in_spec, in_spec),
-                   out_specs=slab_spec)
+    fn_inner = shard_map(local_fn, mesh=mesh, in_specs=(in_spec, in_spec),
+                         out_specs=slab_spec)
+    if uneven:
+        pad_ax = 1 if transposed_in else 0
+        pad_to = n1p if transposed_in else n0p
+        def fn(xr, xi):
+            y = fn_inner(_pad_axis(xr, pad_ax, pad_to),
+                         _pad_axis(xi, pad_ax, pad_to))
+            return _slice_axis(y, 0, n0)
+    else:
+        fn = fn_inner
     half = shape[:-1] + (shape[-1] // 2 + 1,)
     desc = (f"(plan-distrib-slab-c2r real-shape={shape} P={p} "
             f"{'[transposed input] ' if transposed_in else 'a2a -> '}"
             f"ifft(Z) -> a2a -> ifft(mid) -> c2r(X)"
-            f"{' [nyquist-packed transport]' if packed else ''})")
+            f"{' [nyquist-packed transport]' if packed else ''}"
+            f"{f' [uneven blocks {n0}->{n0p}|{n1}->{n1p}]' if uneven else ''})")
     flops = 2.5 * n_total * math.log2(max(n_total, 2))
 
     class _C2RPlan(DistributedFFTPlan):
@@ -756,8 +894,8 @@ def make_plan_slab_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
             sx = as_split(x, jnp.float32)
             if sx.re.shape != half:
                 raise ValueError(f"input shape {sx.re.shape} != planned half-spectrum {half}")
-            xr = jax.lax.with_sharding_constraint(sx.re, self.in_sharding)
-            xi = jax.lax.with_sharding_constraint(sx.im, self.in_sharding)
+            xr = _constrain(sx.re, self.in_sharding)
+            xi = _constrain(sx.im, self.in_sharding)
             return self._fn(xr, xi)
         execute = __call__
 
@@ -952,10 +1090,15 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     a1, a2 = mesh.axis_names
     p1, p2 = int(mesh.shape[a1]), int(mesh.shape[a2])
     z, y, x = shape
-    if z % p1 or y % p1 or y % p2 or x % p2:
-        raise ValueError(
-            f"shape {shape} not divisible for pencil mesh ({p1},{p2}): "
-            f"need P1|Z, P1|Y, P2|Y, P2|X")
+    # Uneven blocks (mpi/block.c:39 analog; see make_plan_slab): Z pads
+    # to P1 blocks, Y to lcm(P1, P2) blocks (it is split over BOTH mesh
+    # axes), X to P2 blocks; every transform still runs at true length.
+    lcm12 = p1 * p2 // math.gcd(p1, p2)
+    zp = p1 * _blk(z, p1)
+    yp = lcm12 * _blk(y, lcm12)
+    xp = p2 * _blk(x, p2)
+    unz, uny, unx = zp != z, yp != y, xp != x
+    uneven = unz or uny or unx
     n_total = z * y * x
     howmany = int(howmany)
     off = 1 if howmany > 1 else 0
@@ -964,26 +1107,39 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
                    backend=backend, dtype=dtype)
     b = bshape[:off]
-    core_x = _local_core(b + (z // p1, y // p2, x), (off + 2,), direction,
-                         **core_kw)
-    core_y = _local_core(b + (z // p1, y, x // p2), (off + 1,), direction,
-                         **core_kw)
-    zsl1 = _chunked(pipeline_chunks, z // p1)
-    xsl2 = _chunked(pipeline_chunks2, x // p2)
-    core_z = _local_core(b + (z, y // p1, (x // p2) // len(xsl2)), (off,),
+    core_x = _local_core(b + (_blk(z, p1), _blk(y, p2), x), (off + 2,),
+                         direction, **core_kw)
+    core_y = _local_core(b + (_blk(z, p1), y, xp // p2), (off + 1,),
+                         direction, **core_kw)
+    zsl1 = _chunked(pipeline_chunks, zp // p1)
+    xsl2 = _chunked(pipeline_chunks2, xp // p2)
+    core_z = _local_core(b + (z, yp // p1, (xp // p2) // len(xsl2)), (off,),
                          direction, **core_kw)
     pre = (slice(None),) * off
 
     def _seg1(cr, ci):
         cr, ci = _a2a(cr, ci, a2, off + 2, off + 1)           # X <-> Y
-        return core_y(cr, ci)
+        if uny:                          # Y locally complete: TRUE length
+            cr = _slice_axis(cr, off + 1, y)
+            ci = _slice_axis(ci, off + 1, y)
+        cr, ci = core_y(cr, ci)
+        if uny:                          # re-pad for the a1 split
+            cr = _pad_axis(cr, off + 1, yp)
+            ci = _pad_axis(ci, off + 1, yp)
+        return cr, ci
 
     def _seg2(cr, ci):
         cr, ci = _a2a(cr, ci, a1, off + 1, off)               # Y <-> Z
+        if unz:
+            cr = _slice_axis(cr, off, z)
+            ci = _slice_axis(ci, off, z)
         return core_z(cr, ci)
 
     def local_fn(xr, xi):
         xr, xi = core_x(xr, xi)                               # (Z/P1, Y/P2, X)
+        if unx:   # X already transformed: placeholder lanes for the split
+            xr = _pad_axis(xr, off + 2, xp)
+            xi = _pad_axis(xi, off + 2, xp)
         if len(zsl1) == 1:
             xr, xi = _seg1(xr, xi)                            # (Z/P1, Y, X/P2)
         else:
@@ -998,14 +1154,27 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
             xr = jnp.concatenate([o[0] for o in outs], axis=off + 2)
             xi = jnp.concatenate([o[1] for o in outs], axis=off + 2)
         if not transposed_out:
+            if unz:
+                xr = _pad_axis(xr, off, zp)
+                xi = _pad_axis(xi, off, zp)
             xr, xi = _a2a(xr, xi, a1, off, off + 1)
             xr, xi = _a2a(xr, xi, a2, off + 1, off + 2)
         return _apply_scale(xr, xi, scale)
 
     in_spec = P(*([None] * off), a1, a2, None)
     out_spec = P(*([None] * off), None, a1, a2) if transposed_out else in_spec
-    fn = shard_map(local_fn, mesh=mesh, in_specs=(in_spec, in_spec),
-                   out_specs=(out_spec, out_spec))
+    fn_inner = shard_map(local_fn, mesh=mesh, in_specs=(in_spec, in_spec),
+                         out_specs=(out_spec, out_spec))
+    if uneven:
+        def fn(xr, xi):
+            xr = _pad_axis(_pad_axis(xr, off, zp), off + 1, yp)
+            xi = _pad_axis(_pad_axis(xi, off, zp), off + 1, yp)
+            yr, yi = fn_inner(xr, xi)
+            for ax, to in ((off, z), (off + 1, y), (off + 2, x)):
+                yr, yi = _slice_axis(yr, ax, to), _slice_axis(yi, ax, to)
+            return yr, yi
+    else:
+        fn = fn_inner
     desc = (f"(plan-distrib-pencil shape={shape} mesh=({p1}x{p2}) "
             f"{f'howmany={howmany} ' if off else ''}"
             f"fftX -> a2a[{a2}]"
@@ -1013,7 +1182,8 @@ def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
             f" -> fftY -> a2a[{a1}]"
             f"{f'/{len(xsl2)}chunks' if len(xsl2) > 1 else ''}"
             f" -> fftZ"
-            f"{' [transposed output]' if transposed_out else ' -> 2x a2a back'})")
+            f"{' [transposed output]' if transposed_out else ' -> 2x a2a back'}"
+            f"{f' [uneven blocks {z}->{zp}|{y}->{yp}|{x}->{xp}]' if uneven else ''})")
     flops = max(howmany, 1) * 5.0 * n_total * math.log2(max(n_total, 2))
     return DistributedFFTPlan(desc, mesh, in_spec, out_spec, fn, bshape,
                               dtype, flops, donate)
@@ -1056,17 +1226,19 @@ def make_plan_pencil_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
     a1, a2 = mesh.axis_names
     p1, p2 = int(mesh.shape[a1]), int(mesh.shape[a2])
     z, y, x = shape
-    if z % (p1 * p2) or y % (p1 * p2):
-        raise ValueError(
-            f"shape {shape} not divisible for pencil-r2c mesh ({p1},{p2}): "
-            f"need P1*P2 | Z and P1*P2 | Y")
+    # Uneven blocks: Z and Y pad to P1*P2 blocks (both are split over
+    # both mesh axes across the pipeline); the halved X axis never
+    # crosses a collective, so it needs no padding.
+    pp = p1 * p2
+    zp, yp = pp * _blk(z, pp), pp * _blk(y, pp)
+    uneven = (zp, yp) != (z, y)
     n_total = z * y * x
     scale = _norm_scale(n_total, Direction.FORWARD, norm)
     xh = x // 2 + 1
     core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
                    backend=backend)
     from ..ops import pallas_stockham as _ps
-    packed = _ps.r2c_packed_supported(x)
+    packed = _ps.r2c_packed_supported(x) and not uneven
     if packed:
         # Nyquist-packed transport for the pencil path: all THREE
         # all_to_alls (and the Z/Y transforms) run at x/2 lane-aligned
@@ -1090,31 +1262,47 @@ def make_plan_pencil_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
             yr, yi = _untangle_packed(yr, yi, [1], 0, (a1, a2), p1 * p2)
             return _apply_scale(yr, yi, scale)
     else:
-        core_r2c = _local_core((z // p1, y // p2, x), (2,), kind=Kind.R2C,
-                               **core_kw)
-        core_z = _local_core((z, y // (p1 * p2), xh), (0,),
+        core_r2c = _local_core((_blk(z, p1), _blk(y, p2), x), (2,),
+                               kind=Kind.R2C, **core_kw)
+        core_z = _local_core((z, yp // pp, xh), (0,),
                              Direction.FORWARD, **core_kw)
-        core_y = _local_core((z // (p1 * p2), y, xh), (1,),
+        core_y = _local_core((zp // pp, y, xh), (1,),
                              Direction.FORWARD, **core_kw)
 
         def local_fn(v):
             xr, xi = core_r2c(v)                            # (Z/P1, Y/P2, Xh)
             xr, xi = _a2a(xr, xi, a1, 1, 0)                 # (Z, Y/(P1P2), Xh)
+            if uneven:                  # Z locally complete: TRUE length
+                xr = _slice_axis(xr, 0, z)
+                xi = _slice_axis(xi, 0, z)
             xr, xi = core_z(xr, xi)
+            if uneven:
+                xr = _pad_axis(xr, 0, zp)
+                xi = _pad_axis(xi, 0, zp)
             xr, xi = _a2a(xr, xi, a1, 0, 1)                 # (Z/P1, Y/P2, Xh)
             xr, xi = _a2a(xr, xi, a2, 0, 1)                 # (Z/(P1P2), Y, Xh)
+            if uneven:                  # Y locally complete: TRUE length
+                xr = _slice_axis(xr, 1, y)
+                xi = _slice_axis(xi, 1, y)
             xr, xi = core_y(xr, xi)
             return _apply_scale(xr, xi, scale)
 
     in_spec = P(a1, a2, None)
     out_spec = P((a1, a2), None, None)
-    fn = shard_map(local_fn, mesh=mesh, in_specs=(in_spec,),
-                   out_specs=(out_spec, out_spec))
+    fn_inner = shard_map(local_fn, mesh=mesh, in_specs=(in_spec,),
+                         out_specs=(out_spec, out_spec))
+    if uneven:
+        def fn(v):
+            yr, yi = fn_inner(_pad_axis(_pad_axis(v, 0, zp), 1, yp))
+            return _slice_axis(yr, 0, z), _slice_axis(yi, 0, z)
+    else:
+        fn = fn_inner
     half = (z, y, x // 2 + 1)
     desc = (f"(plan-distrib-pencil-r2c real-shape={shape} mesh=({p1}x{p2}) "
             f"r2c(X) -> a2a[{a1}] -> fft(Z) -> a2a[{a1}],a2a[{a2}] -> fft(Y); "
             f"halved axis never crosses a collective"
-            f"{'; nyquist-packed transport' if packed else ''})")
+            f"{'; nyquist-packed transport' if packed else ''}"
+            f"{f'; uneven blocks {z}->{zp}|{y}->{yp}' if uneven else ''})")
     flops = 2.5 * n_total * math.log2(max(n_total, 2))
 
     class _PR2CPlan(DistributedFFTPlan):
@@ -1126,8 +1314,7 @@ def make_plan_pencil_r2c(shape, norm=Norm.BACKWARD, dtype="complex64",
             v = jnp.asarray(_require_real(v, "pencil R2C plan"))
             if v.shape != shape:
                 raise ValueError(f"input shape {v.shape} != planned {shape}")
-            v = jax.lax.with_sharding_constraint(v.astype(jnp.float32),
-                                                 self.in_sharding)
+            v = _constrain(v.astype(jnp.float32), self.in_sharding)
             yr, yi = self._fn(v)
             return from_split(SplitComplex(yr, yi), jnp.complex64)
         execute = __call__
@@ -1163,17 +1350,17 @@ def make_plan_pencil_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
     a1, a2 = mesh.axis_names
     p1, p2 = int(mesh.shape[a1]), int(mesh.shape[a2])
     z, y, x = shape
-    if z % (p1 * p2) or y % (p1 * p2):
-        raise ValueError(
-            f"shape {shape} not divisible for pencil-c2r mesh ({p1},{p2}): "
-            f"need P1*P2 | Z and P1*P2 | Y")
+    # Uneven blocks: reverse of make_plan_pencil_r2c.
+    pp = p1 * p2
+    zp, yp = pp * _blk(z, pp), pp * _blk(y, pp)
+    uneven = (zp, yp) != (z, y)
     n_total = z * y * x
     scale = _norm_scale(n_total, Direction.BACKWARD, norm)
     xh = x // 2 + 1
     core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
                    backend=backend)
     from ..ops import pallas_stockham as _ps
-    packed = _ps.r2c_packed_supported(x)
+    packed = _ps.r2c_packed_supported(x) and not uneven
     if packed:
         # Nyquist-packed transport, pencil c2r side: tangle at INPUT
         # (conjugate-even projection over the JOINT-sharded Z axis plus
@@ -1200,19 +1387,28 @@ def make_plan_pencil_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
                 v = v * jnp.asarray(scale, v.dtype)
             return v
     else:
-        core_c2r = _local_core((z // p1, y // p2, x), (2,), kind=Kind.C2R,
-                               **core_kw)
-        core_y = _local_core((z // (p1 * p2), y, xh), (1,),
+        core_c2r = _local_core((_blk(z, p1), _blk(y, p2), x), (2,),
+                               kind=Kind.C2R, **core_kw)
+        core_y = _local_core((zp // pp, y, xh), (1,),
                              Direction.BACKWARD, **core_kw)
-        core_z = _local_core((z, y // (p1 * p2), xh), (0,),
+        core_z = _local_core((z, yp // pp, xh), (0,),
                              Direction.BACKWARD, **core_kw)
 
         def local_fn(xr, xi):
             # exact reverse of pencil-r2c
             xr, xi = core_y(xr, xi)                         # (Z/(P1P2), Y, Xh)
+            if uneven:                  # even the a2 split of Y
+                xr = _pad_axis(xr, 1, yp)
+                xi = _pad_axis(xi, 1, yp)
             xr, xi = _a2a(xr, xi, a2, 1, 0)                 # (Z/P1, Y/P2, Xh)
             xr, xi = _a2a(xr, xi, a1, 1, 0)                 # (Z, Y/(P1P2), Xh)
+            if uneven:                  # Z locally complete: TRUE length
+                xr = _slice_axis(xr, 0, z)
+                xi = _slice_axis(xi, 0, z)
             xr, xi = core_z(xr, xi)
+            if uneven:
+                xr = _pad_axis(xr, 0, zp)
+                xi = _pad_axis(xi, 0, zp)
             xr, xi = _a2a(xr, xi, a1, 0, 1)                 # (Z/P1, Y/P2, Xh)
             v = core_c2r(xr, xi)                            # (Z/P1, Y/P2, X)
             if scale != 1.0:
@@ -1221,12 +1417,19 @@ def make_plan_pencil_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
 
     in_spec = P((a1, a2), None, None)
     out_spec = P(a1, a2, None)
-    fn = shard_map(local_fn, mesh=mesh, in_specs=(in_spec, in_spec),
-                   out_specs=out_spec)
+    fn_inner = shard_map(local_fn, mesh=mesh, in_specs=(in_spec, in_spec),
+                         out_specs=out_spec)
+    if uneven:
+        def fn(xr, xi):
+            v = fn_inner(_pad_axis(xr, 0, zp), _pad_axis(xi, 0, zp))
+            return _slice_axis(_slice_axis(v, 0, z), 1, y)
+    else:
+        fn = fn_inner
     half = (z, y, x // 2 + 1)
     desc = (f"(plan-distrib-pencil-c2r real-shape={shape} mesh=({p1}x{p2}) "
             f"ifft(Y) -> a2a[{a2}],a2a[{a1}] -> ifft(Z) -> a2a[{a1}] -> c2r(X)"
-            f"{' [nyquist-packed transport]' if packed else ''})")
+            f"{' [nyquist-packed transport]' if packed else ''}"
+            f"{f' [uneven blocks {z}->{zp}|{y}->{yp}]' if uneven else ''})")
     flops = 2.5 * n_total * math.log2(max(n_total, 2))
 
     class _PC2RPlan(DistributedFFTPlan):
@@ -1236,8 +1439,8 @@ def make_plan_pencil_c2r(shape, norm=Norm.BACKWARD, dtype="complex64",
             sx = as_split(v, jnp.float32)
             if sx.re.shape != half:
                 raise ValueError(f"input shape {sx.re.shape} != planned {half}")
-            xr = jax.lax.with_sharding_constraint(sx.re, self.in_sharding)
-            xi = jax.lax.with_sharding_constraint(sx.im, self.in_sharding)
+            xr = _constrain(sx.re, self.in_sharding)
+            xi = _constrain(sx.im, self.in_sharding)
             return self._fn(xr, xi)
         execute = __call__
 
@@ -1292,14 +1495,14 @@ def candidate_strategies(shape, n_devices: int,
                          kind: Kind = Kind.C2C):
     """Feasible decomposition strategies for a global transform.
 
-    C2C: slab (one collective round) where P divides axes 0 and -1;
-    pencil (2-D mesh, two rounds, scales past P <= min-extent) for
-    rank-3 shapes whose extents divide the default near-square mesh.
-    Each mode is offered at every overlap-pipeline chunk count that its
-    chunk axis admits (chunking needs rank >= 3).  R2C/C2R: slab needs
-    rank >= 3 with P | axes 0,1; pencil needs P1*P2 | Z and Y (the
-    divisibility rules of the r2c constructors — the halved axis never
-    crosses a collective)."""
+    C2C: slab (one collective round) for any rank >= 2 shape — since r5,
+    non-divisible axes run as uneven pad-to-block distributions
+    (``_blk``, FFTW mpi/block.c:39 analog), so divisibility no longer
+    gates feasibility; pencil (2-D mesh, two rounds, scales past
+    P <= min-extent) for rank-3 shapes.  Each mode is offered at every
+    overlap-pipeline chunk count that its chunk axis admits (chunking
+    needs rank >= 3).  R2C/C2R: slab needs rank >= 3; pencil rank 3
+    (the halved axis never crosses a collective)."""
     shape = tuple(shape)
     nd_ = len(shape)
     p = int(n_devices)
@@ -1314,16 +1517,15 @@ def candidate_strategies(shape, n_devices: int,
         out.append({"mode": "slab1d"})
         return out
     if kind in (Kind.R2C, Kind.C2R):
-        if nd_ >= 3 and shape[0] % p == 0 and shape[1] % p == 0:
+        if nd_ >= 3:
             out.append({"mode": "slab", "pipeline_chunks": 1})
         if nd_ == 3 and p > 1:
             p1, p2 = _default_pencil_shape(p)
-            if p1 > 1 and shape[0] % (p1 * p2) == 0 \
-                    and shape[1] % (p1 * p2) == 0:
+            if p1 > 1:
                 out.append({"mode": "pencil", "mesh_shape": (p1, p2),
                             "pipeline_chunks": 1})
         return out
-    if nd_ >= 2 and shape[0] % p == 0 and shape[-1] % p == 0:
+    if nd_ >= 2:
         for c in chunk_candidates:
             if c == 1 or (nd_ >= 3 and c <= shape[1]):
                 out.append({"mode": "slab", "pipeline_chunks": int(c)})
@@ -1331,21 +1533,19 @@ def candidate_strategies(shape, n_devices: int,
         p1, p2 = _default_pencil_shape(p)
         if p1 > 1:  # a 1xP pencil is just a worse slab
             z, y, x = shape
-            # near-square mesh first, then its transpose — divisibility
-            # is orientation-sensitive (P1 | Z but P2 | X), so a shape a
-            # (p2, p1) mesh handles must not be rejected.
+            # near-square mesh first, then its transpose — block sizes
+            # are orientation-sensitive, so both orders are raced.
             for q1, q2 in dict.fromkeys([(p1, p2), (p2, p1)]):
-                if z % q1 or y % q1 or y % q2 or x % q2:
-                    continue
                 for c in chunk_candidates:
-                    if c == 1 or c <= z // q1:
+                    if c == 1 or c <= _blk(z, q1):
                         out.append({"mode": "pencil", "mesh_shape": (q1, q2),
                                     "pipeline_chunks": int(c)})
                 # second-collective overlap (the DCN-side knob on
                 # multi-slice meshes): raced on its own so the candidate
                 # count stays linear in chunk_candidates
+                xloc = _blk(x, q2)
                 for c in chunk_candidates:
-                    if 1 < c <= x // q2 and (x // q2) % c == 0:
+                    if 1 < c <= xloc and xloc % c == 0:
                         out.append({"mode": "pencil", "mesh_shape": (q1, q2),
                                     "pipeline_chunks": 1,
                                     "pipeline_chunks2": int(c)})
@@ -1450,7 +1650,37 @@ def make_plan_distributed(shape, direction=Direction.FORWARD,
             f"no feasible distributed decomposition for shape {shape} "
             f"({kind}) on {p} devices (see candidate_strategies for the "
             f"divisibility rules)")
-    slabs = [c for c in cands if c["mode"] == "slab"]
-    return build_strategy(slabs[0] if slabs else cands[0],
+
+    def pad_overhead(c):
+        # Padded-volume fraction of the uneven-block realization: the
+        # estimate-mode tiebreak (an exact pencil beats a 30%-padded
+        # slab; a lightly-padded slab keeps its one-collective-round
+        # advantage).  measure-mode races the real thing instead.
+        if c["mode"] == "slab":
+            n0p = p * _blk(shape[0], p)
+            nlp = p * _blk(shape[-1], p) if kind == Kind.C2C \
+                else p * _blk(shape[1], p)
+            axes = (shape[0], shape[-1] if kind == Kind.C2C else shape[1])
+            return n0p * nlp / (axes[0] * axes[1]) - 1.0
+        if c["mode"] == "pencil":
+            q1, q2 = c["mesh_shape"]
+            if kind == Kind.C2C:
+                z, y, x = shape
+                lcm12 = q1 * q2 // math.gcd(q1, q2)
+                return (q1 * _blk(z, q1) * lcm12 * _blk(y, lcm12)
+                        * q2 * _blk(x, q2)) / (z * y * x) - 1.0
+            pp = q1 * q2
+            return (pp * _blk(shape[0], pp) * pp * _blk(shape[1], pp)
+                    ) / (shape[0] * shape[1]) - 1.0
+        return 0.0
+
+    # slab first at equal overhead (one ICI round beats pencil's two);
+    # 10% padding tax per extra collective round keeps the old exact
+    # preferences intact.
+    def rank_key(c):
+        rounds = {"slab": 0, "slab1d": 0}.get(c["mode"], 1)
+        return (pad_overhead(c) + 0.10 * rounds,
+                c.get("pipeline_chunks", 1) != 1)
+    return build_strategy(min(cands, key=rank_key),
                           shape, direction, norm, n_devices=p, kind=kind,
                           **kw)

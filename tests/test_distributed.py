@@ -84,9 +84,13 @@ def test_pencil_inverse_roundtrip():
     assert rel_l2(inv(fwd(x)), x) < tolerance(x.size)
 
 
-def test_slab_divisibility_error():
-    with pytest.raises(ValueError):
-        dist.make_plan_slab((9, 8, 8))  # 9 % 8 != 0, like src/fft.rg:519 assert
+def test_slab_non_divisible_uses_uneven_blocks():
+    # r5: non-divisible axes no longer raise (src/fft.rg:519 hard-asserts;
+    # FFTW-MPI serves them as uneven blocks, mpi/block.c:39 — so do we).
+    p = dist.make_plan_slab((9, 8, 8), norm=Norm.NONE)
+    assert "uneven blocks" in p.description
+    x = crand((9, 8, 8))
+    assert rel_l2(p(x), np.fft.fftn(x.astype(np.complex128))) < tolerance(x.size)
 
 
 def test_interface_make_plan_distrib():

@@ -60,10 +60,10 @@ def test_slab_r2c_odd_last_axis():
 
 
 def test_slab_r2c_shape_validation():
+    # non-divisible axes build uneven-block plans since r5
+    assert "uneven blocks" in dist.make_plan_slab_r2c((9, 8, 8)).description
     with pytest.raises(ValueError):
-        dist.make_plan_slab_r2c((9, 8, 8))
-    with pytest.raises(ValueError):
-        dist.make_plan_slab_r2c((8, 16))
+        dist.make_plan_slab_r2c((8, 16))   # rank < 3 stays an error
 
 
 def test_pencil_r2c_matches_numpy():
@@ -85,11 +85,14 @@ def test_pencil_r2c_c2r_roundtrip():
     assert np.linalg.norm(back - x) / np.linalg.norm(x) < tolerance(x.size)
 
 
-def test_pencil_r2c_divisibility():
+def test_pencil_r2c_uneven_blocks():
     from regent_fft_tpu.parallel.mesh import make_pencil_mesh
     mesh = make_pencil_mesh((2, 4))
-    with pytest.raises(ValueError):
-        dist.make_plan_pencil_r2c((12, 16, 8), mesh=mesh)  # 12 % 8 != 0
+    # 12 % 8 != 0: uneven blocks since r5 (was a ValueError)
+    x = RNG.standard_normal((12, 16, 8)).astype(np.float32)
+    p = dist.make_plan_pencil_r2c((12, 16, 8), mesh=mesh, norm=Norm.NONE)
+    assert "uneven" in p.description
+    assert rel_l2(p(x), np.fft.rfftn(np.asarray(x, np.float64))) < tolerance(x.size)
 
 
 # ---------------------------------------------------------------------------

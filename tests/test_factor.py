@@ -49,3 +49,11 @@ def test_flops_convention():
     # 5 N log2 N (mflops.c:22-23); halved for real (mflops.c:26-27)
     assert factor.fft_flops_convention(1024) == pytest.approx(5 * 1024 * 10)
     assert factor.fft_flops_convention(1024, real=True) == pytest.approx(2.5 * 1024 * 10)
+
+
+def test_kernel_pow2_max_matches_kernel_envelope():
+    # ADVICE r4: KERNEL_POW2_MAX hand-duplicates the butterfly-kernel
+    # length cap; if MAX_LAST_N ever changes, the rader-vs-bluestein
+    # engine gate would silently drift from the real kernel envelope.
+    from regent_fft_tpu.ops import pallas_stockham
+    assert factor.KERNEL_POW2_MAX == pallas_stockham.MAX_LAST_N

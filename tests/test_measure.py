@@ -127,8 +127,9 @@ def test_distributed_candidates():
     # rank-2: slab only, no chunking (no free axis to chunk)
     cands2 = dist.candidate_strategies((16, 16), 8)
     assert {dist.strategy_name(c) for c in cands2} == {"slab/c1"}
-    # indivisible: nothing
-    assert dist.candidate_strategies((15, 15, 15), 8) == []
+    # indivisible: served as uneven-block (padded) strategies since r5
+    cands3 = dist.candidate_strategies((15, 15, 15), 8)
+    assert {c["mode"] for c in cands3} >= {"slab", "pencil"}
 
 
 def test_measure_distributed_and_wisdom(tmp_path):
@@ -180,9 +181,14 @@ def test_make_plan_distributed_heuristic():
     got = np.asarray(p2(x))
     ref = np.fft.fftn(x.astype(np.complex128))
     assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
-    # nothing feasible
-    with pytest.raises(ValueError):
-        dist.make_plan_distributed((15, 15, 15), n_devices=8)
+    # non-divisible shapes dispatch to uneven-block plans since r5
+    p3 = dist.make_plan_distributed((15, 15, 15), n_devices=8)
+    assert "uneven blocks" in p3.description
+    x3 = (rng.standard_normal((15, 15, 15))
+          + 1j * rng.standard_normal((15, 15, 15))).astype(np.complex64)
+    got3 = np.asarray(p3(x3))
+    ref3 = np.fft.fftn(x3.astype(np.complex128))
+    assert np.linalg.norm(got3 - ref3) / np.linalg.norm(ref3) < 1e-5
 
 
 def test_measure_distributed_r2c_c2r():

@@ -382,3 +382,29 @@ def test_axis0_fourstep_interpret():
     # unsupported shapes raise (non-square-admissible / bad minor)
     assert not ps.axis0_fourstep_supported(32, 65536, 512)
     assert not ps.axis0_fourstep_supported(512, 512, 512)
+
+
+def test_radix8_head_stages_numerics(monkeypatch):
+    # REGENT_FFT_RADIX8=1 keeps the knob from rotting: the radix-8
+    # butterfly (_bfly_core r=8) must match numpy at f32 accuracy.
+    # Measured neutral on v5e (docs/tpu_notes.md r5) so default is off.
+    import numpy as np
+    import jax.numpy as jnp
+    from regent_fft_tpu.ops import pallas_stockham as ps
+    monkeypatch.setenv("REGENT_FFT_RADIX8", "1")
+    assert ps._stage_radices(512) == (8,)
+    assert ps._stage_radices(2048) == (8, 4)
+    assert ps._stage_radices(4096) == (8, 8)
+    rng = np.random.default_rng(5)
+    for n, sign in ((512, -1), (2048, +1)):
+        wr, wi, _ = ps._packed_tables(n, sign)
+        xr = rng.standard_normal((n, 16)).astype(np.float32)
+        xi = rng.standard_normal((n, 16)).astype(np.float32)
+        yr, yi = ps._stockham_tile(jnp.asarray(xr), jnp.asarray(xi), n,
+                                   sign, jnp.asarray(wr), jnp.asarray(wi))
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        z = (xr + 1j * xi).astype(np.complex128)
+        ref = (np.fft.fft(z, axis=0) if sign == -1
+               else np.fft.ifft(z, axis=0) * n)
+        rel = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
+        assert rel < 5e-7, (n, sign, rel)
