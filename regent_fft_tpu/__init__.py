@@ -34,6 +34,8 @@ from .parallel.distributed import (DistributedFFTPlan, make_plan_shards,
                                    make_plan_slab_r2c, make_plan_slab_c2r,
                                    make_plan_pencil_r2c, make_plan_pencil_c2r,
                                    make_plan_slab_1d,
+                                   unpack_halfcomplex_rank1,
+                                   pack_halfcomplex_rank1,
                                    make_plan_distributed, destroy_plan_distrib)
 from .parallel.transpose import (TransposePlan, make_plan_transpose,
                                  make_plan_many_transpose)

@@ -926,6 +926,7 @@ def make_plan_slab_1d(n, direction=Direction.FORWARD, norm=Norm.BACKWARD,
                       scrambled_in: bool = False, scrambled_out: bool = False,
                       precision: str = "highest", use_3m: bool = False,
                       max_radix: int = 128, backend: str = "auto",
+                      kind: Kind = Kind.C2C,
                       donate: bool = False) -> DistributedFFTPlan:
     """Distributed 1-D (rank-1) C2C FFT: one vector too big for one chip.
 
@@ -950,10 +951,36 @@ def make_plan_slab_1d(n, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     Plan tables: the (R, C) twiddle is precomputed in f64 on the host and
     sharded over columns with the data — per-device table memory equals
     one local plane.
+
+    ``kind=Kind.R2C`` / ``Kind.C2R`` (r5): the rank-1 big-vector REAL
+    transform, re-deriving ``fftw-3.3.8/mpi/rdft-rank1-bigvec.c``.  The
+    real signal packs into a HALF-length complex vector z[j] = x[2j] +
+    i*x[2j+1] locally (zero data movement: each shard's block stays its
+    own), the mesh four-step runs at m = n/2, and the Hermitian untangle
+    X[k] = E[k] + W^k O[k] runs distributed — its modular frequency
+    reversal Z[(m-k) mod m] is :func:`_rev_freq_sharded` (flip + two
+    ppermutes).  Output is the PACKED halfcomplex vector of length m
+    (bin m's real Nyquist value rides bin 0's zero imaginary slot — the
+    FFTW R2HC packing, same convention as ``PlanSpec(packed_layout=
+    True)``), so the output shards evenly; ``unpack_halfcomplex_rank1``
+    converts to the numpy (n/2+1,) half spectrum.  ``kind=C2R`` inverts
+    it (input packed, output real, unnormalized times n).  Real kinds
+    require even n and natural ordering (no scrambled flags).
     """
     if scrambled_in and scrambled_out:
         raise ValueError("scrambled_in and scrambled_out are exclusive "
                          "(use one natural boundary per plan)")
+    kind = Kind(kind)
+    if kind != Kind.C2C:
+        if scrambled_in or scrambled_out:
+            raise ValueError("rank-1 real transforms need natural order "
+                             "(the Hermitian untangle is index-based)")
+        if n % 2:
+            raise ValueError(f"rank-1 {kind} needs even n, got {n}")
+        return _make_plan_slab_1d_real(
+            n, kind, norm, dtype, mesh, axis_name, factors,
+            precision=precision, use_3m=use_3m, max_radix=max_radix,
+            backend=backend, donate=donate)
     mesh = mesh or make_fft_mesh(axis_name=axis_name)
     axis_name = mesh.axis_names[0]
     p = int(mesh.shape[axis_name])
@@ -1031,6 +1058,191 @@ def make_plan_slab_1d(n, direction=Direction.FORWARD, norm=Norm.BACKWARD,
 
     return _Slab1D(desc, mesh, vec_spec, vec_spec, fn, (n,), dtype, flops,
                    donate)
+
+
+def unpack_halfcomplex_rank1(y):
+    """Packed rank-1 halfcomplex (m,) -> numpy-convention (m+1,) half
+    spectrum: bin m's real value rides bin 0's zero imaginary slot (the
+    FFTW R2HC packing, ``rdft/rdft.h``)."""
+    y = np.asarray(y)
+    out = np.empty(y.shape[0] + 1, np.complex128)
+    out[0] = y[0].real
+    out[1:-1] = y[1:]
+    out[-1] = y[0].imag
+    return out
+
+
+def pack_halfcomplex_rank1(h):
+    """numpy-convention (m+1,) half spectrum -> packed (m,) halfcomplex
+    (inverse of :func:`unpack_halfcomplex_rank1`; endpoint imaginary
+    parts are dropped, as numpy.irfft does)."""
+    h = np.asarray(h)
+    out = np.array(h[:-1], np.complex64)
+    out[0] = complex(h[0].real, h[-1].real)
+    return out
+
+
+def _make_plan_slab_1d_real(n, kind: Kind, norm, dtype, mesh,
+                            axis_name: str, factors,
+                            precision: str = "highest", use_3m: bool = False,
+                            max_radix: int = 128, backend: str = "auto",
+                            donate: bool = False) -> DistributedFFTPlan:
+    """Rank-1 big-vector REAL transform over the mesh (see
+    :func:`make_plan_slab_1d` ``kind`` docs;
+    ``/root/reference/fftw-3.3.8/mpi/rdft-rank1-bigvec.c``)."""
+    mesh = mesh or make_fft_mesh(axis_name=axis_name)
+    axis_name = mesh.axis_names[0]
+    p = int(mesh.shape[axis_name])
+    n = int(n)
+    m = n // 2
+    if m % p:
+        raise ValueError(f"n/2={m} not divisible by mesh size {p}")
+    R, C = factors if factors is not None else _slab1d_factors(m, p)
+    R, C = int(R), int(C)
+    if R * C != m or R % p or C % p:
+        raise ValueError(f"factors {(R, C)} invalid: need R*C={m}, "
+                         f"{p} | R, {p} | C")
+    direction = (Direction.FORWARD if kind == Kind.R2C
+                 else Direction.BACKWARD)
+    scale = _norm_scale(n, direction, norm)
+    core_kw = dict(precision=precision, use_3m=use_3m, max_radix=max_radix,
+                   backend=backend)
+    core_R = _local_core((R, C // p), (0,), direction, **core_kw)
+    core_C = _local_core((R // p, C), (1,), direction, **core_kw)
+    sign = float(int(direction))
+    # four-step inter-factor twiddle (R, C), sharded over columns
+    k1 = np.arange(R, dtype=np.float64)[:, None]
+    c = np.arange(C, dtype=np.float64)[None, :]
+    theta = sign * 2.0 * np.pi * (k1 * c) / m
+    tw_r = jnp.asarray(np.cos(theta), jnp.float32)
+    tw_i = jnp.asarray(np.sin(theta), jnp.float32)
+    # Hermitian half twiddle W^k = exp(sign*2*pi*i*k/n), k global, sharded
+    kk = np.arange(m, dtype=np.float64)
+    th2 = sign * 2.0 * np.pi * kk / n
+    hw_r = jnp.asarray(np.cos(th2), jnp.float32)
+    hw_i = jnp.asarray(np.sin(th2), jnp.float32)
+    mloc = m // p
+
+    def _fourstep(xr, xi, tr, ti):
+        # the natural-order mesh four-step of make_plan_slab_1d, at m
+        xr = xr.reshape(R // p, C); xi = xi.reshape(R // p, C)
+        xr, xi = _a2a(xr, xi, axis_name, 1, 0)       # (R, C/P)
+        xr, xi = core_R(xr, xi)
+        xr, xi = xr * tr - xi * ti, xr * ti + xi * tr
+        xr, xi = _a2a(xr, xi, axis_name, 0, 1)       # (R/P, C)
+        xr, xi = core_C(xr, xi)
+        xr, xi = _a2a(xr, xi, axis_name, 1, 0)       # (R, C/P)
+        xr = jnp.swapaxes(xr, 0, 1)                  # (C/P, R) natural
+        xi = jnp.swapaxes(xi, 0, 1)
+        return xr.reshape(-1), xi.reshape(-1)
+
+    def _kmask():
+        # global-index-0 lane: shard 0, local position 0
+        q = jax.lax.axis_index(axis_name)
+        k = q * mloc + jax.lax.iota(jnp.int32, mloc)
+        return k == 0
+
+    if kind == Kind.R2C:
+        def local_fn(x, tr, ti, wr, wi):
+            # pack x -> z[j] = x[2j] + i x[2j+1] (local: n/P is even)
+            x2 = x.reshape(-1, 2)
+            zr, zi = _fourstep(x2[:, 0], x2[:, 1], tr, ti)
+            # E = (Z + conj(Zrev))/2, O = (Z - conj(Zrev))/(2i)
+            rr = _rev_freq_sharded(zr, 0, axis_name, p)
+            ri = _rev_freq_sharded(zi, 0, axis_name, p)
+            er, ei = 0.5 * (zr + rr), 0.5 * (zi - ri)
+            o_r, o_i = 0.5 * (zi + ri), -0.5 * (zr - rr)
+            # X[k] = E[k] + W^k O[k], k in [0, m); X[m] = E[0] - O[0]
+            twor = o_r * wr - o_i * wi
+            twoi = o_r * wi + o_i * wr
+            yr = er + twor
+            yi = ei + twoi
+            # bin 0's imaginary slot (zero) carries the real Nyquist bin
+            yi = jnp.where(_kmask(), er - twor, yi)
+            return _apply_scale(yr, yi, scale)
+
+        vec_spec = P(axis_name)
+        tw_spec = P(None, axis_name)
+        fn_inner = shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(vec_spec, tw_spec, tw_spec, vec_spec, vec_spec),
+            out_specs=(vec_spec, vec_spec))
+
+        def fn(x):
+            return fn_inner(x, tw_r, tw_i, hw_r, hw_i)
+
+        desc = (f"(plan-distrib-1d-r2c n={n} pack->four-step(m={m}={R}x{C})"
+                f" P={p} -> distributed Hermitian untangle; packed"
+                f" halfcomplex (m,) out, 5 collectives)")
+        flops = 2.5 * n * math.log2(max(n, 2))
+
+        class _Slab1DR2C(DistributedFFTPlan):
+            _donate_argnums = (0,)
+            packed_layout = True
+
+            def __call__(self, x):
+                if self._destroyed:
+                    raise RuntimeError("plan was destroyed")
+                x = jnp.asarray(_require_real(x, "rank-1 R2C plan"))
+                if x.shape != (n,):
+                    raise ValueError(f"input shape {x.shape} != ({n},)")
+                x = _constrain(x.astype(jnp.float32), self.in_sharding)
+                yr, yi = self._fn(x)
+                return from_split(SplitComplex(yr, yi), jnp.complex64)
+            execute = __call__
+
+        return _Slab1DR2C(desc, mesh, vec_spec, vec_spec, fn, (m,), dtype,
+                          flops, donate)
+
+    # C2R: packed (m,) half spectrum -> real (n,), unnormalized times n.
+    def local_fn(yr, yi, tr, ti, wr, wi):
+        mask = _kmask()
+        xr_ = yr
+        xi_ = jnp.where(mask, 0.0, yi)               # X[0] is real
+        rr = _rev_freq_sharded(xr_, 0, axis_name, p)
+        ri = _rev_freq_sharded(xi_, 0, axis_name, p)
+        rr = jnp.where(mask, yi, rr)                 # X[m-0] = X[m] = im(y0)
+        ri = jnp.where(mask, 0.0, ri)
+        # E' = X + conj(Xrev); O' = conj(W)^k (X - conj(Xrev)) — the 1/2s
+        # cancel against c2r's unnormalized times-n convention
+        er, ei = xr_ + rr, xi_ - ri
+        dr, di = xr_ - rr, xi_ + ri
+        o_r = dr * wr - di * wi
+        o_i = dr * wi + di * wr
+        zr, zi = er - o_i, ei + o_r                  # z' = E' + i O'
+        zr, zi = _fourstep(zr, zi, tr, ti)           # BWD_m -> n * z
+        zr, zi = _apply_scale(zr, zi, scale)
+        return jnp.stack([zr, zi], axis=-1).reshape(-1)   # un-interleave
+
+    vec_spec = P(axis_name)
+    tw_spec = P(None, axis_name)
+    fn_inner = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(vec_spec, vec_spec, tw_spec, tw_spec, vec_spec, vec_spec),
+        out_specs=vec_spec)
+
+    def fn(yr, yi):
+        return fn_inner(yr, yi, tw_r, tw_i, hw_r, hw_i)
+
+    desc = (f"(plan-distrib-1d-c2r n={n} distributed Hermitian tangle ->"
+            f" inverse four-step(m={m}={R}x{C}) P={p} -> unpack; packed"
+            f" halfcomplex (m,) in, 5 collectives)")
+    flops = 2.5 * n * math.log2(max(n, 2))
+
+    class _Slab1DC2R(DistributedFFTPlan):
+        def __call__(self, x):
+            if self._destroyed:
+                raise RuntimeError("plan was destroyed")
+            sx = as_split(x, jnp.float32)
+            if sx.re.shape != (m,):
+                raise ValueError(f"input shape {sx.re.shape} != packed ({m},)")
+            xr = _constrain(sx.re, self.in_sharding)
+            xi = _constrain(sx.im, self.in_sharding)
+            return self._fn(xr, xi)
+        execute = __call__
+
+    return _Slab1DC2R(desc, mesh, vec_spec, vec_spec, fn, (n,), dtype,
+                      flops, donate)
 
 
 def make_plan_pencil(shape, direction=Direction.FORWARD, norm=Norm.BACKWARD,
@@ -1507,12 +1719,16 @@ def candidate_strategies(shape, n_devices: int,
     nd_ = len(shape)
     p = int(n_devices)
     out = []
-    if kind == Kind.C2C and nd_ == 1:
+    if nd_ == 1:
         # rank-1 big-vector (mpi/dft-rank1-bigvec.c analog): feasible when
-        # n admits an R*C split with P | R and P | C.
+        # n (or n/2 for the real kinds' packed half-length transform)
+        # admits an R*C split with P | R and P | C.
+        n1d = shape[0] if kind == Kind.C2C else shape[0] // 2
         try:
-            _slab1d_factors(shape[0], p)
+            _slab1d_factors(n1d, p)
         except ValueError:
+            return out
+        if kind != Kind.C2C and shape[0] % 2:
             return out
         out.append({"mode": "slab1d"})
         return out
@@ -1566,6 +1782,10 @@ def build_strategy(strategy: dict, shape, direction=Direction.FORWARD,
     kind = kw.pop("kind", Kind.C2C)
     if mode in ("slab", "shards") and n_devices is not None and "mesh" not in kw:
         kw = dict(kw, mesh=make_fft_mesh(n_devices))
+    if mode == "slab1d" and kind in (Kind.R2C, Kind.C2R):
+        if n_devices is not None and "mesh" not in kw:
+            kw = dict(kw, mesh=make_fft_mesh(n_devices))
+        return make_plan_slab_1d(shape[0], norm=norm, kind=kind, **s, **kw)
     if kind in (Kind.R2C, Kind.C2R):
         s.pop("pipeline_chunks", None)
         s.pop("pipeline_chunks2", None)

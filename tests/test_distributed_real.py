@@ -280,3 +280,60 @@ def test_pencil_c2r_packed_matches_irfftn_on_random_spectrum():
     got = np.asarray(plan(y))
     ref = np.fft.irfftn(np.asarray(y, np.complex128), s=shape, axes=(0, 1, 2))
     assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < tolerance(got.size)
+
+
+# ---------------------------------------------------------------------------
+# Rank-1 big-vector REAL transforms (mpi/rdft-rank1-bigvec.c analog) — r5.
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("n", [512, 4096, 2 ** 16, 2 ** 22])
+def test_slab_1d_r2c_matches_rfft(n):
+    from regent_fft_tpu.dtypes import Kind
+    x = RNG.standard_normal(n).astype(np.float32)
+    p = dist.make_plan_slab_1d(n, kind=Kind.R2C, norm=Norm.NONE)
+    y = np.asarray(p(x))
+    assert y.shape == (n // 2,)
+    got = dist.unpack_halfcomplex_rank1(y)
+    ref = np.fft.rfft(x.astype(np.float64))
+    assert rel_l2(got, ref) < tolerance(n)
+
+
+def test_slab_1d_r2c_c2r_roundtrip():
+    from regent_fft_tpu.dtypes import Kind
+    n = 4096
+    x = RNG.standard_normal(n).astype(np.float32)
+    r2c = dist.make_plan_slab_1d(n, kind=Kind.R2C, norm=Norm.NONE)
+    c2r = dist.make_plan_slab_1d(n, kind=Kind.C2R, norm=Norm.BACKWARD)
+    back = np.asarray(c2r(r2c(x)))
+    assert float(np.linalg.norm(back - x) / np.linalg.norm(x)) < tolerance(n)
+
+
+def test_slab_1d_c2r_from_numpy_halfspectrum():
+    # pack_halfcomplex_rank1 adapts a numpy rfft half spectrum.
+    from regent_fft_tpu.dtypes import Kind
+    n = 2048
+    x = RNG.standard_normal(n).astype(np.float64)
+    h = np.fft.rfft(x)
+    c2r = dist.make_plan_slab_1d(n, kind=Kind.C2R, norm=Norm.BACKWARD)
+    back = np.asarray(c2r(dist.pack_halfcomplex_rank1(h)))
+    assert float(np.linalg.norm(back - x) / np.linalg.norm(x)) < tolerance(n)
+
+
+def test_slab_1d_real_validation():
+    from regent_fft_tpu.dtypes import Kind
+    with pytest.raises(ValueError):
+        dist.make_plan_slab_1d(4097, kind=Kind.R2C)      # odd n
+    with pytest.raises(ValueError):
+        dist.make_plan_slab_1d(4096, kind=Kind.R2C, scrambled_out=True)
+    with pytest.raises(TypeError):
+        p = dist.make_plan_slab_1d(4096, kind=Kind.R2C)
+        p(RNG.standard_normal(4096).astype(np.complex64))
+
+
+def test_slab_1d_real_candidates_and_dispatch():
+    from regent_fft_tpu.dtypes import Kind
+    cands = dist.candidate_strategies((2 ** 14,), 8, kind=Kind.R2C)
+    assert cands == [{"mode": "slab1d"}]
+    x = RNG.standard_normal(2 ** 14).astype(np.float32)
+    p = dist.make_plan_distributed((2 ** 14,), kind=Kind.R2C, norm=Norm.NONE)
+    got = dist.unpack_halfcomplex_rank1(np.asarray(p(x)))
+    assert rel_l2(got, np.fft.rfft(x.astype(np.float64))) < tolerance(2 ** 14)
