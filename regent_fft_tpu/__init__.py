@@ -44,7 +44,7 @@ from .parallel.distributed_r2r import (DistributedR2RPlan,
 from .utils import wisdom
 from .utils.wisdom import (export_wisdom_to_string, export_wisdom_to_filename,
                            import_wisdom_from_string, import_wisdom_from_filename,
-                           forget_wisdom)
+                           forget_wisdom, gather_wisdom, broadcast_wisdom)
 from .utils.calibrate import calibrate, Calibration
 from .guru import (IODim, GuruPlan, GuruR2RPlan, plan_guru, plan_guru_r2r,
                    plan_many)

@@ -143,6 +143,76 @@ def forget_wisdom() -> None:
     _calibrate.reset_calibration()
 
 
+# ---------------------------------------------------------------------------
+# Cross-process wisdom sync (fftw_mpi_gather_wisdom / broadcast_wisdom,
+# ``/root/reference/fftw-3.3.8/mpi/wisdom-api.c:44,86``).  On a multi-host
+# pod every process races/measures independently; these move the winners
+# over the jax.distributed world so one process's MEASURE/PATIENT results
+# apply everywhere instead of being re-raced per host.
+# ---------------------------------------------------------------------------
+
+def _allgather_strings(s: str):
+    """All processes' strings, in process order (variable lengths are
+    padded to the max and sliced back — collectives need equal shapes)."""
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils as mhu
+    b = np.frombuffer(s.encode(), np.uint8)
+    lens = np.asarray(mhu.process_allgather(
+        np.array([b.size], np.int32))).reshape(-1)
+    mx = max(1, int(lens.max()))
+    pad = np.zeros(mx, np.uint8)
+    pad[:b.size] = b
+    allb = np.asarray(mhu.process_allgather(pad))
+    return [bytes(allb[i, :int(lens[i])].tobytes()).decode()
+            for i in range(allb.shape[0])]
+
+
+def gather_wisdom(build: bool = False) -> int:
+    """Merge every process's wisdom into PROCESS 0 (fftw_mpi_gather_wisdom,
+    ``mpi/wisdom-api.c:86-105``): after a distributed measure/patient run,
+    rank 0 holds the union and can persist it (``export_wisdom_to_filename``
+    + the system-wisdom autoload path).  Returns the number of entries
+    imported on process 0; 0 elsewhere.  Conflicting winners resolve in
+    process order (last import wins), matching FFTW's any-process-wins
+    note.  No-op in single-process worlds."""
+    import jax
+    if jax.process_count() == 1:
+        return 0
+    all_w = _allgather_strings(export_wisdom_to_string())
+    if jax.process_index() != 0:
+        return 0
+    n = 0
+    for i, w in enumerate(all_w):
+        if i == jax.process_index():
+            continue
+        n += import_wisdom_from_string(w, build=build)
+    return n
+
+
+def broadcast_wisdom(build: bool = False) -> int:
+    """Import PROCESS 0's wisdom on every other process
+    (fftw_mpi_broadcast_wisdom, ``mpi/wisdom-api.c:44-64``): pair with
+    :func:`gather_wisdom` so one process measures, gathers, and the pod
+    plans identically.  Returns entries imported (0 on process 0)."""
+    import jax
+    if jax.process_count() == 1:
+        return 0
+    s = (export_wisdom_to_string() if jax.process_index() == 0 else "")
+    import numpy as np
+    from jax.experimental import multihost_utils as mhu
+    b = np.frombuffer(s.encode(), np.uint8)
+    ln = int(np.asarray(mhu.broadcast_one_to_all(
+        np.array([b.size], np.int32)))[0])
+    pad = np.zeros(max(1, ln), np.uint8)
+    pad[:b.size] = b
+    allb = np.asarray(mhu.broadcast_one_to_all(pad))
+    if jax.process_index() == 0:
+        return 0
+    return import_wisdom_from_string(bytes(allb[:ln].tobytes()).decode(),
+                                     build=build)
+
+
 def default_wisdom_path() -> str:
     return os.environ.get("REGENT_FFT_WISDOM",
                           os.path.expanduser("~/.regent_fft_tpu.wisdom.json"))

@@ -48,3 +48,41 @@ for sh_r, sh_i in zip(yr.addressable_shards, yi.addressable_shards):
     assert rel < 1e-5, (pid, sh_r.index, rel)
 
 print(f"worker {pid}: OK ({len(yr.addressable_shards)} local shards verified)")
+
+# ---------------------------------------------------------------------------
+# Cross-process wisdom sync (fftw_mpi_gather_wisdom / broadcast_wisdom,
+# mpi/wisdom-api.c): a winner measured on process 0 must be APPLIED on
+# process 1 (not re-raced), and process-1 wisdom must gather back to 0.
+# ---------------------------------------------------------------------------
+import regent_fft_tpu as rft
+from regent_fft_tpu.ops import factor
+from regent_fft_tpu import plan as planmod
+
+if pid == 0:
+    # "measure" a backend winner + a schedule override on process 0 only
+    p_meas = rft.make_plan((8, 64), axes=(0, 1), kind=rft.Kind.R2C,
+                           direction=rft.FORWARD, planner="measure")
+    assert p_meas.measurements["backend"]["timings"] != "cached-wisdom"
+    factor.set_schedule_override(1024, (32, 32))
+else:
+    factor.set_schedule_override(512, (8, 64))   # proc-1-only knowledge
+
+n_bcast = rft.broadcast_wisdom()
+if pid == 1:
+    assert n_bcast > 0, "broadcast imported nothing on process 1"
+    # winner measured on proc 0 is applied, NOT re-raced, on proc 1
+    assert factor.schedule(1024) == (32, 32)
+    rft.clear_plan_cache()
+    p2 = rft.make_plan((8, 64), axes=(0, 1), kind=rft.Kind.R2C,
+                       direction=rft.FORWARD, planner="measure")
+    assert p2.measurements["backend"]["timings"] == "cached-wisdom", \
+        p2.measurements["backend"]
+else:
+    assert n_bcast == 0
+
+n_gath = rft.gather_wisdom()
+if pid == 0:
+    assert n_gath > 0, "gather imported nothing on process 0"
+    assert factor.schedule(512) == (8, 64)   # proc 1's knowledge arrived
+
+print(f"worker {pid}: WISDOM-SYNC OK (bcast={n_bcast} gather={n_gath})")

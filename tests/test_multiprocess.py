@@ -48,3 +48,5 @@ def test_two_process_slab_fft():
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
     assert any("OK" in o for o in outs)
+    # cross-process wisdom sync ran on both workers (wisdom-api.c analog)
+    assert all("WISDOM-SYNC OK" in o for o in outs), outs
