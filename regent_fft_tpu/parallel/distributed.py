@@ -298,16 +298,30 @@ class DistributedFFTPlan:
         # complex32 C2C plans carry bf16 planes end-to-end: every
         # all_to_all moves HALF the ICI bytes (the distributed-FFT
         # bottleneck) and local stages run the bf16 kernel tiles.
-        sx = as_split(x, jnp.bfloat16 if self._bf16_planes()
-                      else jnp.float32)
+        # complex128 plans carry f64 planes (needs JAX_ENABLE_X64).
+        sx = as_split(x, self._plane_dtype())
         if sx.re.shape != self.global_shape:
             raise ValueError(f"input shape {sx.re.shape} != planned {self.global_shape}")
         xr = _constrain(sx.re, self.in_sharding)
         xi = _constrain(sx.im, self.in_sharding)
         yr, yi = self._fn(xr, xi)
-        return from_split(SplitComplex(yr, yi), jnp.complex64 if self.dtype != "complex32" else "complex32")
+        out = {"complex32": "complex32", "complex128": jnp.complex128}.get(
+            self.dtype, jnp.complex64)
+        return from_split(SplitComplex(yr, yi), out)
 
     execute = __call__
+
+    # True on complex-in/complex-out plans whose cores take a dtype (the
+    # base C2C class and _Slab1D); real-kind subclasses override __call__
+    # with f32 planes (their kernels are f32-only).
+    _c128_planes = True
+
+    def _plane_dtype(self):
+        if self._bf16_planes():
+            return jnp.bfloat16
+        if self.dtype == "complex128" and self._c128_planes:
+            return jnp.float64
+        return jnp.float32
 
     def _bf16_planes(self) -> bool:
         # C2C base class only; real-kind subclasses stay f32 (their
@@ -1003,7 +1017,8 @@ def make_plan_slab_1d(n, direction=Direction.FORWARD, norm=Norm.BACKWARD,
     k1 = np.arange(R, dtype=np.float64)[:, None]
     c = np.arange(C, dtype=np.float64)[None, :]
     theta = sign * 2.0 * np.pi * (k1 * c) / n
-    plane_dt = jnp.bfloat16 if dtype == "complex32" else jnp.float32
+    plane_dt = {"complex32": jnp.bfloat16,
+                "complex128": jnp.float64}.get(dtype, jnp.float32)
     tw_r = jnp.asarray(np.cos(theta), plane_dt)
     tw_i = jnp.asarray(np.sin(theta), plane_dt)
     tw_spec = P(None, axis_name)

@@ -50,17 +50,44 @@ out["c2r"] = rel_l2(rft.irfft(rft.rfft(xr), 256), xr)
 xr3 = rng.standard_normal((12, 16, 20)).astype(np.float64)
 out["r2c_3d"] = rel_l2(rft.rfftn(xr3), np.fft.rfftn(xr3))
 out["c2r_3d"] = rel_l2(rft.irfftn(np.fft.rfftn(xr3), xr3.shape), xr3)
-# r2r kinds vs scipy (f64 path)
+# r2r kinds vs scipy (f64 path) — all DCT/DST types, 1-D and 2-D
 import scipy.fft as sfft
 for kind in (1, 2, 3, 4):
     out[f"dct{kind}"] = rel_l2(rft.dct(xr, type=kind), sfft.dct(xr, type=kind))
     out[f"dst{kind}"] = rel_l2(rft.dst(xr, type=kind), sfft.dst(xr, type=kind))
+xr2 = rng.standard_normal((24, 32)).astype(np.float64)
+out["dctn_2d"] = rel_l2(rft.plan_r2r((24, 32), rft.R2RKind.REDFT10)(xr2),
+                        sfft.dctn(xr2, type=2))
+out["dht"] = rel_l2(np.asarray(rft.dht(xr)),
+                    np.fft.fft(xr).real - np.fft.fft(xr).imag)
+# guru strided layout at c128 (transposed view both sides = zero-copy)
+from regent_fft_tpu.guru import IODim, plan_guru
+gp = plan_guru(dims=[IODim(64, 8, 8)], howmany_dims=[IODim(8, 1, 1)],
+               norm=rft.Norm.NONE, dtype="complex128")
+xg = (rng.standard_normal((8, 64)) + 1j * rng.standard_normal((8, 64))
+      ).astype(np.complex128)
+out["guru_transposed"] = rel_l2(
+    np.asarray(gp(xg.T.reshape(-1))).reshape(64, 8).T, np.fft.fft(xg, axis=1))
+# distributed C2C at x64: f64 planes ride the collectives
+from regent_fft_tpu.parallel import distributed as dist
+xd = (rng.standard_normal((8, 4, 16)) + 1j * rng.standard_normal((8, 4, 16))
+      ).astype(np.complex128)
+pd = dist.make_plan_slab((8, 4, 16), norm=rft.Norm.NONE, dtype="complex128")
+yd = np.asarray(pd(xd))
+assert yd.dtype == np.complex128, yd.dtype
+out["distributed_slab"] = rel_l2(yd, np.fft.fftn(xd))
+pd1 = dist.make_plan_slab_1d(4096, norm=rft.Norm.NONE, dtype="complex128")
+x1 = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)
+      ).astype(np.complex128)
+out["distributed_slab1d"] = rel_l2(pd1(x1), np.fft.fft(x1))
 print(json.dumps(out))
 """
 
 
 def test_complex128_accuracy():
-    env = dict(os.environ, JAX_ENABLE_X64="1", JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_ENABLE_X64="1", JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=8"))
     r = subprocess.run([sys.executable, "-c", _SCRIPT], capture_output=True,
                        text=True, timeout=600, env=env,
                        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
