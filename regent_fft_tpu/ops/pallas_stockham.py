@@ -26,6 +26,7 @@ free host-side reshapes (leading/middle splits only).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -72,7 +73,7 @@ _ENV_KNOBS = ("REGENT_FFT_TILE_IMPL", "REGENT_FFT_F2_SCRATCH",
               "REGENT_FFT_C2R_IMPL", "REGENT_FFT_F2_PLANES",
               "REGENT_FFT_F2_VMEM_MB", "REGENT_FFT_F2_BODY",
               "REGENT_FFT_F2_TILE", "REGENT_FFT_F2_RING_STRIPS",
-              "REGENT_FFT_RADIX8")
+              "REGENT_FFT_RADIX8", "REGENT_FFT_R2C_FLIP")
 
 
 # Per-plan MXU-scheme override stack (see precision_override): lets
@@ -104,11 +105,49 @@ class precision_override:
 
 
 def _env_key() -> str:
-    import os
     key = "|".join(os.environ.get(k, "") for k in _ENV_KNOBS)
     if _PREC_OVERRIDE:
         key += "#" + _PREC_OVERRIDE[-1]
     return key
+
+
+class knob_override:
+    """Context manager scoping kernel env knobs to one trace/race.
+
+    The EXHAUSTIVE planner tier races knob settings (TAIL_MT, MXU_IMPL,
+    F2_STRIPS, …) against each other in ONE process and pins the winner
+    on the plan's executor, which re-enters this context on every call —
+    so the winning knobs apply at trace time without mutating global
+    state for other plans.  Runner caches stay coherent because every
+    runner factory keys on :func:`_env_key`, which reads these knobs;
+    table builders (:func:`_packed_tables`) are uncached and re-derive
+    from the live knob values.
+
+    Only knobs listed in ``_ENV_KNOBS`` are accepted (anything else
+    would silently miss the cache key and serve stale kernels).
+    """
+
+    def __init__(self, knobs: dict):
+        for k in knobs:
+            if k not in _ENV_KNOBS:
+                raise ValueError(f"unknown kernel knob {k!r} "
+                                 f"(not in _ENV_KNOBS)")
+        self.knobs = {k: str(v) for k, v in knobs.items()}
+        self._saved = {}
+
+    def __enter__(self):
+        for k, v in self.knobs.items():
+            self._saved[k] = os.environ.get(k)
+            os.environ[k] = v
+        return self
+
+    def __exit__(self, *exc):
+        for k, old in self._saved.items():
+            if old is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = old
+        self._saved.clear()
 
 
 def _tb_for(n: int) -> int:
@@ -127,8 +166,9 @@ def _tb_for(n: int) -> int:
 
 
 # Largest tail sub-transform finished on the MXU (see _stockham_tile).
-# REGENT_FFT_TAIL_MT overrides for A/B probes (one config per process:
-# _packed_tables is lru-cached on (n, sign) only).
+# REGENT_FFT_TAIL_MT overrides it (env-keyed runner caches + uncached
+# table builders make in-process switching coherent; the EXHAUSTIVE
+# planner races it via knob_override).
 # 64 (r4): with the h4 tail scheme the 64/256/1024-class sizes drop one
 # radix-4 head stage in favor of a wider K=2mt MXU tail — measured
 # n=1024 batch 4096 c2c 0.163 -> 0.143 ms, r2c 0.165 -> 0.147
@@ -160,8 +200,8 @@ def _radix8_on() -> bool:
     Default OFF to keep the r4-measured headline configs; the knob stays
     for future hardware where VPU-vs-MXU balance differs.  Split-radix
     (same flop class, irregular slabs = MORE relayout) is ruled out by
-    this measurement a fortiori.  Same one-config-per-process caveat as
-    REGENT_FFT_TAIL_MT (_packed_tables is cached on (n, sign))."""
+    this measurement a fortiori.  In-process switching is coherent
+    (env-keyed runner caches; see knob_override)."""
     import os
     return os.environ.get("REGENT_FFT_RADIX8", "0") == "1"
 
@@ -2195,22 +2235,65 @@ def _r2c_tables(n: int):
 
 def _fwd_and_rev_spectra(zr, zi, n: int, wr_full, wi_full, tb: int):
     """(Z, Zrev) HALF spectra (bins [0, mt2*L), mt2*L >= n/2 + 1) of one
-    complex block via ONE shared butterfly head and two half-row MXU
-    tails (see :func:`_r2c_tables`)."""
+    complex block via ONE shared butterfly head and the reversed-row MXU
+    tails (see :func:`_r2c_tables`).
+
+    Two tail arrangements (``REGENT_FFT_R2C_FLIP``):
+
+    - ``out`` (default, r5): the reversal's leading-axis flip
+      (l -> L-l for l >= 1) commutes with the tail contraction (L is a
+      batch axis), so dot FIRST on the UNFLIPPED head and flip the
+      HALF-SIZE output (mt2 rows vs the head's mt).  Both spectra then
+      consume the SAME rhs, so the two tail contractions stack into ONE
+      dot over the contiguous [D[0:mt2]; Drev1[0:mt2]] table rows —
+      half the tail dispatches and half the flip relayout traffic of:
+    - ``in``: flip the head, dot per spectrum (the r4 form, kept for
+      A/B timing).
+
+    Measured (honest timer, v5e, r5, scripts/probe_r2c_flip.py —
+    back-to-back A/B, same session): 4096x1024 r2c 0.123 -> 0.104 ms
+    (0.73x the 0.142 c2c anchor, the VERDICT r4 <= 0.75x target),
+    65536x1024 2.289 -> 2.074; 3-D 256^3x4 neutral (6.71 vs 6.75 — the
+    mid passes dominate there).  Error identical (1.37e-7: the dots
+    compute the same products).
+    """
     mt = _tail_mt(n)
     mt2 = _r2c_mt2(n)
     L = n // mt
     S = mt2 * L
     T = wr_full.shape[0] - 3 * mt2
     hr, hi = _stockham_head(zr, zi, n, -1, wr_full, wi_full)   # (L, mt, tb)
+    r0r, r0i = wr_full[T + 2 * mt2:T + 3 * mt2], \
+        wi_full[T + 2 * mt2:T + 3 * mt2]
+    outflip = os.environ.get("REGENT_FFT_R2C_FLIP", "out") == "out"
+    if outflip:
+        # ONE stacked dot for BOTH spectra: rows [T, T+2mt2) hold
+        # [D[0:mt2]; Drev1[0:mt2]] contiguously (_r2c_tables layout)
+        y_r, y_i = _dg_3m(wr_full[T:T + 2 * mt2],
+                          wi_full[T:T + 2 * mt2], hr, hi)    # (2mt2, L, tb)
+        ar3, ai3 = y_r[:mt2], y_i[:mt2]
+        cmr, cmi = y_r[mt2:], y_i[mt2:]
+        b0r, b0i = _dg_3m(r0r, r0i, hr[0:1], hi[0:1])        # (mt2, 1, tb)
+        if L > 1:
+            # middle-axis reversal as static slice-concat (Mosaic has no
+            # `rev` primitive; a permutation DOT measured slower, r4):
+            # b[:, l] = c[:, L-l] for l >= 1, b[:, 0] = Drev0 @ h[0]
+            br3 = jnp.concatenate(
+                [b0r] + [cmr[:, l:l + 1, :] for l in range(L - 1, 0, -1)],
+                axis=1)
+            bi3 = jnp.concatenate(
+                [b0i] + [cmi[:, l:l + 1, :] for l in range(L - 1, 0, -1)],
+                axis=1)
+        else:
+            br3, bi3 = b0r, b0i
+        return (ar3.reshape(S, tb), ai3.reshape(S, tb),
+                br3.reshape(S, tb), bi3.reshape(S, tb))
     tr, ti = wr_full[T:T + mt2], wi_full[T:T + mt2]
     ar3, ai3 = _dg_3m(tr, ti, hr, hi)                          # (mt2, L, tb)
     ar, ai = ar3.reshape(S, tb), ai3.reshape(S, tb)
     # reversed spectrum: leading-axis flip (l -> L-l for l >= 1) + the
     # row-permuted tail matrices; fix the l = 0 column with Drev0.
     r1r, r1i = wr_full[T + mt2:T + 2 * mt2], wi_full[T + mt2:T + 2 * mt2]
-    r0r, r0i = wr_full[T + 2 * mt2:T + 3 * mt2], \
-        wi_full[T + 2 * mt2:T + 3 * mt2]
     if L > 1:
         # leading-axis reversal as static slice-concat (Mosaic has no
         # `rev` primitive, even for untiled leading dims; L = n/mt can
