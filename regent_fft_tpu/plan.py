@@ -63,7 +63,10 @@ class PlanSpec:
     # measure (race schedules + backends on device) | patient (measure
     # PLUS the per-axis kernel-impl cross-product: axis0 fourstep/dma/
     # grid x trailing-pair grid/ring/unfused — the r3 A/B probes,
-    # productized; winners persist in wisdom).
+    # productized; winners persist in wisdom) | exhaustive (patient
+    # PLUS the kernel-knob grid TAIL_MT x MXU_IMPL x F2_STRIPS and the
+    # deep radix-schedule space — FFTW's EXHAUSTIVE clears the solver
+    # restrictions PATIENT keeps).
     planner: str = "estimate"
     # Kernel-impl overrides for the leading/mid-axis pass and the fused
     # trailing-pair pass.  "auto" defers to the measured defaults (and the
@@ -104,6 +107,11 @@ class PlanSpec:
             raise ValueError("C2R transforms are backward-only")
         if self.precision not in _PRECISIONS:
             raise ValueError(f"precision must be one of {list(_PRECISIONS)}")
+        if self.planner not in ("estimate", "model", "measure", "patient",
+                                "exhaustive"):
+            raise ValueError(
+                f"planner must be estimate|model|measure|patient|"
+                f"exhaustive, got {self.planner!r}")
         if self.axis0_impl not in ("auto", "fourstep", "dma", "grid"):
             raise ValueError(f"axis0_impl must be auto|fourstep|dma|grid, "
                              f"got {self.axis0_impl!r}")
@@ -185,6 +193,11 @@ def _backend_key(spec: PlanSpec) -> PlanSpec:
 # rigor ladder (PATIENT widens the solver space the planner races,
 # kernel/planner.c:518-623); persisted/restored via utils.wisdom.
 _PATIENT_WISDOM: dict = {}
+
+# Exhaustive-planner winners: the patient dict extended with "knobs"
+# (env-knob grid winner, utils.measure.measure_exhaustive).  The top of
+# the rigor ladder; persisted/restored via utils.wisdom.
+_EXHAUSTIVE_WISDOM: dict = {}
 
 
 def _packed_real_ok(n_r: int) -> bool:
@@ -765,14 +778,18 @@ class Plan:
         self.spec = spec
         self._cdtype = _compute_dtype(spec)
         exec_spec = spec
-        if spec.planner in ("measure", "patient"):
+        exhaustive_knobs = None
+        if spec.planner in ("measure", "patient", "exhaustive"):
             # FFTW_MEASURE analog: time candidate radix schedules AND
             # whole-core backend alternatives on the device; install
             # schedule winners as wisdom, execute with the fastest backend.
             # Backend winners persist in _BACKEND_WISDOM (exported with
             # wisdom), so a re-measure of a known problem is free.
+            # EXHAUSTIVE widens the schedule space (deep=True: both
+            # 2-factor orderings + 3-factor splits).
             from .utils import measure as _measure
-            self.measurements = _measure.measure_plan_sizes(spec)
+            self.measurements = _measure.measure_plan_sizes(
+                spec, deep=spec.planner == "exhaustive")
             if spec.backend == "auto":
                 key = _backend_key(spec)
                 winner = _BACKEND_WISDOM.get(key)
@@ -801,7 +818,38 @@ class Plan:
                 exec_spec,
                 axis0_impl=pw.get("axis0_impl", exec_spec.axis0_impl),
                 f2_impl=pw.get("f2_impl", exec_spec.f2_impl))
+        if spec.planner == "exhaustive":
+            # EXHAUSTIVE tier: patient's impl cross-product PLUS the
+            # kernel-knob grid (measure_exhaustive docstring); the
+            # winning knobs re-enter scope on every executor call so
+            # they apply at trace time without leaking process-global
+            # state.  Winners persist like patient's.
+            from .utils import measure as _measure
+            key = _backend_key(spec)
+            ew = _EXHAUSTIVE_WISDOM.get(key)
+            etimings = "cached-wisdom"
+            if ew is None:
+                ew, etimings = _measure.measure_exhaustive(exec_spec,
+                                                           _build_core)
+                _EXHAUSTIVE_WISDOM[key] = dict(ew)
+            self.measurements["exhaustive"] = {"winner": dict(ew),
+                                               "timings": etimings}
+            exec_spec = dataclasses.replace(
+                exec_spec,
+                axis0_impl=ew.get("axis0_impl", exec_spec.axis0_impl),
+                f2_impl=ew.get("f2_impl", exec_spec.f2_impl))
+            exhaustive_knobs = dict(ew.get("knobs") or {})
         core = _build_core(exec_spec)
+        if exhaustive_knobs:
+            from .ops import pallas_stockham as _ps
+            inner_core = core
+
+            def core(*args):
+                with _ps.knob_override(exhaustive_knobs):
+                    return inner_core(*args)
+            for attr in ("_plan_steps", "_trace_log", "_real_note"):
+                if hasattr(inner_core, attr):
+                    setattr(core, attr, getattr(inner_core, attr))
         self._core = core  # unjitted split-plane core (timing/inspection)
         if spec.kind == Kind.R2C:
             donate = (0,) if spec.donate else ()

@@ -69,8 +69,17 @@ class _PlanDeadline:
         return any(v != float("inf") for v in timings.values())
 
 
-def candidate_schedules(n: int, max_radix: int = 128, cap: int = 8) -> List[Tuple[int, ...]]:
-    """Distinct plausible radix schedules for n, cheapest-guess first."""
+def candidate_schedules(n: int, max_radix: int = 128, cap: int = 8,
+                        deep: bool = False) -> List[Tuple[int, ...]]:
+    """Distinct plausible radix schedules for n, cheapest-guess first.
+
+    ``deep=True`` (EXHAUSTIVE tier) lifts the candidate cap and widens
+    the space with both orderings of every 2-factor split (stage order
+    changes lane-padding behavior — measured at n=640: (80,8) vs (8,80)
+    differ, docs/tpu_notes.md schedule rankings) and the 3-factor
+    splits, mirroring FFTW's EXHAUSTIVE lifting the solver restrictions
+    MEASURE/PATIENT keep (``kernel/planner.c:518-623`` NO_EXHAUSTIVE
+    flag)."""
     cands = []
 
     def add(s):
@@ -91,9 +100,24 @@ def candidate_schedules(n: int, max_radix: int = 128, cap: int = 8) -> List[Tupl
     while f * f <= n:
         if n % f == 0 and f <= max_radix and n // f <= max_radix:
             add(tuple(sorted((f, n // f), reverse=True)))
+            if deep:
+                add(tuple(sorted((f, n // f))))           # reversed order
         f += 1
     if n <= max_radix:
         add((n,))
+    if deep:
+        cap = max(cap, 24)
+        f1 = 2
+        while f1 ** 3 <= n:
+            if n % f1 == 0 and f1 <= max_radix:
+                m = n // f1
+                f2 = f1
+                while f2 * f2 <= m:
+                    if m % f2 == 0 and f2 <= max_radix \
+                            and m // f2 <= max_radix:
+                        add(tuple(sorted((f1, f2, m // f2), reverse=True)))
+                    f2 += 1
+            f1 += 1
     return cands[:cap]
 
 
@@ -129,7 +153,8 @@ def _schedule_step_fn(n: int, sched, sign: int, prec, use_3m: bool):
 def measure_schedule(n: int, direction=None, precision: str = "highest",
                      batch: int = 1024, max_radix: int = 128,
                      k: int = 5, install: bool = True,
-                     use_3m: bool = False) -> Tuple[Tuple[int, ...], dict]:
+                     use_3m: bool = False,
+                     deep: bool = False) -> Tuple[Tuple[int, ...], dict]:
     """Time candidate schedules for a 1-D size; return (winner, timings).
 
     With ``install=True`` the winner becomes a schedule override — honored
@@ -147,7 +172,7 @@ def measure_schedule(n: int, direction=None, precision: str = "highest",
             "default": jax.lax.Precision.DEFAULT}[precision]
     timings = {}
     deadline = _PlanDeadline()
-    for sched in candidate_schedules(n, max_radix):
+    for sched in candidate_schedules(n, max_radix, deep=deep):
         if deadline.over(timings):
             break  # fftw_set_timelimit: settle for the best found so far
         step = _schedule_step_fn(n, sched, sign, prec, use_3m)
@@ -401,7 +426,81 @@ def measure_distributed(shape, direction=None, norm=None,
     return winner, timings
 
 
-def measure_plan_sizes(spec, batch: int = 1024, k: int = 3) -> dict:
+def measure_exhaustive(spec, build_core, iters: int = 4, reps: int = 2):
+    """EXHAUSTIVE-tier race: PATIENT plus the kernel-knob grid.
+
+    The top of the FFTW rigor ladder (``kernel/planner.c:518-623``:
+    EXHAUSTIVE clears the remaining NO_* solver restrictions PATIENT
+    keeps).  On top of PATIENT's per-axis impl cross-product this races
+    the kernel tuning knobs the hardware probes explored by hand —
+
+      * ``REGENT_FFT_TAIL_MT`` (32 | 64): butterfly-head depth vs MXU
+        tail width (f32 kernel paths; shape-dependent, tpu_notes r4);
+      * ``REGENT_FFT_MXU_IMPL`` (direct | fstw): the bf16 tile form
+        (complex32 plans; crossover at n ~ 512, tpu_notes r4);
+      * ``REGENT_FFT_F2_STRIPS`` (2 | 4): fused trailing-pair strip
+        depth (plans with a stockham2 step);
+
+    raced in ONE process via :class:`~..ops.pallas_stockham.knob_override`
+    (runner caches are env-keyed), under ``set_timelimit``, with the
+    defaults always a candidate.  The deep radix-schedule search
+    (``candidate_schedules(deep=True)``) is driven separately by the
+    plan's ``measure_plan_sizes(deep=True)`` pass.
+
+    Returns ``(winner, timings)``: winner is the PATIENT dict extended
+    with ``"knobs"`` (an env-knob dict, empty = defaults), timings maps
+    ``{"patient": {...}, "knobs": {...}}``.
+    """
+    import dataclasses
+    from . import timing as _timing
+    from ..ops import pallas_stockham as _ps
+
+    pw, ptimings = measure_patient(spec, build_core, iters, reps)
+    base = dataclasses.replace(
+        spec, planner="estimate",
+        axis0_impl=pw.get("axis0_impl", spec.axis0_impl),
+        f2_impl=pw.get("f2_impl", spec.f2_impl))
+
+    axes = []
+    if spec.dtype == "complex32":
+        axes.append(("REGENT_FFT_MXU_IMPL", ("direct", "fstw")))
+    else:
+        axes.append(("REGENT_FFT_TAIL_MT", ("32", "64")))
+    steps = getattr(build_core(base), "_plan_steps", None) or []
+    if any(k == "stockham2" for k, _, _ in steps):
+        axes.append(("REGENT_FFT_F2_STRIPS", ("2", "4")))
+    combos = [{}]
+    for name, vals in axes:
+        combos = combos + [dict(c, **{name: v})
+                           for c in combos if name not in c for v in vals]
+
+    timings = {}
+    by_name = {}
+    deadline = _PlanDeadline()
+    for knobs in combos:
+        name = " ".join(f"{k[len('REGENT_FFT_'):].lower()}={v}"
+                        for k, v in sorted(knobs.items())) or "defaults"
+        if name in timings:
+            continue
+        if deadline.over(timings):
+            break  # fftw_set_timelimit: settle for the best found
+        by_name[name] = knobs
+        try:
+            with _ps.knob_override(knobs):
+                core = build_core(base)
+                step, make_carry = _timing.core_chain(core, base)
+                timings[name] = _timing.time_chain(step, make_carry,
+                                                   iters, reps)
+        except Exception:
+            timings[name] = float("inf")
+    winner_name = min(timings, key=timings.get)
+    winner = dict(pw)
+    winner["knobs"] = dict(by_name[winner_name])
+    return winner, {"patient": ptimings, "knobs": timings}
+
+
+def measure_plan_sizes(spec, batch: int = 1024, k: int = 3,
+                       deep: bool = False) -> dict:
     """Run measure-mode for every transform length of a PlanSpec."""
     results = {}
     for n in sorted(set(spec.transform_lengths)):
@@ -409,6 +508,6 @@ def measure_plan_sizes(spec, batch: int = 1024, k: int = 3) -> dict:
             continue  # direct trivial or Bluestein: nothing to tune yet
         winner, t = measure_schedule(
             n, spec.direction, spec.precision, batch=batch,
-            max_radix=spec.max_radix, k=k, use_3m=spec.use_3m)
+            max_radix=spec.max_radix, k=k, use_3m=spec.use_3m, deep=deep)
         results[n] = {"winner": winner, "timings": t}
     return results

@@ -47,7 +47,8 @@ def export_wisdom_to_string() -> str:
     backend winners (fftw_export_wisdom_to_string analog — FFTW wisdom
     stores the full solver decision, ``api/export-wisdom*.c``)."""
     from ..ops import factor as _factor
-    from ..plan import _BACKEND_WISDOM, _PATIENT_WISDOM
+    from ..plan import (_BACKEND_WISDOM, _EXHAUSTIVE_WISDOM,
+                        _PATIENT_WISDOM)
     from . import calibrate as _calibrate
     specs = [_spec_to_dict(s) for s in _PLAN_CACHE]
     overrides = [{"n": n, "max_radix": mr, "factors": list(f)}
@@ -56,13 +57,16 @@ def export_wisdom_to_string() -> str:
                 for k, w in _BACKEND_WISDOM.items()]
     patient = [{"spec": _spec_to_dict(k), "winner": dict(w)}
                for k, w in _PATIENT_WISDOM.items()]
+    exhaustive = [{"spec": _spec_to_dict(k), "winner": dict(w)}
+                  for k, w in _EXHAUSTIVE_WISDOM.items()]
     from ..parallel.distributed import _DISTRIB_WISDOM
     distrib = [{"shape": list(shape), "n_devices": ndev, "direction": d,
                 "norm": nv, "kind": kv, "strategy": dict(strat)}
                for (shape, ndev, d, nv, kv), strat in _DISTRIB_WISDOM.items()]
     out = {"version": WISDOM_VERSION, "library": "regent_fft_tpu",
            "plans": specs, "schedules": overrides, "backends": backends,
-           "patient": patient, "distrib": distrib}
+           "patient": patient, "exhaustive": exhaustive,
+           "distrib": distrib}
     cal = _calibrate.current()
     if cal is not None:
         # Per-chip cost-model calibration rides along, so a fresh process
@@ -87,7 +91,8 @@ def import_wisdom_from_string(s: str, build: bool = True) -> int:
     if data.get("version") != WISDOM_VERSION:
         raise ValueError(f"unsupported wisdom version: {data.get('version')}")
     from ..ops import factor as _factor
-    from ..plan import _BACKEND_WISDOM, _PATIENT_WISDOM, _backend_key
+    from ..plan import (_BACKEND_WISDOM, _EXHAUSTIVE_WISDOM,
+                        _PATIENT_WISDOM, _backend_key)
     from . import calibrate as _calibrate
     n = 0
     cal = data.get("calibration")
@@ -103,6 +108,10 @@ def import_wisdom_from_string(s: str, build: bool = True) -> int:
         n += 1
     for o in data.get("patient", []):
         _PATIENT_WISDOM[_backend_key(_spec_from_dict(o["spec"]))] = \
+            dict(o["winner"])
+        n += 1
+    for o in data.get("exhaustive", []):
+        _EXHAUSTIVE_WISDOM[_backend_key(_spec_from_dict(o["spec"]))] = \
             dict(o["winner"])
         n += 1
     if data.get("distrib"):
@@ -132,13 +141,15 @@ def forget_wisdom() -> None:
     """fftw_forget_wisdom analog: drop plans, schedules, backend winners,
     distributed-strategy winners, and the cost-model calibration."""
     from ..ops import factor as _factor
-    from ..plan import _BACKEND_WISDOM, _PATIENT_WISDOM
+    from ..plan import (_BACKEND_WISDOM, _EXHAUSTIVE_WISDOM,
+                        _PATIENT_WISDOM)
     from . import calibrate as _calibrate
     from ..parallel.distributed import _DISTRIB_WISDOM
     _PLAN_CACHE.clear()
     _factor._SCHEDULE_OVERRIDES.clear()
     _BACKEND_WISDOM.clear()
     _PATIENT_WISDOM.clear()
+    _EXHAUSTIVE_WISDOM.clear()
     _DISTRIB_WISDOM.clear()
     _calibrate.reset_calibration()
 
