@@ -452,7 +452,9 @@ def _big_c32_thunk(PlanSpec):
     default large-N mode for the same reason,
     /root/reference/fftw-3.3.8/api/execute-dft.c).  r5 probe
     (scripts/probe_1024_r5.py): donated 90.01, no-donate 89.74 ms —
-    agreement ±0.3 ms where the old method apologized for ±3.
+    agreement ±0.3 ms where the old method apologized for ±3.  With the
+    r5 'hd' four-step leading-axis pass the same method measures
+    67.20 ms (scripts/probe_a0fs_hd.py).
     """
     def thunk():
         import jax

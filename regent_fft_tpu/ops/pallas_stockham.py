@@ -1635,7 +1635,8 @@ def _a0fs_split(n: int):
     return r1, n // r1
 
 
-def _a0fs_g(r: int, x: int, mid: int, env: str, k: int = 2) -> int:
+def _a0fs_g(r: int, x: int, mid: int, env: str, k: int = 2,
+            io: str = "f32") -> int:
     """Row-group size g of a four-step stage slab (r, g, x): the DMA
     moves g*x*4-byte contiguous runs (the whole point — the measured
     "strided floor" is a function of the contiguous run size: 2 KB runs
@@ -1644,18 +1645,26 @@ def _a0fs_g(r: int, x: int, mid: int, env: str, k: int = 2) -> int:
     dividing ``mid`` so the 5-D operand view splits the array's
     second-minor dim ON (8, 128)-tile boundaries — any other view shape
     makes XLA materialize a relayout copy per pass boundary (measured:
-    +9.7 ms at 512^3 for (…, 8, 2048)-minor views)."""
+    +9.7 ms at 512^3 for (…, 8, 2048)-minor views).  bf16 slabs double
+    the element budget (equal-BYTE scratch; the run-size floor is a
+    byte effect) and prefer multiples of 16 — the bf16 native tile's
+    second-minor — falling back to 8-multiples when 16 doesn't divide."""
     import os
     budget = MAX_BLOCK_ELEMS * 2 // max(2, k)   # 4 ring buffers x k slabs
+    if io == "bf16":
+        budget *= 2
     if _a0fs_precision() in ("b6", "b62"):
         # 3-way (h/m/l) splits keep a 6x-slab bf16 rhs concat live in
         # scoped VMEM; halve the slab or the kernel stack OOMs (measured:
         # 16.41M vs the 16M scoped limit at g=32, x=512)
         budget //= 2
-    g = int(os.environ.get(env, "0")) or (budget // (r * x))
-    g = max(8, min(g, mid) // 8 * 8)
-    while g > 8 and mid % g:
-        g -= 8
+    want = int(os.environ.get(env, "0")) or (budget // (r * x))
+    for step in ((16, 8) if io == "bf16" else (8,)):
+        g = max(step, min(want, mid) // step * step)
+        while g > step and mid % g:
+            g -= step
+        if mid % g == 0:
+            return g
     return g
 
 
@@ -1669,6 +1678,19 @@ def axis0_fourstep_supported(n: int, post: int, x: int) -> bool:
     return (r1 >= 8 and 8 <= r2 <= 64
             and x % 128 == 0 and 128 <= x <= 2048
             and post % x == 0 and mid >= 8 and mid % 8 == 0)
+
+
+def axis0_fourstep_hd(n: int) -> bool:
+    """True when BOTH four-step stages of a bf16 (complex32) leading
+    axis run the 'hd' native-bf16 stage dots (r >= 16 each — the folded
+    K = 2r stays at/above Mosaic's K >= 32 layout-inference floor).
+    Where this holds, two wide-run passes at ONE bf16 MXU pass per dot
+    beat the single-pass DMA ring's halved bytes AND the grid
+    butterfly's small-run strided floor (measured r5: 4x256^3 ring 3.84
+    vs fourstep 2.93 ms; 512^3 11.51 vs 7.77; 1024^3 grid 90.2 vs
+    67.2)."""
+    r1, r2 = _a0fs_split(n)
+    return r1 >= 16 and r2 >= 16
 
 
 @functools.lru_cache(maxsize=64)
@@ -1712,14 +1734,20 @@ def _a0fs_precision() -> str:
     return os.environ.get("REGENT_FFT_A0FS_PREC", "h4")
 
 
-def _dg0_3m(mr, mi, ar, ai):
+def _dg0_3m(mr, mi, ar, ai, scheme: str | None = None):
     """Complex contraction of an (r, r) matrix with (r, 8, w) slabs over
     the LEADING rhs axis (Mosaic-native; see _mxu_tile.dg0), scheme per
-    :func:`_a0fs_precision`.  In the b3/b32 schemes the rhs hi/lo terms
-    concatenate along the UNTILED leading axis — near-free in vregs —
-    while K triples/sextuples, fixing the tiny-K MXU underutilization
-    of the (r, r) stage matmuls."""
-    p = _a0fs_precision()
+    :func:`_a0fs_precision` (or the explicit ``scheme`` override).  In
+    the b3/b32 schemes the rhs hi/lo terms concatenate along the UNTILED
+    leading axis — near-free in vregs — while K triples/sextuples,
+    fixing the tiny-K MXU underutilization of the (r, r) stage matmuls.
+
+    Scheme 'hd' (bf16 block I/O only): the h4 shared-rhs 4M fold issued
+    at DEFAULT precision directly on the bf16 slabs — ONE bf16 MXU pass
+    per dot, tables cast to the rhs dtype (the fstw lesson applied to
+    the four-step stages: at complex32 accuracy the stage dots should
+    cost bf16 MACs, not f32-emulation passes)."""
+    p = scheme or _a0fs_precision()
     if p == "h4" and mr.shape[1] < 32:
         # Mirror _dg_3m's guard: Mosaic fails layout inference on the
         # K=2r fold below K=32 (measured at mt=16 on the tail form, same
@@ -1748,6 +1776,14 @@ def _dg0_3m(mr, mi, ar, ai):
         rhs = cata([ar, ai])
         yr = dg(catm([mr, -mi]), rhs, jax.lax.Precision.HIGHEST)
         yi = dg(catm([mi, mr]), rhs, jax.lax.Precision.HIGHEST)
+        return yr, yi
+    if p == "hd":
+        # bf16 slabs: same fold, ONE DEFAULT (native bf16 MXU) pass per
+        # dot; f64-generated tables round once to the rhs dtype.
+        dt = ar.dtype
+        rhs = cata([ar, ai])
+        yr = dg(catm([mr, -mi]).astype(dt), rhs, None)
+        yi = dg(catm([mi, mr]).astype(dt), rhs, None)
         return yr, yi
     if p == "b6":
         lr1, rr1 = _b6_operands(catm, cata, _bf16_hml(mr), _bf16_hml(ar))
@@ -1896,9 +1932,18 @@ def _runner_a0fs(stage: str, n: int, r1: int, r2: int, g: int, x: int,
                     mr, mi = wr_ref[b], wi_ref[b]
                 else:
                     mr, mi = wr_ref[:], wi_ref[:]
-                fr, fi = _dg0_3m(mr, mi,
-                                 vr[slot].astype(jnp.float32),
-                                 vi[slot].astype(jnp.float32))
+                if io == "bf16" and r >= 16:
+                    # complex32-grade stage dots: the 'hd' fold runs ONE
+                    # native bf16 MXU pass per dot on the raw bf16 slabs
+                    # (no f32 cast pass, no f32-emulation MXU passes);
+                    # r >= 16 keeps the folded K = 2r at/above the
+                    # measured Mosaic layout-inference floor (K >= 32).
+                    fr, fi = _dg0_3m(mr, mi, vr[slot], vi[slot],
+                                     scheme="hd")
+                else:
+                    fr, fi = _dg0_3m(mr, mi,
+                                     vr[slot].astype(jnp.float32),
+                                     vi[slot].astype(jnp.float32))
                 ur[slot] = fr.astype(odt)
                 ui[slot] = fi.astype(odt)
             pltpu.make_async_copy(ur.at[slot], _dst(yr_hbm, i),
@@ -1970,9 +2015,13 @@ def fft_axis0_fourstep(xr, xi, axis: int, direction: Direction,
     r1, r2 = _a0fs_split(n)
     sign = int(direction)
     io = _plane_io(xr, r1)
+    if io == "f32" and xr.dtype != jnp.float32:
+        # bf16 planes whose r1 misses the bf16 min tile: run the stages
+        # at f32 block I/O (the caller re-casts after the axis)
+        xr, xi = xr.astype(jnp.float32), xi.astype(jnp.float32)
     k = int(os.environ.get("REGENT_FFT_A0FS_K", str(k)))
-    ga = _a0fs_g(r1, x, mid, "REGENT_FFT_A0FS_WA", k)
-    gb = _a0fs_g(r2, x, mid, "REGENT_FFT_A0FS_WB", k)
+    ga = _a0fs_g(r1, x, mid, "REGENT_FFT_A0FS_WA", k, io)
+    gb = _a0fs_g(r2, x, mid, "REGENT_FFT_A0FS_WB", k, io)
     runa = _runner_a0fs("a", n, r1, r2, ga, x, mid // ga, pre, sign,
                         k, 1.0, interpret, io, envkey=_env_key())
     runb = _runner_a0fs("b", n, r1, r2, gb, x, mid // gb, pre, sign,

@@ -474,14 +474,20 @@ def _build_core_inner(spec: PlanSpec):
                 if (not interp and a != xr.ndim - 1
                         and _a0impl in ("auto", "fourstep")
                         and (xr.dtype == jnp.float32
-                             or _a0impl == "fourstep")
+                             or _a0impl == "fourstep"
+                             or _ps.axis0_fourstep_hd(arg)
+                             or not _ps.axis0_dma_supported(arg, _post))
                         and _post >= _dma_min
                         and _ps.axis0_fourstep_supported(
                             arg, _post, xr.shape[-1])):
-                    # f32 only by default: at bf16 the single-pass ring
-                    # halves bytes while fourstep pays two passes
-                    # (measured 256^3 c32: ring 7.77 vs fourstep 8.6)
-                    # big-stride leading axis: TWO wide-run DMA-ring
+                    # bf16: the four-step with 'hd' native-bf16 stage
+                    # dots beats BOTH the single-pass ring and the grid
+                    # butterfly wherever both stages run hd (r5
+                    # measured: 4x256^3 ring 3.84 vs 2.93; 512^3 ring
+                    # 11.51 vs 7.77; 1024^3 grid 90.2 vs 67.2 ms); the
+                    # ring keeps sizes whose stage split drops below
+                    # the hd fold floor.
+                    # f32 big-stride leading axis: TWO wide-run DMA-ring
                     # passes beat the small-run strided floor the
                     # single-pass kernels sit on (512^3: 11.15 -> ~9.6,
                     # docs/tpu_notes.md round-3 four-step probes)
@@ -566,6 +572,20 @@ def _build_core_inner(spec: PlanSpec):
                            for k, a, _ in steps)
         needs = (pad and not touches_last
                  and any(k == "stockham" for k, _, _ in steps))
+        if (needs and w <= 32 and xr.ndim >= 2
+                and xr.shape[-2] % 128 == 0):
+            # Tiny trailing batch: padding w -> 128 inflates memory and
+            # HBM traffic by 128/w (measured: (256,256,256,4) complex32
+            # OOMs a 16 GB chip on a 1 GB problem — 4.00G pad temps at
+            # this site).  Move the batch axis to the front instead: two
+            # relayout copies, and every FFT axis shifts by one while
+            # the (already lane-aligned) old second-minor becomes the
+            # trailing extent.
+            xr = jnp.moveaxis(xr, -1, 0)
+            xi = jnp.moveaxis(xi, -1, 0)
+            shifted = [(k, a + 1, arg) for k, a, arg in steps]
+            xr, xi = run_steps(shifted, xr, xi, direction, fuse_scale)
+            return jnp.moveaxis(xr, 0, -1), jnp.moveaxis(xi, 0, -1)
         if needs:
             cfg = [(0, 0)] * (xr.ndim - 1) + [(0, pad)]
             xr = jnp.pad(xr, cfg)

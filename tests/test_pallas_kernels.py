@@ -384,6 +384,33 @@ def test_axis0_fourstep_interpret():
     assert not ps.axis0_fourstep_supported(512, 512, 512)
 
 
+def test_axis0_fourstep_hd_bf16_interpret():
+    # 'hd' native-bf16 stage dots (r5): bf16 planes with both stage
+    # radices >= 16 run _dg0_3m(scheme="hd") — one DEFAULT-precision
+    # dot per stage on the raw bf16 slabs.  complex32-grade accuracy.
+    assert ps.axis0_fourstep_hd(256) and ps.axis0_fourstep_hd(1024)
+    assert not ps.axis0_fourstep_hd(64)   # r1 = r2 = 8: below fold floor
+    shape = (256, 16, 128)
+    x = crand(shape)
+    yr, yi = ps.fft_axis0_fourstep(
+        jnp.asarray(x.real, jnp.bfloat16), jnp.asarray(x.imag, jnp.bfloat16),
+        0, Direction.FORWARD, k=2, interpret=True)
+    assert yr.dtype == jnp.bfloat16
+    y = np.asarray(yr, np.float64) + 1j * np.asarray(yi, np.float64)
+    ref = np.fft.fft(np.asarray(x, np.complex128), axis=0)
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 2e-2
+    # bf16 planes whose r1 misses the bf16 min tile fall back to f32
+    # block I/O inside fft_axis0_fourstep rather than failing _plane_io
+    shape = (64, 8, 512)
+    x = crand(shape)
+    yr, yi = ps.fft_axis0_fourstep(
+        jnp.asarray(x.real, jnp.bfloat16), jnp.asarray(x.imag, jnp.bfloat16),
+        0, Direction.FORWARD, k=2, interpret=True)
+    y = np.asarray(yr, np.float64) + 1j * np.asarray(yi, np.float64)
+    ref = np.fft.fft(np.asarray(x, np.complex128), axis=0)
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 2e-2
+
+
 def test_radix8_head_stages_numerics(monkeypatch):
     # REGENT_FFT_RADIX8=1 keeps the knob from rotting: the radix-8
     # butterfly (_bfly_core r=8) must match numpy at f32 accuracy.

@@ -44,6 +44,18 @@ def test_fft_axis_and_padding():
     assert rel_l2(rft.fft(x, n=17), np.fft.fft(x, n=17)) < tolerance(17)
 
 
+def test_fft_tiny_trailing_batch():
+    # Trailing batch dims far below the 128-lane tile take the
+    # batch-to-front route in run_steps_padded (plan.py) instead of a
+    # 128/w pad blowup — (256,256,256,4) complex32 OOM'd a 16 GB chip
+    # on a 1 GB problem before this route existed (r5).
+    for shape, axes in (((128, 256, 4), (0, 1)), ((256, 4), (0,))):
+        x = crand(shape)
+        assert rel_l2(rft.fftn(x, axes=axes),
+                      np.fft.fftn(x, axes=axes)) < tolerance(
+                          int(np.prod([shape[a] for a in axes])))
+
+
 def test_fft2_fftn():
     x = crand((12, 16, 20))
     assert rel_l2(rft.fft2(x), np.fft.fft2(x)) < tolerance(16 * 20)
