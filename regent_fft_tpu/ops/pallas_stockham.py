@@ -1668,6 +1668,26 @@ def _a0fs_g(r: int, x: int, mid: int, env: str, k: int = 2,
     return g
 
 
+def _a0fs_k_auto(r1: int, r2: int, x: int) -> int:
+    """bf16 (complex32) ring depth (scripts/probe_a0fs_k.py, r5).
+
+    The deeper K=3 ring helps exactly when the K=2 slabs are already
+    budget-NARROW (the pass is DMA-latency-bound): 512^3 has K=2 slabs
+    of g=32 rows and measures 7.90 -> 7.37 ms at K=3.  Where the K=2
+    budget grants wide slabs the deeper ring only shrinks them —
+    4x256^3 (g=128 at K=2) measured 2.93 -> 3.06, so wide-slab shapes
+    keep K=2.  And shapes whose K=3 budget would force g < 16 MUST keep
+    K=2: _a0fs_g clamps bf16 slabs UP to 16 rows (the (16, 128) min
+    tile), so the deeper ring overflows scratch VMEM instead — measured
+    compile failure at 1024^3 (budget grants g=10, clamp makes 16,
+    3 slabs don't fit)."""
+    b2 = MAX_BLOCK_ELEMS * 2 // 2 * 2       # k=2 slabs, bf16 doubling
+    b3 = MAX_BLOCK_ELEMS * 2 // 3 * 2
+    narrow = min(b2 // (r1 * x), b2 // (r2 * x)) <= 32
+    fits = b3 // (r1 * x) >= 16 and b3 // (r2 * x) >= 16
+    return 3 if narrow and fits else 2
+
+
 def axis0_fourstep_supported(n: int, post: int, x: int) -> bool:
     """Can the two-pass four-step handle a leading axis of length n over
     arrays whose trailing (minor) dim is x?"""
@@ -2019,7 +2039,11 @@ def fft_axis0_fourstep(xr, xi, axis: int, direction: Direction,
         # bf16 planes whose r1 misses the bf16 min tile: run the stages
         # at f32 block I/O (the caller re-casts after the axis)
         xr, xi = xr.astype(jnp.float32), xi.astype(jnp.float32)
-    k = int(os.environ.get("REGENT_FFT_A0FS_K", str(k)))
+    k_env = os.environ.get("REGENT_FFT_A0FS_K")
+    if k_env:
+        k = int(k_env)
+    elif io == "bf16":
+        k = _a0fs_k_auto(r1, r2, x)
     ga = _a0fs_g(r1, x, mid, "REGENT_FFT_A0FS_WA", k, io)
     gb = _a0fs_g(r2, x, mid, "REGENT_FFT_A0FS_WB", k, io)
     runa = _runner_a0fs("a", n, r1, r2, ga, x, mid // ga, pre, sign,

@@ -64,6 +64,41 @@ def chain_per_iter(core, shape, k1=2, k2=7, reps=3):
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which == "auto":
+        # _a0fs_k_auto validation: auto picks K=3 at 256/512-class
+        # (measured faster) and K=2 at 1024^3 (K=3 cannot compile)
+        for shape, axes in (((4, 256, 256, 256), (1, 2, 3)),
+                            ((512, 512, 512), (0, 1, 2)),
+                            ((1024, 1024, 1024), (0, 1, 2))):
+            spec = PlanSpec(shape=shape, axes=axes, kind=Kind.C2C,
+                            direction=Direction.FORWARD, norm=Norm.ORTHO,
+                            dtype="complex32", axis0_impl="fourstep")
+            per = chain_per_iter(_build_core(spec), shape)
+            print(f"{shape} c32 fourstep K=auto: {per*1e3:.2f} ms/iter",
+                  flush=True)
+        return
+    if which == "wa1024":
+        # Wide-slab probe: force g=32 rows at 1024^3 (2x the budget
+        # formula's grant).  A 32x1024 bf16 slab is a 1M-element block
+        # — past the validated 512K bf16 envelope, so this probes the
+        # envelope as much as the perf.
+        shape = (1024, 1024, 1024)
+        for wa, wb in ((32, 32), (32, 16)):
+            os.environ["REGENT_FFT_A0FS_WA"] = str(wa)
+            os.environ["REGENT_FFT_A0FS_WB"] = str(wb)
+            spec = PlanSpec(shape=shape, axes=(0, 1, 2), kind=Kind.C2C,
+                            direction=Direction.FORWARD, norm=Norm.ORTHO,
+                            dtype="complex32", axis0_impl="fourstep")
+            try:
+                per = chain_per_iter(_build_core(spec), shape)
+                print(f"1024^3 c32 WA={wa} WB={wb}: {per*1e3:.2f} ms/iter",
+                      flush=True)
+            except Exception as e:
+                print(f"1024^3 WA={wa} WB={wb}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+        for v in ("REGENT_FFT_A0FS_WA", "REGENT_FFT_A0FS_WB"):
+            os.environ.pop(v, None)
+        return
     shapes = []
     if which in ("all", "512"):
         shapes.append((512, 512, 512))
